@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The flagship operator: tick/kline → hourly OHLC resample.
+  *
+  * Re-expresses the reference's core Spark query
+  * (`/root/reference/components/process_data.py:44-59`: global
+  * `row_number` window → `floor((rn-1)/3600)` bucket → group-agg with
+  * `first/max/min/last/sum`) in two forms:
+  *
+  *  1. [[ohlcHourly]] — the Spark-first production form: time-native
+  *     bucketing (`date_trunc("hour", ts)`) turns the whole query into a
+  *     single partial+final hash aggregate. No global sort, no single-task
+  *     window, scales linearly with input partitions — this is the plan you
+  *     want on a 1000-executor cluster over 100 TB of ticks.
+  *  2. [[ohlcRowBucket]] — the reference's exact row-position semantics
+  *     (`track_each` rows per bucket), kept as a correctness-comparison
+  *     query. It inherits the reference's single-partition global-window
+  *     hazard (SURVEY §4.3.1) and is NOT the scale path.
+  *
+  * Both replace the reference's non-deterministic `first`/`last`
+  * aggregates (`process_data.py:50-55`, SURVEY §4.3.2) with
+  * `min_by`/`max_by` keyed on the timestamp — deterministic under any
+  * partitioning/shuffle order, and oracle-checkable (DuckDB
+  * `arg_min`/`arg_max` use the same tie rule; `ts` is unique in the data).
+  */
+object Resample {
+
+  /** Hourly OHLCV per `event_type` ("symbol"), keyed by bucket epoch-seconds.
+    *
+    * Output columns: bucket (long, epoch s), event_type, open, high, low,
+    * close, volume (sum of value), n_trades (count).
+    */
+  def ohlcHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("bucket"),
+        col("event_type"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        sum(col("value")).as("volume"),
+        count(lit(1)).as("n_trades"))
+
+  /** Hourly OHLC keyed by a timestamp bucket column (for joins/as-of use).
+    * Same aggregate as [[ohlcHourly]] but keeps the bucket as a timestamp
+    * and adds `bucket_end` = bucket + 1h (the instant the bar "closes").
+    */
+  def ohlcHourlyTs(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("bucket_ts"), col("event_type"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        sum(col("value")).as("volume"),
+        count(lit(1)).as("n_trades"))
+      .withColumn("bucket_end", col("bucket_ts") + expr("INTERVAL 1 HOUR"))
+
+  /** The reference's row-position bucketing (`process_data.py:47-49`):
+    * `group_id = floor((row_number() over (order by ts) - 1) / trackEach)`.
+    *
+    * Correctness-comparison only — the unpartitioned `Window.orderBy`
+    * forces a single task (the hazard the reference shipped with;
+    * SURVEY §4.3.1). [[ohlcHourly]] is the scale path.
+    */
+  def ohlcRowBucket(events: DataFrame, trackEach: Int): DataFrame = {
+    val w = Window.orderBy(col("ts"))
+    events
+      .withColumn("rn", row_number().over(w))
+      .withColumn("group_id", floor((col("rn") - 1) / trackEach))
+      .groupBy(col("group_id"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        sum(col("value")).as("volume"),
+        count(lit(1)).as("n_trades"))
+  }
+}

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.agg.CumProd
+
+/** The notebook analytics surface: rolling statistics, returns, equity
+  * curves, scaling, forecast metrics, ordered splits.
+  *
+  * Source semantics: `/root/reference/notebooks/explore_datasets.ipynb`
+  * cells 14-16 (rolling mean/std ± 2σ bands, pct_change, MA crossover,
+  * cumprod equity), `components/model/training.py:92-97` (MinMax scaling),
+  * `components/model/evaluation.py:75-76` (RMSE/MAE),
+  * `training.py:122-132` (ordered 0.8/0.1/0.1 split).
+  *
+  * Every window here is `partitionBy(event_type)` — the "symbol" axis.
+  * That is the scale contract: at 100 TB you have many symbols, each
+  * symbol's series fits a partition, and Spark runs the sorts in parallel
+  * per symbol with no global shuffle-to-one-task (unlike the reference's
+  * unpartitioned window, SURVEY §4.3.1).
+  */
+object Rolling {
+
+  private def byTypeTime = Window.partitionBy(col("event_type")).orderBy(col("ts"))
+
+  /** Rolling mean + sample stddev over the hourly close series, with ±2σ
+    * volatility bands (notebook cell 14) and the MA7/MA30 pair (cell 16).
+    * Frames are row-based trailing windows, matching pandas
+    * `rolling(n)` evaluated at the right edge (but min_periods=1 style:
+    * partial windows at series start emit the stat over available rows).
+    */
+  def maVolatility(hourly: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val w7 = w.rowsBetween(-6, 0)
+    val w30 = w.rowsBetween(-29, 0)
+    hourly
+      .withColumn("ma7", avg(col("close")).over(w7))
+      .withColumn("ma30", avg(col("close")).over(w30))
+      .withColumn("sd30", stddev_samp(col("close")).over(w30))
+      .withColumn("band_hi", col("ma30") + lit(2.0) * col("sd30"))
+      .withColumn("band_lo", col("ma30") - lit(2.0) * col("sd30"))
+      .select("bucket", "event_type", "close", "ma7", "ma30", "sd30",
+        "band_hi", "band_lo")
+  }
+
+  /** lag + pct_change (notebook cell 15): previous value and simple return
+    * per event_type series. First row of each series → nulls, as in pandas.
+    */
+  def returnsLag(events: DataFrame): DataFrame = {
+    val prev = lag(col("value"), 1).over(byTypeTime)
+    events
+      .withColumn("prev_value", prev)
+      .withColumn("ret", col("value") / col("prev_value") - 1)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("prev_value"), col("ret"))
+  }
+
+  /** Equity curve (notebook cell 16): cumulative product of per-row growth
+    * factors `value / lag(value)` (≡ 1 + return), exact via the CumProd
+    * Aggregator over a growing frame. First row's factor coalesces to 1.
+    */
+  def cumprodEquity(events: DataFrame): DataFrame = {
+    val factor = coalesce(col("value") / lag(col("value"), 1).over(byTypeTime), lit(1.0))
+    val wGrow = byTypeTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("factor", factor)
+      .withColumn("equity", CumProd.product(col("factor")).over(wGrow))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("factor"), col("equity"))
+  }
+
+  /** MA-crossover backtest (notebook cell 16) as ONE composed query:
+    * signal = MA7 > MA30 (as 0/1), position = yesterday's signal (no
+    * lookahead), strategy return = position × hourly return, equity =
+    * cumprod(1 + strategy return). Runs on the hourly close series.
+    */
+  def maCrossoverBacktest(hourly: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wGrow = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly
+      .withColumn("ma7", avg(col("close")).over(w.rowsBetween(-6, 0)))
+      .withColumn("ma30", avg(col("close")).over(w.rowsBetween(-29, 0)))
+      .withColumn("signal", when(col("ma7") > col("ma30"), 1).otherwise(0))
+      .withColumn("position", coalesce(lag(col("signal"), 1).over(w), lit(0)))
+      .withColumn("ret", col("close") / lag(col("close"), 1).over(w) - 1)
+      .withColumn("strat_factor",
+        coalesce(lit(1.0) + col("position") * col("ret"), lit(1.0)))
+      .withColumn("equity", CumProd.product(col("strat_factor")).over(wGrow))
+      .select("bucket", "event_type", "close", "ma7", "ma30", "signal",
+        "position", "equity")
+  }
+
+  /** MinMax scaling (training.py:92-97): x ↦ (x - min) / (max - min) per
+    * event_type. The 2-scalar fit is a 1-row-per-group aggregate broadcast
+    * back — expressed as a grouped agg + equi-join that AQE/Catalyst turn
+    * into a broadcast join of the tiny per-group stats table (the
+    * scalar-subquery pattern from SURVEY §2.3).
+    */
+  def minMaxScale(events: DataFrame): DataFrame = {
+    val stats = events.groupBy(col("event_type").as("et"))
+      .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    events
+      .join(broadcast(stats), col("event_type") === col("et"))
+      .withColumn("scaled", (col("value") - col("mn")) / (col("mx") - col("mn")))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("mn"), col("mx"), col("scaled"))
+  }
+
+  /** Forecast error metrics (evaluation.py:75-76) against the persistence
+    * baseline (ŷ = previous value): RMSE and MAE per event_type.
+    */
+  def rmseMae(events: DataFrame): DataFrame = {
+    val yhat = lag(col("value"), 1).over(byTypeTime)
+    events
+      .withColumn("yhat", yhat)
+      .filter(col("yhat").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        sqrt(avg(pow(col("value") - col("yhat"), 2))).as("rmse"),
+        avg(abs(col("value") - col("yhat"))).as("mae"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Ordered 0.8/0.1/0.1 train/val/test split (training.py:122-132):
+    * position-based, NOT random — time-series discipline. Returns per
+    * (event_type, split) row counts and value sums for verification.
+    */
+  def orderedSplit(events: DataFrame): DataFrame = {
+    val w = byTypeTime
+    val cnt = Window.partitionBy(col("event_type"))
+    events
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cnt))
+      .withColumn("split",
+        when(col("rn") <= lit(0.8) * col("n"), "train")
+          .when(col("rn") <= lit(0.9) * col("n"), "val")
+          .otherwise("test"))
+      .groupBy(col("event_type"), col("split"))
+      .agg(count(lit(1)).as("rows"), sum(col("value")).as("sum_value"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Summary statistics + correlation matrix — the notebook's descriptive
+  * layer (`/root/reference/notebooks/explore_datasets.ipynb` cells 10, 15:
+  * `df.describe()`, `df[...].corr()`).
+  *
+  * Both are single partial+final hash aggregates over the fact table — one
+  * scan, no shuffle beyond the final 1-row reduce. At 100 TB this is the
+  * cheapest possible shape: every statistic below is algebraic
+  * (count/sum/moments), so map-side partials stay O(1) per column.
+  */
+object Stats {
+
+  /** describe() over lineitem's numeric measures, as explicit algebraic
+    * aggregates (typed doubles — not the stringly `df.describe()`).
+    */
+  def summaryStats(lineitem: DataFrame): DataFrame =
+    lineitem.agg(
+      count(lit(1)).as("n"),
+      avg(col("l_quantity")).as("avg_qty"),
+      stddev_samp(col("l_quantity")).as("std_qty"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      avg(col("l_extendedprice")).as("avg_price"),
+      stddev_samp(col("l_extendedprice")).as("std_price"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"),
+      avg(col("l_discount")).as("avg_disc"),
+      min(col("l_discount")).as("min_disc"),
+      max(col("l_discount")).as("max_disc"))
+
+  /** Pairwise Pearson correlation matrix over lineitem measures, one row —
+    * the notebook's `corr()` (cell 15). Pairs are flat columns so the
+    * DuckDB oracle is a literal transliteration.
+    */
+  def corrMatrix(lineitem: DataFrame): DataFrame =
+    lineitem.agg(
+      corr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
+      corr(col("l_quantity"), col("l_discount")).as("corr_qty_disc"),
+      corr(col("l_quantity"), col("l_tax")).as("corr_qty_tax"),
+      corr(col("l_extendedprice"), col("l_discount")).as("corr_price_disc"),
+      corr(col("l_extendedprice"), col("l_tax")).as("corr_price_tax"),
+      corr(col("l_discount"), col("l_tax")).as("corr_disc_tax"),
+      covar_samp(col("l_quantity"), col("l_extendedprice")).as("cov_qty_price"))
+}
