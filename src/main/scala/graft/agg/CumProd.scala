@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions.udaf
   * Scale note: the buffer is a single Double, so partial aggregation /
   * merge is trivially cheap and the window use stays O(n) per partition.
   */
-object CumProdAgg extends Aggregator[Double, Double, Double] {
+object CumProdAgg extends Aggregator[java.lang.Double, Double, Double] {
   override def zero: Double = 1.0
-  override def reduce(b: Double, a: Double): Double = b * a
+  // NULL input is the multiplicative identity — matches how built-in SQL
+  // aggregates skip NULLs (and DuckDB's product()).
+  override def reduce(b: Double, a: java.lang.Double): Double =
+    if (a == null) b else b * a.doubleValue()
   override def merge(b1: Double, b2: Double): Double = b1 * b2
   override def finish(r: Double): Double = r
   override def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
@@ -29,6 +32,6 @@ object CumProdAgg extends Aggregator[Double, Double, Double] {
 
 object CumProd {
   /** `product(c)` as a Column-producing function (aggregate or windowed). */
-  private lazy val fn = udaf(CumProdAgg, Encoders.scalaDouble)
+  private lazy val fn = udaf(CumProdAgg, Encoders.DOUBLE)
   def product(c: Column): Column = fn(c)
 }

@@ -51,7 +51,9 @@ object Rolling {
     val prev = lag(col("value"), 1).over(byTypeTime)
     events
       .withColumn("prev_value", prev)
-      .withColumn("ret", col("value") / col("prev_value") - 1)
+      // try_divide: NULL on a zero previous value (ANSI mode would throw;
+      // DuckDB's double division yields NULL too, so the oracle agrees).
+      .withColumn("ret", try_divide(col("value"), col("prev_value")) - 1)
       .select(col("event_id"), col("event_type"), col("value"),
         col("prev_value"), col("ret"))
   }
@@ -61,7 +63,8 @@ object Rolling {
     * Aggregator over a growing frame. First row's factor coalesces to 1.
     */
   def cumprodEquity(events: DataFrame): DataFrame = {
-    val factor = coalesce(col("value") / lag(col("value"), 1).over(byTypeTime), lit(1.0))
+    val factor = coalesce(
+      try_divide(col("value"), lag(col("value"), 1).over(byTypeTime)), lit(1.0))
     val wGrow = byTypeTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
       .withColumn("factor", factor)
@@ -83,7 +86,7 @@ object Rolling {
       .withColumn("ma30", avg(col("close")).over(w.rowsBetween(-29, 0)))
       .withColumn("signal", when(col("ma7") > col("ma30"), 1).otherwise(0))
       .withColumn("position", coalesce(lag(col("signal"), 1).over(w), lit(0)))
-      .withColumn("ret", col("close") / lag(col("close"), 1).over(w) - 1)
+      .withColumn("ret", try_divide(col("close"), lag(col("close"), 1).over(w)) - 1)
       .withColumn("strat_factor",
         coalesce(lit(1.0) + col("position") * col("ret"), lit(1.0)))
       .withColumn("equity", CumProd.product(col("strat_factor")).over(wGrow))
@@ -102,10 +105,25 @@ object Rolling {
       .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
     events
       .join(broadcast(stats), col("event_type") === col("et"))
-      .withColumn("scaled", (col("value") - col("mn")) / (col("mx") - col("mn")))
+      // Constant series ⇒ mx == mn ⇒ 0/0; map to 0.0 instead of the NULL
+      // Spark's non-ANSI division would yield (the reference's
+      // MinMaxScaler maps a constant column to a finite value too).
+      .withColumn("scaled",
+        when(col("mx") === col("mn"), lit(0.0))
+          .otherwise((col("value") - col("mn")) / (col("mx") - col("mn"))))
       .select(col("event_id"), col("event_type"), col("value"),
         col("mn"), col("mx"), col("scaled"))
   }
+
+  /** Scale then algebraically un-scale (evaluation.py:71-72,174): the
+    * inverse transform `x' = scaled * (mx - mn) + mn` that turns a model
+    * prediction back into price units.
+    */
+  def minMaxRoundtrip(events: DataFrame): DataFrame =
+    minMaxScale(events)
+      .withColumn("unscaled", col("scaled") * (col("mx") - col("mn")) + col("mn"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("scaled"), col("unscaled"))
 
   /** Forecast error metrics (evaluation.py:75-76) against the persistence
     * baseline (ŷ = previous value): RMSE and MAE per event_type.
@@ -137,6 +155,6 @@ object Rolling {
           .when(col("rn") <= lit(0.9) * col("n"), "val")
           .otherwise("test"))
       .groupBy(col("event_type"), col("split"))
-      .agg(count(lit(1)).as("rows"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("value")).as("sum_value"))
   }
 }

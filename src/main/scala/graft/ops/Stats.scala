@@ -24,6 +24,9 @@ object Stats {
       stddev_samp(col("l_quantity")).as("std_qty"),
       min(col("l_quantity")).as("min_qty"),
       max(col("l_quantity")).as("max_qty"),
+      percentile(col("l_quantity"), lit(0.25)).as("q1_qty"),
+      percentile(col("l_quantity"), lit(0.50)).as("med_qty"),
+      percentile(col("l_quantity"), lit(0.75)).as("q3_qty"),
       avg(col("l_extendedprice")).as("avg_price"),
       stddev_samp(col("l_extendedprice")).as("std_price"),
       min(col("l_extendedprice")).as("min_price"),

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: for each query output
+written by graft.Verify, run the oracle SQL in DuckDB over the same
+parquet tables and compare (sorted columns, sorted rows, float tolerance).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = 0
+for name in sorted(oracle):
+    qdir = f"{outdir}/{name}"
+    if not os.path.isdir(qdir):
+        print(f"FAIL {name}: no spark output dir")
+        fails += 1
+        continue
+    try:
+        spark_df = pd.read_parquet(qdir)
+        duck_df = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: {e}")
+        fails += 1
+        continue
+    scols, dcols = sorted(spark_df.columns), sorted(duck_df.columns)
+    if scols != dcols:
+        print(f"FAIL {name}: columns differ spark={scols} duck={dcols}")
+        fails += 1
+        continue
+    if len(spark_df) != len(duck_df):
+        print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
+        fails += 1
+        continue
+    # Sort on non-float columns first so float noise can't flip row order.
+    keys = [c for c in scols if spark_df[c].dtype.kind not in 'fc'] + \
+           [c for c in scols if spark_df[c].dtype.kind in 'fc']
+    a = spark_df[scols].sort_values(keys).reset_index(drop=True)
+    b = duck_df[scols].sort_values(keys).reset_index(drop=True)
+    bad = None
+    for c in scols:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
+            av = av.astype(float); bv = bv.astype(float)
+            ok = np.allclose(av, bv, rtol=1e-6, atol=1e-9, equal_nan=True) and \
+                 (av.isna() == bv.isna()).all()
+        elif av.dtype == object:
+            ok = av.astype(str).equals(bv.astype(str))
+        else:
+            try:
+                ok = (av.astype('int64') == bv.astype('int64')).all()
+            except (ValueError, TypeError):
+                ok = av.equals(bv)
+        if not ok:
+            bad = c
+            break
+    if bad:
+        print(f"FAIL {name}: column '{bad}' values differ")
+        merged = pd.DataFrame({"spark": a[bad], "duck": b[bad]})
+        if a[bad].dtype.kind == 'f':
+            merged = merged[~np.isclose(merged.spark.astype(float),
+                                        merged.duck.astype(float),
+                                        rtol=1e-6, atol=1e-9, equal_nan=True)]
+        else:
+            merged = merged[merged.spark.astype(str) != merged.duck.astype(str)]
+        print(merged.head(5))
+        fails += 1
+    else:
+        print(f"PASS {name} ({len(spark_df)} rows)")
+print(f"\n{len(oracle) - fails}/{len(oracle)} pass")
+sys.exit(1 if fails else 0)
