@@ -52,6 +52,44 @@ object SparkEntry {
     "summary_stats" -> ((s, d) => Stats.summaryStats(li(s, d))),
     // A5: pairwise Pearson correlation matrix.
     "corr_matrix" -> ((s, d) => Stats.corrMatrix(li(s, d))),
+    // J1: broadcast-hash dimension join through the whole star.
+    "join_star" -> ((s, d) => Joins.starRevenue(li(s, d), Tables.orders(s, d),
+      Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    // J2: large-large equi-join, physical join left to Catalyst/AQE.
+    "join_large" -> ((s, d) => Joins.largeJoin(li(s, d), Tables.orders(s, d))),
+    // J3a: left-semi existence join.
+    "join_semi" -> ((s, d) => Joins.semiJoin(Tables.customer(s, d), Tables.orders(s, d), 400000.0)),
+    // J3b: left-anti join (customers with no order above the threshold).
+    "join_anti" -> ((s, d) => Joins.antiJoin(Tables.customer(s, d),
+      Tables.orders(s, d).filter(org.apache.spark.sql.functions.col("o_totalprice") > 400000.0))),
+    // J4: as-of join of events to the latest closed hourly bar.
+    "join_asof" -> ((s, d) => Joins.asofJoin(ev(s, d))),
+    // W8: sliding sequences (array output; rows-only driver check).
+    "seq_sliding" -> ((s, d) => Sequences.slidingSequences(ev(s, d), 5)),
+    // W8: scalar projection of the same sequences, fully oracled.
+    "seq_sliding_stats" -> ((s, d) => Sequences.slidingSequenceStats(ev(s, d), 5)),
+    // W8 scale path: mapPartitions carry-over generator (parity-tested).
+    "seq_sliding_scale" -> ((s, d) => Sequences.slidingSequencesScale(ev(s, d), 5)),
+    // W9: tail-N latest window per symbol.
+    "seq_tail" -> ((s, d) => Sequences.tailN(ev(s, d), 60)),
+    // O3: global top-k.
+    "seq_topk" -> ((s, d) => Sequences.topK(Tables.orders(s, d), 10)),
+    // O4: union of disjoint parts.
+    "union_parts" -> ((s, d) => Sequences.unionParts(ev(s, d))),
+    // O2: deterministic head/limit.
+    "head_k" -> ((s, d) => Sequences.headK(ev(s, d), 100)),
+    // F10-ext: JSON extraction from props.
+    "json_props" -> ((s, d) => Functions.jsonProps(ev(s, d))),
+    // F3/F4: timestamp decomposition, formatting, fixed-offset shift.
+    "date_parts" -> ((s, d) => Functions.dateParts(ev(s, d))),
+    // F5/F6: regexp replace/extract.
+    "regex_funcs" -> ((s, d) => Functions.regexFuncs(Tables.documents(s, d))),
+    // F7: concat_ws over sorted collected set.
+    "concat_agg" -> ((s, d) => Functions.concatAgg(Tables.documents(s, d))),
+    // P4/P1/F2: casts + arithmetic projection.
+    "cast_project" -> ((s, d) => Functions.castProject(li(s, d))),
+    // P5/A9: null predicate + non-empty guard diagnostics.
+    "null_guard" -> ((s, d) => Functions.nullGuard(ev(s, d))),
   )
 
   /** DuckDB oracle SQL per query (same column aliases as the Spark side). */
@@ -175,5 +213,109 @@ object SparkEntry {
         | corr(l_discount, l_tax) AS corr_disc_tax,
         | covar_samp(l_quantity, l_extendedprice) AS cov_qty_price
         |FROM lineitem""".stripMargin,
+    "join_star" ->
+      """SELECT r_name, n_name,
+        | sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        | sum(l_quantity) AS sum_qty, count(*) AS n_items
+        |FROM lineitem
+        | JOIN orders   ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation   ON c_nationkey = n_nationkey
+        | JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+    "join_large" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | sum(l_extendedprice) AS sum_price,
+        | avg(o_totalprice) AS avg_order_total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "join_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_customers, sum(c_acctbal) AS sum_acctbal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |GROUP BY 1""".stripMargin,
+    "join_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_customers, sum(c_acctbal) AS sum_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |GROUP BY 1""".stripMargin,
+    "join_asof" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |         date_trunc('hour', ts) + INTERVAL 1 HOUR AS bucket_end,
+        |         arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.event_type, e.value, b.close AS bar_close
+        |FROM events e
+        |ASOF LEFT JOIN hourly b
+        |  ON e.event_type = b.event_type AND e.ts >= b.bucket_end""".stripMargin,
+    "seq_sliding_stats" ->
+      """SELECT event_id, event_type,
+        | seq[1] AS seq_first, seq[5] AS seq_last,
+        | list_sum(seq) AS seq_sum, CAST(len(seq) AS INTEGER) AS seq_len, target
+        |FROM (SELECT event_id, event_type,
+        |        list(value) OVER (PARTITION BY event_type ORDER BY ts
+        |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS seq,
+        |        lead(value, 1) OVER (PARTITION BY event_type ORDER BY ts) AS target
+        |      FROM events)
+        |WHERE len(seq) = 5 AND target IS NOT NULL""".stripMargin,
+    "seq_tail" ->
+      """SELECT event_id, event_type, ts, value
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn <= 60""".stripMargin,
+    "seq_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "union_parts" ->
+      """SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 1""".stripMargin,
+    "head_k" ->
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY event_id LIMIT 100""".stripMargin,
+    "json_props" ->
+      """SELECT event_type,
+        | count(k_val) AS n_with_k, CAST(sum(k_val) AS BIGINT) AS sum_k,
+        | min(k_val) AS min_k, max(k_val) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |      FROM events)
+        |GROUP BY 1""".stripMargin,
+    "date_parts" ->
+      """SELECT event_id,
+        | CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS mo,
+        | CAST(day(ts) AS INTEGER) AS d, CAST(hour(ts) AS INTEGER) AS h,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        | epoch_ms(date_trunc('millisecond', ts)) AS epoch_ms,
+        | strftime(ts + INTERVAL 7 HOURS, '%Y-%m-%d %H') AS ts_plus7
+        |FROM events""".stripMargin,
+    "regex_funcs" ->
+      """SELECT doc_id,
+        | CAST(regexp_extract(source, '[0-9]+') AS BIGINT) AS src_num,
+        | regexp_replace(source, '^src', 'source-') AS src_renamed,
+        | CAST(length(regexp_replace(text, '\s+', '', 'g')) AS INTEGER) AS n_nonspace
+        |FROM documents""".stripMargin,
+    "concat_agg" ->
+      """SELECT lang,
+        | string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+        | count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY 1""".stripMargin,
+    "cast_project" ->
+      """SELECT l_orderkey,
+        | CAST(l_linenumber AS BIGINT) AS linenum_l,
+        | CAST(l_quantity AS INTEGER) AS qty_int,
+        | l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charged,
+        | strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+        |FROM lineitem""".stripMargin,
+    "null_guard" ->
+      """SELECT count(*) AS n_total,
+        | count(value) AS n_value_nonnull,
+        | CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_value_null,
+        | max(CASE WHEN value IS NOT NULL THEN value END) AS max_nonnull
+        |FROM events""".stripMargin,
   )
 }

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The extended join surface (SURVEY §2.3, J1-J4).
+  *
+  * The reference contains no relational join (its only multi-dataset
+  * combination is a positional zip, `/root/reference/components/
+  * datalake_cr.py:23`), but the engine ships the standard surface as
+  * first-class queries over the star schema:
+  *
+  *  - J1 broadcast-hash dimension join: dims are explicitly
+  *    `broadcast()`-hinted — at 100 TB the fact side never shuffles for a
+  *    dimension lookup; each executor streams its fact partitions against
+  *    replicated hash tables.
+  *  - J2 large-large join (lineitem ⋈ orders) left un-hinted: Catalyst/AQE
+  *    picks shuffled-hash or sort-merge on the join key, which is the only
+  *    shape that survives when neither side fits in memory.
+  *  - J3 left-semi / left-anti: existence checks that never materialize
+  *    the probe side's payload.
+  *  - J4 as-of join (the canonical financial join): each event matched to
+  *    the latest hourly bar that closed at-or-before its timestamp.
+  *    Implemented Spark-first as union + `last(ignoreNulls)` over a
+  *    per-symbol ordered window — one shuffle on the symbol key, no range
+  *    cross-join, no per-row probe. DuckDB's native `ASOF JOIN` is the
+  *    oracle.
+  */
+object Joins {
+
+  /** J1: revenue rollup through the full dimension chain
+    * lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region. Dimensions
+    * broadcast; the single real shuffle is lineitem ⋈ orders + the final
+    * partial/final hash agg.
+    */
+  def starRevenue(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                  nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+
+  /** J2: large-large equi-join, deliberately un-hinted — Catalyst/AQE
+    * chooses the physical join. Aggregates by order priority so the
+    * result is small regardless of scale.
+    */
+  def largeJoin(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice")).as("sum_price"),
+        avg(col("o_totalprice")).as("avg_order_total"))
+
+  /** J3a: customers that placed at least one high-value order
+    * (left-semi: existence only, orders' payload never joins through).
+    */
+  def semiJoin(customer: DataFrame, orders: DataFrame, minTotal: Double): DataFrame =
+    customer
+      .join(orders.filter(col("o_totalprice") > minTotal),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("c_acctbal")).as("sum_acctbal"))
+
+  /** J3b: customers with no orders at all (left-anti). */
+  def antiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("c_acctbal")).as("sum_acctbal"))
+
+  /** J4: as-of join — each event picks up the close of the latest hourly
+    * bar (same event_type) that closed at-or-before the event's timestamp.
+    *
+    * Union the bar stream (keyed at `bucket_end`, the instant the bar
+    * becomes knowable) with the event stream, sort per symbol by time with
+    * bars winning ties, and carry the last seen bar close forward with
+    * `last(ignoreNulls)`. One shuffle on event_type, linear scan per
+    * symbol — the standard scale-safe as-of shape (vs. a range cross-join
+    * that would explode at 100 TB).
+    */
+  def asofJoin(events: DataFrame): DataFrame = {
+    val hourly = Resample.ohlcHourlyTs(events)
+    val bars = hourly.select(
+      col("event_type"),
+      col("bucket_end").as("t"),
+      lit(1).as("is_bar"),
+      col("close").as("bar_close"),
+      lit(null).cast("long").as("event_id"),
+      lit(null).cast("double").as("value"))
+    val evs = events.select(
+      col("event_type"),
+      col("ts").as("t"),
+      lit(0).as("is_bar"),
+      lit(null).cast("double").as("bar_close"),
+      col("event_id"),
+      col("value"))
+    // Bars sort before events at equal t: a bar closing exactly at the
+    // event's timestamp is already knowable (ASOF's >= semantics).
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("t").asc, col("is_bar").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bars.unionByName(evs)
+      .withColumn("last_close", last(col("bar_close"), ignoreNulls = true).over(w))
+      .filter(col("is_bar") === 0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("last_close").as("bar_close"))
+  }
+}

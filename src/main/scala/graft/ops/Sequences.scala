@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence/ordering operators: sliding-window sequence generation (the
+  * model-data path's core op), tail-N windows, ordered unions, limits and
+  * top-k (SURVEY §2.5 W8-W9, §2.6 O2-O4).
+  *
+  * Reference: `/root/reference/components/model/model_utils.py:52-58`
+  * (sliding sequences), `components/model/evaluation.py:163-167` (tail-N
+  * latest window), `components/model/training.py:74-82` (month-file
+  * union/concat).
+  */
+object Sequences {
+
+  private def byTypeTime = Window.partitionBy(col("event_type")).orderBy(col("ts"))
+
+  /** W8: sliding sequences of the last `n` values per event_type, emitted
+    * only when the window is full, plus the next value as the training
+    * target (`model_utils.py:52-58`: X = data[i:i+n], y = data[i+n]).
+    *
+    * `collect_list` over a row frame preserves frame order, so each `seq`
+    * is time-ordered. Fine at moderate n; the O(n)-per-row state blowup at
+    * 100 TB is handled by [[slidingSequencesScale]].
+    */
+  def slidingSequences(events: DataFrame, n: Int): DataFrame =
+    events
+      .withColumn("seq", collect_list(col("value"))
+        .over(byTypeTime.rowsBetween(-(n - 1), 0)))
+      .withColumn("target", lead(col("value"), 1).over(byTypeTime))
+      .filter(size(col("seq")) === n && col("target").isNotNull)
+      .select(col("event_id"), col("event_type"), col("seq"), col("target"))
+
+  /** W8 scalar projection of [[slidingSequences]] — same op, but emitting
+    * per-sequence scalars (first/last/sum/len) so the DuckDB oracle
+    * compares plain columns instead of array cells.
+    */
+  def slidingSequenceStats(events: DataFrame, n: Int): DataFrame =
+    slidingSequences(events, n)
+      .select(
+        col("event_id"), col("event_type"),
+        element_at(col("seq"), 1).as("seq_first"),
+        element_at(col("seq"), n).as("seq_last"),
+        aggregate(col("seq"), lit(0.0), (acc, x) => acc + x).as("seq_sum"),
+        size(col("seq")).as("seq_len"),
+        col("target"))
+
+  /** W8 at scale: mapPartitions carry-over generator. Each task sorts its
+    * partition once and streams a ring buffer of the last `n` values —
+    * O(1) state per row instead of `collect_list`'s O(n) copies, and no
+    * window-exec buffering. Partitioned by symbol first so sequences never
+    * cross a partition boundary (`repartition` by event_type), which is
+    * exactly how a 1000-executor cluster would run it.
+    */
+  def slidingSequencesScale(events: DataFrame, n: Int): DataFrame = {
+    import events.sparkSession.implicits._
+    val input = events
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("ts").cast("long").as("ts_s"))
+      .as[(Long, String, Double, Long)]
+      .repartition(col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("ts_s"))
+    input.mapPartitions { iter =>
+      // Rows arrive clustered by event_type, time-sorted within each; the
+      // buffer resets at each symbol boundary. A full buffer becomes a
+      // pending sequence, emitted once the NEXT row (its target) arrives —
+      // identical semantics to slidingSequences' lead()-based target.
+      new Iterator[(Long, String, Seq[Double], Double)] {
+        private var curType: String = null
+        private val buf = scala.collection.mutable.Queue.empty[Double]
+        private var pendingId = -1L
+        private var pendingSeq: Array[Double] = null
+        private var havePending = false
+        private var nextOut: (Long, String, Seq[Double], Double) = _
+
+        private def advance(): Unit = {
+          nextOut = null
+          while (nextOut == null && iter.hasNext) {
+            val (id, et, v, _) = iter.next()
+            if (et != curType) { curType = et; buf.clear(); havePending = false }
+            if (havePending) {
+              nextOut = (pendingId, curType, pendingSeq.toSeq, v)
+              havePending = false
+            }
+            buf.enqueue(v)
+            if (buf.size > n) buf.dequeue()
+            if (buf.size == n) {
+              pendingId = id; pendingSeq = buf.toArray; havePending = true
+            }
+          }
+        }
+        advance()
+        override def hasNext: Boolean = nextOut != null
+        override def next(): (Long, String, Seq[Double], Double) = {
+          val r = nextOut; advance(); r
+        }
+      }
+    }.toDF("event_id", "event_type", "seq", "target")
+  }
+
+  /** W9: tail-N latest window per event_type (`evaluation.py:163-167`
+    * takes `df.tail(seq_length)` of the single series; per-symbol top-k
+    * here). rank-desc + filter — a per-partition top-k, no global sort.
+    */
+  def tailN(events: DataFrame, n: Int): DataFrame =
+    events
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") <= n)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+
+  /** O3: global top-k with deterministic tie-break — Spark plans
+    * `orderBy().limit()` as TakeOrderedAndProject: per-partition heaps,
+    * driver merge of k rows, no global sort.
+    */
+  def topK(orders: DataFrame, k: Int): DataFrame =
+    orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** O4: union of "month files" — the reference concatenates per-month
+    * frames (`training.py:74-82`); here the same table split into disjoint
+    * halves and re-unioned by name.
+    */
+  def unionParts(events: DataFrame): DataFrame = {
+    val a = events.filter(col("event_id") % 2 === 0)
+    val b = events.filter(col("event_id") % 2 === 1)
+    a.unionByName(b).select(col("event_id"), col("event_type"), col("value"))
+  }
+
+  /** O2: deterministic limit (head) — first k rows in event_id order. */
+  def headK(events: DataFrame, k: Int): DataFrame =
+    events.orderBy(col("event_id")).limit(k)
+      .select(col("event_id"), col("event_type"), col("value"))
+}

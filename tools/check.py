@@ -52,6 +52,8 @@ for name in sorted(oracle):
             av = av.astype(float); bv = bv.astype(float)
             ok = np.allclose(av, bv, rtol=1e-6, atol=1e-9, equal_nan=True) and \
                  (av.isna() == bv.isna()).all()
+        elif av.dtype.kind == 'M' or bv.dtype.kind == 'M':
+            ok = av.astype('datetime64[ns]').equals(bv.astype('datetime64[ns]'))
         elif av.dtype == object:
             ok = av.astype(str).equals(bv.astype(str))
         else:
