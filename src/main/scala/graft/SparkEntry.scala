@@ -90,6 +90,25 @@ object SparkEntry {
     "cast_project" -> ((s, d) => Functions.castProject(li(s, d))),
     // P5/A9: null predicate + non-empty guard diagnostics.
     "null_guard" -> ((s, d) => Functions.nullGuard(ev(s, d))),
+    // LLM tier — text analysis.
+    "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
+    "token_bpe" -> ((s, d) => TextAnalysis.tokenBpe(Tables.documents(s, d))),
+    "quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "lang_breakdown" -> ((s, d) => TextAnalysis.langBreakdown(Tables.documents(s, d))),
+    "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    // LLM tier — dedup.
+    "dedup_exact" -> ((s, d) => Similarity.exactDedupStats(Tables.documents(s, d))),
+    "dedup_rows" -> ((s, d) => Similarity.exactDedup(Tables.documents(s, d))),
+    // LLM tier — near-dup (MinHash signatures + banded-LSH pairs).
+    "minhash_sigs" -> ((s, d) => Similarity.minhashSignatures(Tables.documents(s, d))),
+    "minhash_neardup" -> ((s, d) => Similarity.minhashNearDup(Tables.documents(s, d))),
+    "ngram_jaccard" -> ((s, d) => Similarity.ngramJaccard(Tables.documents(s, d), 100L, 0.1)),
+    "simhash" -> ((s, d) => Similarity.simhash(Tables.documents(s, d))),
+    // LLM tier — embeddings / similarity search.
+    "emb_stats" -> ((s, d) => Similarity.embeddingStats(Tables.embeddings(s, d))),
+    "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d), 0L, 10)),
+    "ann_lsh" -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d), 0L, 10)),
   )
 
   /** DuckDB oracle SQL per query (same column aliases as the Spark side). */
@@ -317,5 +336,110 @@ object SparkEntry {
         | CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_value_null,
         | max(CASE WHEN value IS NOT NULL THEN value END) AS max_nonnull
         |FROM events""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id, lang,
+        | CAST(length(text) AS INTEGER) AS n_chars_calc,
+        | CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+        | CAST(len(list_distinct(string_split(lower(text), ' '))) AS INTEGER) AS n_uniq_tokens,
+        | CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |   / len(string_split(lower(text), ' ')) AS avg_token_len
+        |FROM documents""".stripMargin,
+    "token_bpe" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+        | CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_digit_runs
+        |FROM documents""".stripMargin,
+    "quality_score" ->
+      """SELECT doc_id, n_tokens, n_stop,
+        | CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        | CAST(n_uniq AS DOUBLE) / n_tokens AS diversity,
+        | (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+        |   + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.5
+        |   + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality
+        |FROM (SELECT doc_id,
+        |        CAST(len(w) AS INTEGER) AS n_tokens,
+        |        CAST(len(list_filter(w, x -> list_contains(
+        |          ['the','a','of','and','to','in','is','it'], x))) AS INTEGER) AS n_stop,
+        |        len(list_distinct(w)) AS n_uniq
+        |      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))""".stripMargin,
+    "lang_breakdown" ->
+      """SELECT lang, count(*) AS n_docs,
+        | avg(n_chars) AS avg_chars,
+        | avg(len(string_split(lower(text), ' '))) AS avg_tokens,
+        | count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY 1""".stripMargin,
+    "lang_id" ->
+      """SELECT doc_id, lang, hits_en, hits_de, hits_fr, hits_es,
+        | CASE WHEN best = 0 THEN 'und'
+        |      WHEN hits_en = best THEN 'en'
+        |      WHEN hits_de = best THEN 'de'
+        |      WHEN hits_fr = best THEN 'fr'
+        |      WHEN hits_es = best THEN 'es'
+        |      ELSE 'und' END AS predicted
+        |FROM (SELECT doc_id, lang, hits_en, hits_de, hits_fr, hits_es,
+        |        greatest(hits_en, hits_de, hits_fr, hits_es) AS best
+        |      FROM (SELECT doc_id, lang,
+        |        CAST(len(list_filter(w, x -> list_contains(['the','and','of','to','a'], x))) AS INTEGER) AS hits_en,
+        |        CAST(len(list_filter(w, x -> list_contains(['der','die','und','das','ist'], x))) AS INTEGER) AS hits_de,
+        |        CAST(len(list_filter(w, x -> list_contains(['le','la','et','les','des'], x))) AS INTEGER) AS hits_fr,
+        |        CAST(len(list_filter(w, x -> list_contains(['el','la','que','los','una'], x))) AS INTEGER) AS hits_es
+        |      FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents)))""".stripMargin,
+    "fingerprint" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        | list_aggregate(list_transform(generate_series(1, len(w) - 2),
+        |   g -> md5(concat(w[g], ' ', w[g+1], ' ', w[g+2]))), 'min') AS shingle_fp,
+        | CAST(len(w) - 2 AS INTEGER) AS n_shingles
+        |FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents)
+        |WHERE len(w) >= 3""".stripMargin,
+    "dedup_exact" ->
+      """SELECT source, count(*) AS n_docs,
+        | count(DISTINCT text) AS n_distinct_text,
+        | count(DISTINCT md5(text)) AS n_distinct_md5,
+        | count(*) - count(DISTINCT text) AS n_dupes
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_rows" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
+    "minhash_neardup" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / len(list_distinct(a.s || b.s)) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.3""".stripMargin,
+    "ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |        WHERE doc_id < 100)
+        |  WHERE len(w) >= 3)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / len(list_distinct(a.s || b.s)) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.1""".stripMargin,
+    "emb_stats" ->
+      """SELECT vec_id, label,
+        | CAST(len(embedding) AS INTEGER) AS dim,
+        | sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS l2norm,
+        | list_sum(embedding::DOUBLE[]) AS sum_vals
+        |FROM embeddings""".stripMargin,
+    "cosine_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        | list_dot_product(embedding::DOUBLE[], qe)
+        |   / (sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+        |      * sqrt(list_sum(list_transform(qe, x -> x * x)))) AS cosine
+        |FROM embeddings, q WHERE vec_id != 0
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
   )
 }

@@ -1,0 +1,267 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication + similarity-search operators for the LLM-data-pipeline
+  * tier: exact dedup, MinHash+banded-LSH near-dup, SimHash, n-gram
+  * Jaccard, embedding cosine top-k, and hyperplane-LSH approximate NN.
+  *
+  * Scale design notes (the whole point of this file):
+  *  - Near-dup detection NEVER does an all-pairs crossJoin. MinHash
+  *    signatures are banded; candidates come from a self equi-join on
+  *    (band_idx, band_key) — per-bucket joins whose cost tracks the true
+  *    duplicate density, not n². At 100 TB the band join is an ordinary
+  *    shuffled equi-join Spark already knows how to distribute.
+  *  - All hashing is deterministic (xxhash64 + fixed affine family, md5)
+  *    — identical results on every run/partitioning, no Math.random.
+  *  - Everything is built-in or higher-order expressions (codegen'd);
+  *    zero UDFs.
+  */
+object Similarity {
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact-dedup survey per source: total, distinct texts (by value and by
+    * md5 content key), duplicate count. `count(DISTINCT md5)` is the
+    * shuffle-cheap form at scale: the 128-bit key shuffles instead of the
+    * full document payload.
+    */
+  def exactDedupStats(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_text"),
+        countDistinct(md5(col("text"))).as("n_distinct_md5"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dupes"))
+
+  /** Exact dedup itself: one canonical row (min doc_id) per distinct text.
+    * groupBy on the md5 content key — the aggregate carries only the key
+    * and the winning doc_id, never the payload, then a semi-join pulls the
+    * surviving rows. This is the 100 TB-safe shape (dropDuplicates("text")
+    * would shuffle full texts).
+    */
+  def exactDedup(documents: DataFrame): DataFrame = {
+    val canonical = documents
+      .groupBy(md5(col("text")).as("k"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    documents.join(canonical, Seq("doc_id"), "left_semi")
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  private def withShingles(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(0, size(w) - 3), i -> " +
+          "concat(w[i], ' ', w[i+1], ' ', w[i+2])))"))
+
+  // -------------------------------------------------------------- minhash
+
+  /** Deterministic affine hash family over a Mersenne prime. a_i/b_i are
+    * derived from the index itself (odd multipliers), so signatures are
+    * reproducible everywhere with no seed plumbing.
+    */
+  private val MinhashP = 2147483647L // 2^31 - 1
+
+  private def hashParam(i: Int): Long = (2 * i + 1) * 2654435761L % MinhashP
+
+  /** MinHash signatures (k columns mh_0..mh_{k-1}) per doc_id.
+    *
+    * Shape matters at scale: shingles are EXPLODED to rows, each hashed
+    * once (codegen'd `xxhash64`), then a single hash aggregate computes
+    * all k `min(a_i*h + b_i mod p)` columns. All of it is whole-stage
+    * codegen; map-side combine collapses each doc to one row before the
+    * shuffle, so the exchange carries docs × k longs, never the shingles.
+    * (The tempting higher-order form — `transform(params, a ->
+    * array_min(transform(sh, ...)))` — runs interpreted per element and
+    * re-hashes every shingle k times: ~200× slower, measured.)
+    */
+  def minhashSignatureCols(documents: DataFrame, k: Int): DataFrame = {
+    val hashes = withShingles(documents)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h", pmod(xxhash64(col("s")), lit(MinhashP)))
+    val aggs = (0 until k).map { i =>
+      val a = hashParam(i)
+      min(pmod(lit(a) * col("h") + lit(a + 13L), lit(MinhashP))).as(s"mh_$i")
+    }
+    hashes.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash signatures per document (k=16): the reusable dedup key
+    * artifact a pipeline would persist (plus a whole-signature hash).
+    */
+  def minhashSignatures(documents: DataFrame, k: Int = 16): DataFrame = {
+    val sig = minhashSignatureCols(documents, k)
+    sig.select(col("doc_id"), col("mh_0"), col("mh_1"), col(s"mh_${k - 1}"),
+      xxhash64(concat_ws(",", (0 until k).map(i => col(s"mh_$i")): _*)).as("sig_hash"))
+  }
+
+  /** MinHash + banded LSH near-duplicate pairs, verified with exact
+    * Jaccard ≥ `threshold`.
+    *
+    * Bands of r=1 over k=32 hashes ⇒ candidate-recall 1-(1-j)^32 (≈1 for
+    * j ≥ 0.3, the registered threshold), so the verified output equals the
+    * exact all-pairs answer — which is what the DuckDB oracle computes.
+    * (r/k are parameters: at higher scale/thresholds use r=2..4 to cut
+    * candidate volume; the verify step keeps the output exact either way.)
+    */
+  def minhashNearDup(documents: DataFrame, k: Int = 32,
+                     threshold: Double = 0.3): DataFrame = {
+    // r=1 banding: each signature position is its own band. The candidate
+    // join carries ONLY (band, key, id) — never the shingle payload. With
+    // a skewed shingle distribution a popular min-value makes big buckets
+    // whose m² pairs would otherwise drag two ~kB arrays each through the
+    // shuffle; as id pairs the same candidates are 16 bytes.
+    val bands = minhashSignatureCols(documents, k)
+      .select(col("doc_id"),
+        posexplode(array((0 until k).map(i => col(s"mh_$i")): _*))
+          .as(Seq("band_idx", "band_key")))
+    val candIds = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // Verification re-joins the shingle sets by id (shuffles shingles once
+    // per side, proportional to the candidate id set, not its square).
+    val sh = withShingles(documents).select(col("doc_id"), col("sh"))
+    candIds
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+          size(array_union(col("sa.sh"), col("sb.sh"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard over a bounded id-range (the brute-force
+    * baseline the LSH path is verified against).
+    */
+  def ngramJaccard(documents: DataFrame, maxDocId: Long,
+                   threshold: Double): DataFrame = {
+    val sh = withShingles(documents)
+      .filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), col("sh"))
+    sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sum ±1 weighted by
+    * token multiplicity; bit set iff the sum is positive. Near-dup docs
+    * land within small Hamming distance. Pure higher-order expressions.
+    */
+  def simhash(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("w", split(lower(col("text")), " "))
+      .withColumn("th", expr("transform(w, t -> xxhash64(t))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, b) ->
+          |  acc + CASE WHEN aggregate(th, 0L,
+          |    (s, h) -> s + CASE WHEN (shiftright(h, b) & 1L) = 1L THEN 1L ELSE -1L END
+          |  ) > 0L THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin.replaceAll("\n", " ")))
+      .select(col("doc_id"), col("simhash"),
+        bit_count(col("simhash")).as("popcount"))
+
+  // ------------------------------------------------------------ embeddings
+
+  private def asDouble(c: Column): Column =
+    transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def l2(c: Column): Column = sqrt(dot(c, c))
+
+  /** Per-vector norm/stat sanity layer (also the array-numeric oracle). */
+  def embeddingStats(embeddings: DataFrame): DataFrame = {
+    val e = asDouble(col("embedding"))
+    embeddings.select(
+      col("vec_id"), col("label"),
+      size(col("embedding")).as("dim"),
+      l2(e).as("l2norm"),
+      aggregate(e, lit(0.0), (acc, x) => acc + x).as("sum_vals"))
+  }
+
+  /** Brute-force cosine top-k against the vector with id `queryId` — the
+    * exact baseline. One broadcast of the single query row, one pass over
+    * the corpus, TakeOrderedAndProject for the top-k: no shuffle of the
+    * embedding payload at any point.
+    */
+  def cosineTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    embeddings.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        (dot(asDouble(col("embedding")), asDouble(col("q_emb"))) /
+          (l2(asDouble(col("embedding"))) * l2(asDouble(col("q_emb")))))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Hyperplane-LSH bucketed ANN: `nPlanes` deterministic pseudo-random
+    * hyperplanes → 2^nPlanes sign-pattern buckets; multi-probe search of
+    * every bucket within Hamming distance `probeRadius` of the query's.
+    * The scale path: bucketing is a map; at 100 TB the corpus is written
+    * partitioned by `bucket`, so a query scans sum(C(nPlanes,i), i ≤ r) /
+    * 2^nPlanes of the data instead of all of it.
+    *
+    * Recall depends on the data's geometry: for a neighbor at angle θ each
+    * plane agrees with probability 1−θ/π, so strongly-similar neighbors
+    * (near-dups, cosine ≥ 0.9) are found with high probability, while on
+    * uniformly random vectors (no true near neighbors — this corpus'
+    * top-10 sit at cosine ≈ 0.3) any sublinear method must trade recall
+    * for pruning. Defaults (4 planes, radius 1) scan ~31% of buckets;
+    * tighten for clustered corpora.
+    */
+  def annLsh(embeddings: DataFrame, queryId: Long, k: Int,
+             nPlanes: Int = 4, probeRadius: Int = 1, dim: Int = 64): DataFrame = {
+    // Hyperplane components are fixed literals baked into the plan
+    // (deterministic splitmix64-style mix of (plane, dim) — no RNG state),
+    // so bucketing is pure codegen'd arithmetic per row.
+    def mix(z0: Long): Double = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (java.lang.Math.floorMod(z, 2000001L) - 1000000L).toDouble / 1000000.0
+    }
+    val planes = Array.tabulate(nPlanes, dim)((p, d) => mix(p.toLong * 1000003L + d))
+    val planeLit = (p: Int) => array(planes(p).map(lit(_)): _*)
+    def bucketOf(embCol: String): Column =
+      (0 until nPlanes).map { p =>
+        when(dot(asDouble(col(embCol)), planeLit(p)) >= 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+
+    val bucketed = embeddings.withColumn("bucket", bucketOf("embedding"))
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+    // All XOR masks with popcount ≤ probeRadius, enumerated at plan time.
+    val masks = (0L until (1L << nPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+    val probes = array(masks.map(m => col("q_bucket").bitwiseXOR(lit(m))): _*)
+    bucketed.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .filter(array_contains(probes, col("bucket")))
+      .select(col("vec_id"), col("label"), col("bucket"),
+        (dot(asDouble(col("embedding")), asDouble(col("q_emb"))) /
+          (l2(asDouble(col("embedding"))) * l2(asDouble(col("q_emb")))))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+}

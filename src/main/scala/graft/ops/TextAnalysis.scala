@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline tier (north star in
+  * BASELINE.json): token counting, quality scoring, language-ID heuristic,
+  * document fingerprinting.
+  *
+  * All row-level math is built-in / higher-order functions — no UDFs — so
+  * every query stays inside WholeStageCodegen and scales as a pure map
+  * over document partitions (embarrassingly parallel at 100 TB; the only
+  * shuffles are the final small aggregates).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lowercased text. */
+  private def toks = split(lower(col("text")), " ")
+
+  /** Per-document token/char statistics (the token-counting surface). */
+  def textStats(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      col("lang"),
+      length(col("text")).as("n_chars_calc"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_uniq_tokens"),
+      (length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+        size(toks)).as("avg_token_len"))
+
+  /** BPE-ish tokenizer: regex token classes (letter runs / digit runs /
+    * single non-alnum symbols), the standard pre-tokenization shape.
+    */
+  def tokenBpe(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_digit_runs"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Quality scoring: stopword ratio, length, lexical diversity — the
+    * standard cheap pre-filter heuristics of a training-data pipeline.
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    documents
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_stop",
+        expr(s"size(filter(split(lower(text), ' '), w -> w IN ($stopList)))"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("diversity",
+        size(array_distinct(toks)).cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        col("stop_ratio") * lit(0.3) + col("diversity") * lit(0.5) +
+          least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.2))
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+        col("stop_ratio"), col("diversity"), col("quality"))
+  }
+
+  /** Per-language corpus breakdown. */
+  def langBreakdown(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        avg(col("n_chars")).as("avg_chars"),
+        avg(size(toks)).as("avg_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "la", "que", "los", "una"))
+
+  /** Language-ID heuristic: count marker-word hits per candidate language,
+    * predict the argmax (first language in fixed order wins ties, 'und' —
+    * undetermined — when nothing matches). The classic cheap n-gram/
+    * stopword LID shape; one pass, no shuffle.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val withHits = langMarkers.foldLeft(documents.withColumn("w", toks)) {
+      case (df, (l, markers)) =>
+        val list = markers.map(w => s"'$w'").mkString(", ")
+        df.withColumn(s"hits_$l",
+          expr(s"size(filter(w, x -> x IN ($list)))"))
+    }
+    val best = langMarkers.map { case (l, _) => col(s"hits_$l") }
+      .reduce((a, b) => greatest(a, b))
+    // Build the when-chain right-to-left so it tests langMarkers order
+    // first — ties resolve to the earliest language in the list.
+    val pred = langMarkers.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"hits_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    withHits.select(
+      (Seq(col("doc_id"), col("lang")) ++
+        langMarkers.map { case (l, _) => col(s"hits_$l") } :+
+        pred.as("predicted")): _*)
+  }
+
+  /** Document fingerprints: whole-text md5 plus a rolling-shingle
+    * fingerprint (min md5 over 3-word shingles — a 1-hash MinHash, the
+    * building block of content-defined dedup keys).
+    */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("w", toks)
+      .filter(size(col("w")) >= 3)
+      .withColumn("shingles",
+        expr("transform(sequence(0, size(w) - 3), i -> " +
+          "concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("text_md5"),
+        expr("array_min(transform(shingles, s -> md5(s)))").as("shingle_fp"),
+        size(col("shingles")).as("n_shingles"))
+}
