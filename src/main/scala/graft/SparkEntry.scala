@@ -109,6 +109,12 @@ object SparkEntry {
     "emb_stats" -> ((s, d) => Similarity.embeddingStats(Tables.embeddings(s, d))),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d), 0L, 10)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d), 0L, 10)),
+    // LLM tier — multimodal binary-column plumbing (stubbed decode).
+    "multimodal_meta" -> ((s, d) => Multimodal.decodeMeta(Tables.documents(s, d))),
+    "frame_sample" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d), 100)),
+    // S1-S11 end-to-end: CSV landing zone roundtrip + warehouse/export.
+    "etl_roundtrip" -> ((s, d) => Pipeline.etlRoundtrip(ev(s, d))),
+    "warehouse_roundtrip" -> ((s, d) => Pipeline.warehouseRoundtrip(ev(s, d))),
   )
 
   /** DuckDB oracle SQL per query (same column aliases as the Spark side). */
@@ -441,5 +447,35 @@ object SparkEntry {
         |      * sqrt(list_sum(list_transform(qe, x -> x * x)))) AS cosine
         |FROM embeddings, q WHERE vec_id != 0
         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        | CAST(list_sum(list_transform(string_split(text, ''), c -> ord(c))) AS BIGINT) AS checksum,
+        | CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS INTEGER) AS width,
+        | CAST(list_sum(list_transform(string_split(text, ''), c -> ord(c))) % 480 + 1 AS INTEGER) AS height
+        |FROM documents""".stripMargin,
+    "frame_sample" ->
+      """SELECT doc_id, n_bytes, CAST(frame_offset AS INTEGER) AS frame_offset,
+        | concat(doc_id, ':', frame_offset) AS frame_id
+        |FROM (SELECT doc_id,
+        |        CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        |        unnest(range(0, octet_length(CAST(text AS BLOB)), 100)) AS frame_offset
+        |      FROM documents)""".stripMargin,
+    "etl_roundtrip" ->
+      """SELECT event_type, count(*) AS n_buckets,
+        | sum(volume) AS total_volume,
+        | CAST(sum(n_trades) AS BIGINT) AS total_trades,
+        | max(high) AS max_high, min(low) AS min_low
+        |FROM (SELECT date_trunc('hour', ts) AS b, event_type,
+        |        max(value) AS high, min(value) AS low,
+        |        sum(value) AS volume, count(*) AS n_trades
+        |      FROM events GROUP BY 1, 2)
+        |GROUP BY 1""".stripMargin,
+    "warehouse_roundtrip" ->
+      """SELECT event_type, count(*) AS n_buckets, sum(volume) AS total_volume
+        |FROM (SELECT date_trunc('hour', ts) AS b, event_type,
+        |        sum(value) AS volume
+        |      FROM events GROUP BY 1, 2)
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -1,0 +1,94 @@
+package graft.io
+
+import java.io.{BufferedOutputStream, File, FileOutputStream}
+import java.util.zip.ZipInputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Ingest surface (SURVEY §2.1 S1-S5): explicit-schema header-less CSV,
+  * schema-enforced parquet, header injection with arity validation, and
+  * the ZIP-archive extraction step of the crawl path.
+  *
+  * Reference: `components/process_data.py:27-42,79`,
+  * `components/btcusdt_ingest_data.py:11-34,36-85`,
+  * `components/old-process_data.py:42-54`.
+  *
+  * Scale notes: scans always carry a declared `StructType` — no schema
+  * inference pass over 100 TB of CSV. Everything distributed is
+  * `spark.read`; only the archive unpack (S1) is driver-side, mirroring
+  * the reference where the ZIP fetch is a single-file edge step, not a
+  * distributed op.
+  */
+object Sources {
+
+  /** S3: header-less CSV scan with a declared schema — positional columns,
+    * zero inference (`process_data.py:79`, `old-process_data.py:53`).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "false").csv(path)
+
+  /** S3+P7 variant: tolerate an optional header row (the reference drops a
+    * leading `"Open time,..."` line, `old-process_data.py:42-45`).
+    */
+  def readCsvWithHeader(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** S4: header injection — assign names positionally after validating
+    * arity (`btcusdt_ingest_data.py:11-34`: raises on column-count
+    * mismatch).
+    */
+  def withHeaders(df: DataFrame, names: Seq[String]): DataFrame = {
+    require(df.columns.length == names.length,
+      s"CSV data must have exactly ${names.length} columns, " +
+        s"found ${df.columns.length}")
+    df.toDF(names: _*)
+  }
+
+  /** S5: parquet scan with an enforced schema (`process_data.py:36`). */
+  def readParquet(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
+
+  /** S1 (driver-side edge step): extract every member of a local ZIP
+    * archive into `outDir`, returning the extracted paths — the unpack
+    * half of `download_and_extract_binance_data`
+    * (`btcusdt_ingest_data.py:36-85`; the HTTP fetch itself is
+    * environment-dependent and injectable, this is the engine's part).
+    */
+  def extractZip(zipPath: String, outDir: String): Seq[String] = {
+    val dir = new File(outDir)
+    dir.mkdirs()
+    val zin = new ZipInputStream(new java.io.FileInputStream(zipPath))
+    val out = Seq.newBuilder[String]
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) {
+          val target = new File(dir, new File(e.getName).getName)
+          val os = new BufferedOutputStream(new FileOutputStream(target))
+          try {
+            val buf = new Array[Byte](64 * 1024)
+            var n = zin.read(buf)
+            while (n >= 0) { os.write(buf, 0, n); n = zin.read(buf) }
+          } finally os.close()
+          out += target.getAbsolutePath
+        }
+        zin.closeEntry()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.result()
+  }
+
+  /** S2: the config-driven crawl manifest — (name, period) pairs expanded
+    * to archive names, with the reference's period-format validation
+    * (`btcusdt_ingest_data.py:87-153`, `strptime(period, '%Y-%m')`).
+    */
+  def crawlManifest(sources: Seq[String], periods: Seq[String]): Seq[String] = {
+    val periodRe = "^\\d{4}-(0[1-9]|1[0-2])$".r
+    periods.foreach { p =>
+      require(periodRe.matches(p), s"period '$p' is not yyyy-MM")
+    }
+    for (s <- sources; p <- periods) yield s"$s-$p.zip"
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.{Sinks, Sources}
+
+/** End-to-end golden paths: the reference's full ETL chain (extract →
+  * transform → load → export) compressed into verifiable queries.
+  * Mirrors `etl_to_duckdb` (`/root/reference/airflow/dags/new6.py:68-98`)
+  * with the XCom/stringly hand-offs replaced by typed Scala values
+  * (SURVEY §3.1).
+  */
+object Pipeline {
+
+  private val stagedCsvSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** ETL roundtrip: events → header-less CSV landing zone (S6-shaped
+    * write) → explicit-schema CSV scan (S3) → hourly OHLC (A1) → per-type
+    * rollup. The oracle computes the same rollup straight from the parquet
+    * — equality proves the CSV encode/decode and schema enforcement are
+    * lossless (timestamps staged as epoch-µs longs; doubles round-trip via
+    * Java's shortest-repr formatting).
+    */
+  def etlRoundtrip(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val tmp = Files.createTempDirectory("graft_etl_").toString
+    events
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .write.mode("overwrite").option("header", "false").csv(s"$tmp/landing")
+    val restored = Sources.readCsv(spark, s"$tmp/landing", stagedCsvSchema)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    Resample.ohlcHourly(restored)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("volume")).as("total_volume"),
+        sum(col("n_trades")).as("total_trades"),
+        max(col("high")).as("max_high"),
+        min(col("low")).as("min_low"))
+  }
+
+  /** Warehouse roundtrip: hourly OHLC → managed table (S10, the
+    * reference's DuckDB CTAS) → read back via the catalog → summary. The
+    * CSV export (S11) runs on the summary and is re-read to prove the
+    * header round-trip.
+    */
+  def warehouseRoundtrip(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val tmp = Files.createTempDirectory("graft_wh_").toString
+    val hourly = Resample.ohlcHourly(events)
+    Sinks.saveTable(hourly, "aggregated_financial_data", s"$tmp/table")
+    val back = spark.table("aggregated_financial_data")
+    val summary = back.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("volume")).as("total_volume"))
+    Sinks.exportCsv(summary, s"$tmp/export")
+    val exportSchema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("n_buckets", LongType),
+      StructField("total_volume", DoubleType)))
+    Sources.readCsvWithHeader(spark, s"$tmp/export", exportSchema)
+  }
+}

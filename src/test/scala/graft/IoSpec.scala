@@ -1,0 +1,108 @@
+package graft
+
+import java.io.{File, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.io.{Sinks, Sources}
+import graft.schema.KlineSchema
+
+/** Ingest/sink surface specs: header-less kline CSV with the canonical
+  * 12-column schema, arity validation, ZIP extraction, parquet zones,
+  * warehouse table, CSV export guard.
+  */
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_iospec_").toString
+
+  private val klineCsv =
+    """1704067200000,42000.0,42100.0,41900.0,42050.0,12.5,1704067200999,525625.0,321,6.2,260687.5,0
+      |1704067201000,42050.0,42200.0,42000.0,42150.0,8.1,1704067201999,341415.0,189,4.0,168600.0,0
+      |""".stripMargin
+
+  test("readCsv: header-less kline CSV with declared schema (no inference)") {
+    val dir = tmpDir()
+    Files.writeString(new File(dir, "klines.csv").toPath, klineCsv)
+    val df = Sources.readCsv(spark, s"$dir/klines.csv", KlineSchema.schema)
+    assert(df.schema == KlineSchema.schema)
+    val rows = df.orderBy("`Open time`").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1704067200000L)
+    assert(rows(0).getDouble(4) == 42050.0)
+    assert(rows(1).getLong(8) == 189L)
+  }
+
+  test("withHeaders: arity validation rejects wrong column count") {
+    val df = Seq((1, 2, 3)).toDF("a", "b", "c")
+    val renamed = Sources.withHeaders(df, Seq("x", "y", "z"))
+    assert(renamed.columns.toSeq == Seq("x", "y", "z"))
+    val e = intercept[IllegalArgumentException] {
+      Sources.withHeaders(df, KlineSchema.names)
+    }
+    assert(e.getMessage.contains("12"))
+  }
+
+  test("extractZip: unpacks archive members (the S1 unzip step)") {
+    val dir = tmpDir()
+    val zipPath = s"$dir/data.zip"
+    val zos = new ZipOutputStream(new FileOutputStream(zipPath))
+    zos.putNextEntry(new ZipEntry("BTCUSDT-1s-2024-01.csv"))
+    zos.write(klineCsv.getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    val extracted = Sources.extractZip(zipPath, s"$dir/out")
+    assert(extracted.length == 1 && extracted.head.endsWith("2024-01.csv"))
+    val df = Sources.readCsv(spark, extracted.head, KlineSchema.schema)
+    assert(df.count() == 2)
+  }
+
+  test("crawlManifest: expands sources x periods, validates period format") {
+    val m = Sources.crawlManifest(Seq("BTCUSDT-1s"), Seq("2025-08", "2025-09"))
+    assert(m == Seq("BTCUSDT-1s-2025-08.zip", "BTCUSDT-1s-2025-09.zip"))
+    intercept[IllegalArgumentException] {
+      Sources.crawlManifest(Seq("x"), Seq("2025-13"))
+    }
+  }
+
+  test("appendParquet doubles rows; overwriteParquet replaces them") {
+    val dir = s"${tmpDir()}/zone"
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    Sinks.appendParquet(df, dir)
+    Sinks.appendParquet(df, dir)
+    assert(spark.read.parquet(dir).count() == 4)
+    Sinks.overwriteParquet(df, dir)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("overwriteByMonth: re-running a month does not double-count (fixes SURVEY 4.3.3)") {
+    val dir = s"${tmpDir()}/agg"
+    val jan = Seq((java.sql.Timestamp.valueOf("2024-01-05 10:00:00"), 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-06 10:00:00"), 2.0))
+      .toDF("ts", "value")
+    val feb = Seq((java.sql.Timestamp.valueOf("2024-02-01 10:00:00"), 3.0))
+      .toDF("ts", "value")
+    Sinks.overwriteByMonth(jan, "ts", dir)
+    Sinks.overwriteByMonth(feb, "ts", dir)
+    Sinks.overwriteByMonth(jan, "ts", dir) // retry of January
+    val out = spark.read.parquet(dir)
+    assert(out.count() == 3) // no duplicates from the retry
+    assert(out.select("month").distinct().count() == 2)
+  }
+
+  test("saveTable + exportCsv: warehouse roundtrip and empty guard") {
+    val dir = tmpDir()
+    val df = Seq(("x", 1L), ("y", 2L)).toDF("k", "n")
+    Sinks.saveTable(df, "iospec_table", s"$dir/table")
+    assert(spark.table("iospec_table").count() == 2)
+    Sinks.exportCsv(spark.table("iospec_table"), s"$dir/export")
+    val back = spark.read.option("header", "true").csv(s"$dir/export")
+    assert(back.count() == 2 && back.columns.toSeq == Seq("k", "n"))
+    val empty = df.filter($"n" > 100)
+    val e = intercept[IllegalStateException] {
+      Sinks.exportCsv(empty, s"$dir/export2")
+    }
+    assert(e.getMessage.contains("No data"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Resample
+
+/** FIXTURES §A2: 2-bucket OHLC fixture + the determinism test the
+  * reference's `first`/`last` could not pass (SURVEY §4.3.2).
+  */
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // 8 rows, two hours, one event_type: hand-computable OHLC.
+  private val rows = Seq(
+    (1L, ts("2024-01-01 10:00:01"), "btc", 100.0),
+    (2L, ts("2024-01-01 10:10:00"), "btc", 105.0),
+    (3L, ts("2024-01-01 10:20:00"), "btc", 95.0),
+    (4L, ts("2024-01-01 10:59:59"), "btc", 102.0),
+    (5L, ts("2024-01-01 11:00:00"), "btc", 103.0),
+    (6L, ts("2024-01-01 11:30:00"), "btc", 110.0),
+    (7L, ts("2024-01-01 11:45:00"), "btc", 90.0),
+    (8L, ts("2024-01-01 11:59:58"), "btc", 99.0))
+
+  private def df = rows.toDF("event_id", "ts", "event_type", "value")
+
+  test("ohlcHourly: hand-computed 2-bucket fixture") {
+    val out = Resample.ohlcHourly(df).orderBy("bucket")
+      .select("open", "high", "low", "close", "volume", "n_trades")
+      .collect()
+    assert(out.length == 2)
+    val h1 = out(0)
+    assert(h1.getDouble(0) == 100.0 && h1.getDouble(1) == 105.0 &&
+      h1.getDouble(2) == 95.0 && h1.getDouble(3) == 102.0 &&
+      h1.getLong(5) == 4L)
+    val h2 = out(1)
+    assert(h2.getDouble(0) == 103.0 && h2.getDouble(1) == 110.0 &&
+      h2.getDouble(2) == 90.0 && h2.getDouble(3) == 99.0 &&
+      approx(h2.getDouble(4), 103.0 + 110.0 + 90.0 + 99.0))
+  }
+
+  test("ohlcHourly: shuffled input yields identical result (min_by/max_by determinism)") {
+    val shuffled = new scala.util.Random(7).shuffle(rows)
+      .toDF("event_id", "ts", "event_type", "value")
+      .repartition(4) // force rows through different partitions
+    val a = Resample.ohlcHourly(df).orderBy("bucket").collect()
+    val b = Resample.ohlcHourly(shuffled).orderBy("bucket").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("ohlcRowBucket: reference row-position semantics, trackEach=4") {
+    val out = Resample.ohlcRowBucket(df, 4).orderBy("group_id").collect()
+    assert(out.length == 2)
+    // bucket 0 = rows 1-4 (time order), bucket 1 = rows 5-8
+    assert(out(0).getDouble(1) == 100.0 && out(0).getDouble(4) == 102.0)
+    assert(out(1).getDouble(1) == 103.0 && out(1).getDouble(4) == 99.0)
+  }
+
+  test("property: per-bucket high is max of members, trades conserved") {
+    val rnd = new scala.util.Random(42)
+    val walk = Iterator.iterate(1000.0)(v => v + rnd.nextGaussian()).take(5000).toSeq
+    val series = walk.zipWithIndex.map { case (v, i) =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L), "x", v)
+    }
+    val events = series.toDF("event_id", "ts", "event_type", "value")
+    val hourly = Resample.ohlcHourly(events)
+    assert(hourly.agg(sum("n_trades")).as[Long].head() == 5000L)
+    assert(hourly.count() == math.ceil(5000.0 / 3600.0).toLong)
+    val maxHigh = hourly.agg(max("high")).as[Double].head()
+    assert(maxHigh == walk.max)
+  }
+}

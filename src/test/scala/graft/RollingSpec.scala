@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.agg.CumProd
+import graft.ops.Rolling
+
+/** Notebook-analytics fixtures (FIXTURES §A2): rolling means, cumprod
+  * equity, scaler round-trip, and the CumProd null contract.
+  */
+class RollingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // The reference's one self-contained fixture: 5-point price series
+  // (model_utils.py:155-167).
+  private val prices = Seq(10000.0, 10050.0, 10100.0, 10150.0, 10200.0)
+
+  private def events = prices.zipWithIndex.map { case (v, i) =>
+    (i.toLong, new Timestamp(1704067200000L + i * 1000L), "btc", v)
+  }.toDF("event_id", "ts", "event_type", "value")
+
+  test("returnsLag: first row null, then exact ratios") {
+    val out = Rolling.returnsLag(events).orderBy("event_id")
+      .select("ret").as[Option[Double]].collect()
+    assert(out(0).isEmpty)
+    assert(approx(out(1).get, 10050.0 / 10000.0 - 1))
+    assert(approx(out(4).get, 10200.0 / 10150.0 - 1))
+  }
+
+  test("cumprodEquity: equity equals price ratio to series start") {
+    val out = Rolling.cumprodEquity(events).orderBy("event_id")
+      .select("equity").as[Double].collect()
+    prices.zipWithIndex.foreach { case (p, i) =>
+      assert(approx(out(i), p / prices.head), s"row $i")
+    }
+  }
+
+  test("minMaxScale + inverse: round-trip recovers values; constant series maps to 0") {
+    val out = Rolling.minMaxRoundtrip(events).orderBy("event_id").collect()
+    out.foreach { r =>
+      assert(approx(r.getAs[Double]("unscaled"), r.getAs[Double]("value")))
+    }
+    assert(approx(out.head.getAs[Double]("scaled"), 0.0))
+    assert(approx(out.last.getAs[Double]("scaled"), 1.0))
+    val const = Seq.fill(4)(42.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L), "c", v)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val scaled = Rolling.minMaxScale(const).select("scaled").as[Double].collect()
+    assert(scaled.forall(_ == 0.0))
+  }
+
+  test("CumProd aggregator: exact for zeros/negatives, skips nulls") {
+    val vals = Seq(Some(2.0), Some(-3.0), None, Some(0.5)).toDF("x")
+    val p = vals.agg(CumProd.product(col("x"))).as[Double].head()
+    assert(p == 2.0 * -3.0 * 0.5) // null skipped, sign preserved
+    val withZero = Seq(1.5, 0.0, 7.0).toDF("x")
+    assert(withZero.agg(CumProd.product(col("x"))).as[Double].head() == 0.0)
+  }
+
+  test("maVolatility: ma7 at row i averages trailing window") {
+    val hourly = graft.ops.Resample.ohlcHourly(
+      (0 until 40).map { i =>
+        (i.toLong, new Timestamp(1704067200000L + i * 3600L * 1000L), "btc", 100.0 + i)
+      }.toDF("event_id", "ts", "event_type", "value"))
+    val out = Rolling.maVolatility(hourly).orderBy("bucket")
+      .select("close", "ma7").collect()
+    // closes are 100..139; ma7 at index 10 = mean(close[4..10])
+    val closes = out.map(_.getDouble(0))
+    val expected = closes.slice(4, 11).sum / 7.0
+    assert(approx(out(10).getDouble(1), expected))
+  }
+
+  test("orderedSplit: 0.8/0.1/0.1 row counts") {
+    val n = 100
+    val big = (0 until n).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L), "btc", i.toDouble)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val out = Rolling.orderedSplit(big).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out("train") == 80L && out("val") == 10L && out("test") == 10L)
+  }
+}

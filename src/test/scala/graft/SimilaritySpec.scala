@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** LLM-tier operator specs: planted near-duplicates must be found, exact
+  * Jaccard must be exact, SimHash must separate similar from dissimilar,
+  * ANN must achieve high recall on genuinely clustered vectors.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+  private val nearDup =
+    "the quick brown fox jumps over the lazy dog and runs far away into the green forest today"
+  private val unrelated =
+    "completely different words describing database engines with columnar storage and vectorized execution plans"
+
+  private def docs = Seq(
+    (0L, base, "en", "s1", base.length.toLong),
+    (1L, nearDup, "en", "s1", nearDup.length.toLong),
+    (2L, unrelated, "en", "s2", unrelated.length.toLong),
+    (3L, base, "en", "s3", base.length.toLong) // exact copy of doc 0
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exactDedup: keeps one canonical row per distinct text") {
+    val out = Similarity.exactDedup(docs)
+    assert(out.count() == 3)
+    assert(out.filter(col("doc_id") === 3L).count() == 0) // copy dropped
+    assert(out.filter(col("doc_id") === 0L).count() == 1) // min id kept
+  }
+
+  test("minhashNearDup: finds planted near-dup and exact pair, skips unrelated") {
+    val pairs = Similarity.minhashNearDup(docs, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 3L))) // exact copy: jaccard 1.0
+    assert(keys.contains((0L, 1L))) // near dup
+    assert(pairs.find(p => p._1 == 0L && p._2 == 3L).get._3 == 1.0)
+    assert(!keys.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated absent
+  }
+
+  test("ngramJaccard equals hand-computed shingle-set jaccard") {
+    def sh(t: String) =
+      t.toLowerCase.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val expected = {
+      val (a, b) = (sh(base), sh(nearDup))
+      a.intersect(b).size.toDouble / a.union(b).size
+    }
+    val got = Similarity.ngramJaccard(docs, 2L, 0.0)
+      .filter(col("doc_a") === 0L && col("doc_b") === 1L)
+      .select("jaccard").as[Double].head()
+    assert(approx(got, expected))
+  }
+
+  test("simhash: hamming(near-dup) < hamming(unrelated); identical texts equal") {
+    val s = Similarity.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(s(0L) == s(3L))
+    assert(hamming(s(0L), s(1L)) < hamming(s(0L), s(2L)))
+  }
+
+  test("annLsh: high recall on a genuinely clustered corpus") {
+    // 20 vectors tightly around a center + 200 random: the regime ANN is
+    // for. Deterministic seeded generation.
+    val rnd = new scala.util.Random(5)
+    val dim = 64
+    val center = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val cluster = (0 until 20).map { i =>
+      (i.toLong, center.map(c => c + 0.01f * rnd.nextGaussian().toFloat).toSeq, 0)
+    }
+    val noise = (20 until 220).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq, 1)
+    }
+    val emb = (cluster ++ noise).toDF("vec_id", "embedding", "label")
+    val brute = Similarity.cosineTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ann = Similarity.annLsh(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = brute.intersect(ann).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("minhashSignatures: identical texts share signatures; deterministic across runs") {
+    val a = Similarity.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val b = Similarity.minhashSignatures(docs.repartition(3)).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(a == b)
+    assert(a(0L) == a(3L))
+    assert(a(0L) != a(2L))
+  }
+}
