@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** `graft_dot(a, b)`: dot product of two float-array columns as a native
+  * Catalyst expression with whole-stage codegen.
+  *
+  * The built-in spelling — `aggregate(zip_with(a, b, (x,y) -> x*y), 0d,
+  * +)` — allocates an intermediate array and evaluates three interpreted
+  * lambdas per element; this expression compiles to a primitive loop over
+  * the two `ArrayData` buffers (each float widened to double before the
+  * multiply, so results are bit-identical to the cast-then-multiply HOF
+  * form and to DuckDB's `list_dot_product` on `DOUBLE[]`). This is the
+  * similarity-search hot path: at 100 TB every candidate probe pays this
+  * per row.
+  *
+  * Registered per-session via [[GraftFunctions.register]] or globally via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+@ExpressionDescription(
+  usage = "graft_dot(a, b) - dot product of two ARRAY<FLOAT> columns as DOUBLE.")
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects two ARRAY<FLOAT> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += xs.getFloat(i).toDouble * ys.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductFloat =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+
+  private val dotInfo = new ExpressionInfo(
+    classOf[DotProductFloat].getName, "graft_dot")
+
+  private val dotBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => DotProductFloat(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_dot takes exactly 2 arguments, got ${other.length}")
+  }
+
+  /** Idempotently register graft functions into an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_dot"), dotInfo, dotBuilder)
+}
+
+/** `spark.sql.extensions`-style injection point:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProductFloat(exprs(0), exprs(1))))
+}

@@ -91,4 +91,53 @@ object Sources {
     }
     for (s <- sources; p <- periods) yield s"$s-$p.zip"
   }
+
+  /** S9: object-store listing via the Hadoop FileSystem API — the exact
+    * code path that serves `s3a://bucket/prefix` on a cluster (the
+    * reference's `list_objects`, `minio_api/client.py:62-80`); local
+    * `file:` URIs exercise it in tests. Returns (path, size) sorted by
+    * path for determinism.
+    */
+  def listObjects(spark: SparkSession, dirUri: String): Seq[(String, Long)] = {
+    val path = new org.apache.hadoop.fs.Path(dirUri)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(_.isFile)
+      .map(s => (s.getPath.toString, s.getLen))
+      .sortBy(_._1)
+  }
+
+  /** S8: whole-object get as lines (the reference reads a MinIO object and
+    * splits to lines, `minio_api/minio_utils.py:4-19`). Driver-side edge
+    * op for small control files; bulk data goes through `spark.read`.
+    */
+  def getObjectLines(spark: SparkSession, uri: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(uri)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  /** S9: object put (upload_file, `minio_api/client.py:34-46`). */
+  def putObject(spark: SparkSession, uri: String, content: Array[Byte]): Unit = {
+    val path = new org.apache.hadoop.fs.Path(uri)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(content) finally out.close()
+  }
+
+  /** F4: fixed-offset timezone parsing (`components/utils/utils.py:4-26`
+    * parses '+07:00'-style offsets). Returns signed minutes.
+    */
+  def parseTimezoneMinutes(tz: String): Int = {
+    val re = "^([+-])(\\d{2}):(\\d{2})$".r
+    tz match {
+      case re(sign, h, m) =>
+        val v = h.toInt * 60 + m.toInt
+        if (sign == "-") -v else v
+      case _ => throw new IllegalArgumentException(s"bad timezone offset '$tz'")
+    }
+  }
 }

@@ -160,19 +160,28 @@ object Similarity {
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum ±1 weighted by
     * token multiplicity; bit set iff the sum is positive. Near-dup docs
-    * land within small Hamming distance. Pure higher-order expressions.
+    * land within small Hamming distance.
+    *
+    * Same shape rule as MinHash: tokens EXPLODE to rows, one codegen'd
+    * xxhash64 each, then a single hash aggregate computes the 64
+    * bit-vote sums (map-side combined), and the signature folds from the
+    * 64 columns. No interpreted higher-order functions in the hot path.
     */
-  def simhash(documents: DataFrame): DataFrame =
-    documents
-      .withColumn("w", split(lower(col("text")), " "))
-      .withColumn("th", expr("transform(w, t -> xxhash64(t))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, b) ->
-          |  acc + CASE WHEN aggregate(th, 0L,
-          |    (s, h) -> s + CASE WHEN (shiftright(h, b) & 1L) = 1L THEN 1L ELSE -1L END
-          |  ) > 0L THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin.replaceAll("\n", " ")))
-      .select(col("doc_id"), col("simhash"),
-        bit_count(col("simhash")).as("popcount"))
+  def simhash(documents: DataFrame): DataFrame = {
+    val votes = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitAggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v_$b")
+    }
+    val sig = (0 until 64).map { b =>
+      when(col(s"v_$b") > 0L, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    votes.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+      .withColumn("popcount", bit_count(col("simhash")))
+  }
 
   // ------------------------------------------------------------ embeddings
 
@@ -183,6 +192,14 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   private def l2(c: Column): Column = sqrt(dot(c, c))
+
+  // Codegen'd native dot product (graft.functions.DotProductFloat) over
+  // the raw float arrays — bit-identical to the cast-then-multiply HOF
+  // form above, ~10x cheaper per row. Requires GraftFunctions.register.
+  private def dotF(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  private def l2F(c: Column): Column = sqrt(dotF(c, c))
 
   /** Per-vector norm/stat sanity layer (also the array-numeric oracle). */
   def embeddingStats(embeddings: DataFrame): DataFrame = {
@@ -200,13 +217,14 @@ object Similarity {
     * embedding payload at any point.
     */
   def cosineTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
     embeddings.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        (dot(asDouble(col("embedding")), asDouble(col("q_emb"))) /
-          (l2(asDouble(col("embedding"))) * l2(asDouble(col("q_emb")))))
+        (dotF(col("embedding"), col("q_emb")) /
+          (l2F(col("embedding")) * l2F(col("q_emb"))))
           .as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
@@ -229,6 +247,7 @@ object Similarity {
     */
   def annLsh(embeddings: DataFrame, queryId: Long, k: Int,
              nPlanes: Int = 4, probeRadius: Int = 1, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     // Hyperplane components are fixed literals baked into the plan
     // (deterministic splitmix64-style mix of (plane, dim) — no RNG state),
     // so bucketing is pure codegen'd arithmetic per row.
@@ -258,8 +277,8 @@ object Similarity {
       .crossJoin(broadcast(q))
       .filter(array_contains(probes, col("bucket")))
       .select(col("vec_id"), col("label"), col("bucket"),
-        (dot(asDouble(col("embedding")), asDouble(col("q_emb"))) /
-          (l2(asDouble(col("embedding"))) * l2(asDouble(col("q_emb")))))
+        (dotF(col("embedding"), col("q_emb")) /
+          (l2F(col("embedding")) * l2F(col("q_emb"))))
           .as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)

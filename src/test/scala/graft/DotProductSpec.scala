@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Native codegen'd dot-product expression: parity with the higher-order
+  * spelling, null contract, and codegen participation.
+  */
+class DotProductSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Seq(
+    (0L, Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),
+    (1L, Seq(0.5f, -1.5f, 2.25f), Seq(-2.0f, 0.0f, 8.0f))
+  ).toDF("id", "a", "b")
+
+  test("graft_dot equals the aggregate/zip_with spelling bit-for-bit") {
+    GraftFunctions.register(spark)
+    val hof = aggregate(
+      zip_with(transform($"a", x => x.cast("double")),
+        transform($"b", x => x.cast("double")), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = emb.select(call_function("graft_dot", $"a", $"b").as("native"),
+      hof.as("reference")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(rows(0).getDouble(0) == 1.0 * 4 + 2.0 * 5 + 3.0 * 6)
+  }
+
+  test("graft_dot: null input yields null; wrong type rejected at analysis") {
+    GraftFunctions.register(spark)
+    val withNull = Seq((Some(Seq(1.0f)), Option.empty[Seq[Float]]))
+      .toDF("a", "b")
+    val out = withNull.select(call_function("graft_dot", $"a", $"b")).collect()
+    assert(out(0).isNullAt(0))
+    val bad = Seq((Seq(1.0), Seq(2.0))).toDF("a", "b") // double arrays
+    intercept[Exception] {
+      bad.select(call_function("graft_dot", $"a", $"b")).collect()
+    }
+  }
+
+  test("graft_dot participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    // range() is a codegen source (local Seqs collapse to LocalTableScan
+    // and would never show a codegen stage).
+    val df = spark.range(10)
+      .select(array(($"id" + 1).cast("float"), ($"id" + 2).cast("float")).as("a"),
+        array(lit(2.0f), lit(3.0f)).as("b"))
+      .select(call_function("graft_dot", $"a", $"b").as("d"))
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [dotproductfloat"), plan)
+    assert(df.agg(sum($"d")).as[Double].head() ==
+      (0 until 10).map(i => (i + 1.0) * 2.0 + (i + 2.0) * 3.0).sum)
+  }
+}

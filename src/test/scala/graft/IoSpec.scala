@@ -91,6 +91,23 @@ class IoSpec extends SparkSpec {
     assert(out.select("month").distinct().count() == 2)
   }
 
+  test("object-store ops: put, list, get-lines via Hadoop FileSystem API") {
+    val dir = tmpDir()
+    Sources.putObject(spark, s"$dir/objects/a.csv", "1,2\n3,4\n".getBytes("UTF-8"))
+    Sources.putObject(spark, s"$dir/objects/b.csv", "x\n".getBytes("UTF-8"))
+    val listed = Sources.listObjects(spark, s"$dir/objects")
+    assert(listed.map(_._1.split('/').last) == Seq("a.csv", "b.csv"))
+    assert(listed.head._2 == 8L)
+    assert(Sources.getObjectLines(spark, s"$dir/objects/a.csv") == Seq("1,2", "3,4"))
+    assert(Sources.listObjects(spark, s"$dir/nonexistent").isEmpty)
+  }
+
+  test("parseTimezoneMinutes: '+07:00' offsets, sign, validation") {
+    assert(Sources.parseTimezoneMinutes("+07:00") == 420)
+    assert(Sources.parseTimezoneMinutes("-05:30") == -330)
+    intercept[IllegalArgumentException] { Sources.parseTimezoneMinutes("7am") }
+  }
+
   test("saveTable + exportCsv: warehouse roundtrip and empty guard") {
     val dir = tmpDir()
     val df = Seq(("x", 1L), ("y", 2L)).toDF("k", "n")
