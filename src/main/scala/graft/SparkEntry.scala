@@ -64,6 +64,17 @@ object SparkEntry {
       Tables.orders(s, d).filter(org.apache.spark.sql.functions.col("o_totalprice") > 400000.0))),
     // J4: as-of join of events to the latest closed hourly bar.
     "join_asof" -> ((s, d) => Joins.asofJoin(ev(s, d))),
+    // Skew-safe salted equi-join (result identical to the plain join).
+    "join_salted" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = ev(s, d)
+      val dim = e.groupBy(col("event_type").as("et"))
+        .agg(avg(col("value")).as("type_avg"))
+      Joins.saltedJoin(e, "event_type", dim, "et", 8)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value") - col("type_avg")).as("sum_dev"))
+    }),
     // W8: sliding sequences (array output; rows-only driver check).
     "seq_sliding" -> ((s, d) => Sequences.slidingSequences(ev(s, d), 5)),
     // W8: scalar projection of the same sequences, fully oracled.
@@ -265,6 +276,13 @@ object SparkEntry {
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |GROUP BY 1""".stripMargin,
+    "join_salted" ->
+      """SELECT event_type, count(*) AS n,
+        | sum(value - type_avg) AS sum_dev
+        |FROM events JOIN (SELECT event_type AS et, avg(value) AS type_avg
+        |                  FROM events GROUP BY 1) d
+        |  ON event_type = et
         |GROUP BY 1""".stripMargin,
     "join_asof" ->
       """WITH hourly AS (

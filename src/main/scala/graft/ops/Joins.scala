@@ -77,6 +77,26 @@ object Joins {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"), sum(col("c_acctbal")).as("sum_acctbal"))
 
+  /** Skew-safe equi-join: salt the skewed (large) side's key into
+    * `saltBuckets` sub-keys and explode the build side across all salt
+    * values, so one hot key spreads over `saltBuckets` tasks instead of
+    * one straggler. This is the manual fallback for skew AQE can't fix
+    * (e.g. a broadcast-ineligible build side with one dominant key).
+    * Results are identical to a plain inner equi-join.
+    */
+  def saltedJoin(large: DataFrame, largeKey: String,
+                 small: DataFrame, smallKey: String,
+                 saltBuckets: Int): DataFrame = {
+    val salted = large.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)).cast("int"))
+    val exploded = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(exploded,
+      salted(largeKey) === exploded(smallKey) &&
+        salted("_salt") === exploded("_salt"))
+      .drop("_salt")
+  }
+
   /** J4: as-of join — each event picks up the close of the latest hourly
     * bar (same event_type) that closed at-or-before the event's timestamp.
     *

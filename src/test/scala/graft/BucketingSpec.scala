@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Joins
+
+/** Scale mechanics that only show up in plans: bucketed co-located joins
+  * (no exchange on either side) and salted-join equivalence.
+  */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    val dir = Files.createTempDirectory("graft_bucket_").toString
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li.write.mode("overwrite").option("path", s"$dir/li")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    ord.write.mode("overwrite").option("path", s"$dir/ord")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    // Suppress broadcast so the planner must consider the bucket layout
+    // (at real scale neither side would broadcast anyway).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      // Co-located: bucket layout satisfies the join's distribution on
+      // BOTH sides — no shuffle exchange in the plan.
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(joined.count() ==
+        li.join(ord, $"l_orderkey" === $"o_orderkey").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("saltedJoin returns exactly the plain join's aggregate") {
+    val e = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+    val dim = e.groupBy($"event_type".as("et"))
+      .agg(avg($"value").as("type_avg"))
+    val salted = Joins.saltedJoin(e, "event_type", dim, "et", 8)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = e.join(dim, $"event_type" === $"et")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    // the salt actually fans the hot key out across distinct salt values
+    val saltCount = e.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(8)).cast("int"))
+      .select("_salt").distinct().count()
+    assert(saltCount > 1)
+  }
+}
