@@ -52,6 +52,14 @@ object SparkEntry {
     "summary_stats" -> ((s, d) => Stats.summaryStats(li(s, d))),
     // A5: pairwise Pearson correlation matrix.
     "corr_matrix" -> ((s, d) => Stats.corrMatrix(li(s, d))),
+    // Grouping sets: rollup subtotals + grand total.
+    "rollup_agg" -> ((s, d) => Stats.rollupAgg(li(s, d))),
+    // Time-range window frame (trailing 1 h per symbol, rangeBetween µs).
+    "range_frame" -> ((s, d) => Stats.rangeFrameAvg(ev(s, d))),
+    // Set operations: intersect + except, tagged.
+    "set_ops" -> ((s, d) => Sequences.setOps(ev(s, d))),
+    // HLL++ approx distinct vs exact (rows-only; bound pinned in tests).
+    "dedup_approx" -> ((s, d) => Similarity.approxDedupStats(Tables.documents(s, d))),
     // J1: broadcast-hash dimension join through the whole star.
     "join_star" -> ((s, d) => Joins.starRevenue(li(s, d), Tables.orders(s, d),
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
@@ -277,6 +285,27 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |GROUP BY 1""".stripMargin,
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty, avg(l_extendedprice) AS avg_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "range_frame" ->
+      """SELECT event_id, event_type, value,
+        | avg(value) OVER w AS avg_1h, count(*) OVER w AS n_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin,
+    "set_ops" ->
+      """SELECT event_id, 'intersect' AS op FROM (
+        |  SELECT event_id FROM events WHERE value > 90.0
+        |  INTERSECT
+        |  SELECT event_id FROM events WHERE user_id % 2 = 0)
+        |UNION ALL
+        |SELECT event_id, 'except' AS op FROM (
+        |  SELECT event_id FROM events WHERE value > 90.0
+        |  EXCEPT
+        |  SELECT event_id FROM events WHERE user_id % 2 = 0)""".stripMargin,
     "join_salted" ->
       """SELECT event_type, count(*) AS n,
         | sum(value - type_avg) AS sum_dev

@@ -135,4 +135,15 @@ object Sequences {
   def headK(events: DataFrame, k: Int): DataFrame =
     events.orderBy(col("event_id")).limit(k)
       .select(col("event_id"), col("event_type"), col("value"))
+
+  /** Set ops (SURVEY §2.6 free built-ins): ids matching BOTH predicates
+    * (intersect) and ids matching the first but not the second (except),
+    * tagged and unioned into one result.
+    */
+  def setOps(events: DataFrame): DataFrame = {
+    val hi = events.filter(col("value") > 90.0).select(col("event_id"))
+    val even = events.filter(col("user_id") % 2 === 0).select(col("event_id"))
+    hi.intersect(even).withColumn("op", lit("intersect"))
+      .unionByName(hi.except(even).withColumn("op", lit("except")))
+  }
 }

@@ -36,6 +36,19 @@ object Similarity {
         countDistinct(md5(col("text"))).as("n_distinct_md5"),
         (count(lit(1)) - countDistinct(col("text"))).as("n_dupes"))
 
+  /** Cardinality at scale: exact `count(DISTINCT md5)` vs HyperLogLog++
+    * `approx_count_distinct` — the approx form is the only affordable
+    * dedup-survey primitive at 100 TB (no distinct shuffle; fixed-size
+    * sketch merges). Tests pin the estimate within rsd of exact.
+    */
+  def approxDedupStats(documents: DataFrame, rsd: Double = 0.05): DataFrame =
+    documents
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("exact_distinct"),
+        approx_count_distinct(md5(col("text")), rsd).as("approx_distinct"))
+
   /** Exact dedup itself: one canonical row (min doc_id) per distinct text.
     * groupBy on the md5 content key — the aggregate carries only the key
     * and the winning doc_id, never the payload, then a semi-join pulls the

@@ -35,6 +35,34 @@ object Stats {
       min(col("l_discount")).as("min_disc"),
       max(col("l_discount")).as("max_disc"))
 
+  /** Hierarchical rollup over returnflag/linestatus — subtotals + grand
+    * total in one pass (grouping-sets surface, SURVEY §7.5).
+    */
+  def rollupAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        avg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("n"))
+
+  /** Time-range window frame (`rangeBetween` over µs offsets): trailing
+    * 1-hour average per symbol — the canonical financial rolling frame
+    * when rows are NOT gapless (row frames would silently widen).
+    * Ordered by exact epoch-µs so boundary semantics match the oracle's
+    * `RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`.
+    */
+  def rangeFrameAvg(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    events.select(
+      col("event_id"), col("event_type"), col("value"),
+      avg(col("value")).over(w).as("avg_1h"),
+      count(lit(1)).over(w).as("n_1h"))
+  }
+
   /** Pairwise Pearson correlation matrix over lineitem measures, one row —
     * the notebook's `corr()` (cell 15). Pairs are flat columns so the
     * DuckDB oracle is a literal transliteration.

@@ -45,4 +45,36 @@ object StreamingResample {
         unix_timestamp(col("window.start")).as("bucket"),
         col("event_type"), col("open"), col("high"), col("low"),
         col("close"), col("volume"), col("n_trades"))
+
+  /** Sliding-window twin (1 h window every 15 min): each event lands in 4
+    * overlapping windows — the smoothed-bar view. Extension tier (no
+    * batch analogue in the reference); fixture-tested.
+    */
+  def slidingVolume(spark: SparkSession, inputDir: String,
+                    schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(sum(col("value")).as("volume"), count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("w_start"),
+        col("event_type"), col("volume"), col("n"))
+
+  /** Session-window counts (gap-based): a session closes after `gap` of
+    * inactivity per symbol. State per open session only; the watermark
+    * finalizes and evicts closed sessions.
+    */
+  def sessionCounts(spark: SparkSession, inputDir: String,
+                    schema: StructType, gap: String): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("volume"))
+      .select(
+        unix_timestamp(col("session_window.start")).as("s_start"),
+        unix_timestamp(col("session_window.end")).as("s_end"),
+        col("event_type"), col("n"), col("volume"))
 }

@@ -34,6 +34,22 @@ class IoSpec extends SparkSpec {
     assert(rows(1).getLong(8) == 189L)
   }
 
+  test("Dataset[Kline]: typed view over the CSV scan") {
+    val dir = tmpDir()
+    Files.writeString(new File(dir, "k.csv").toPath, klineCsv)
+    val ds = Sources.readCsv(spark, s"$dir/k.csv", KlineSchema.schema)
+      .select($"`Open time`".as("openTime"), $"Open".as("open"),
+        $"High".as("high"), $"Low".as("low"), $"Close".as("close"),
+        $"Volume".as("volume"), $"`Close time`".as("closeTime"),
+        $"`Quote asset volume`".as("quoteVolume"),
+        $"`Number of trades`".as("trades"),
+        $"`Taker buy base asset volume`".as("takerBase"),
+        $"`Taker buy quote asset volume`".as("takerQuote"))
+      .as[KlineSchema.Kline]
+    val ks = ds.collect().sortBy(_.openTime)
+    assert(ks.length == 2 && ks.head.close == 42050.0 && ks.last.trades == 189L)
+  }
+
   test("withHeaders: arity validation rejects wrong column count") {
     val df = Seq((1, 2, 3)).toDF("a", "b", "c")
     val renamed = Sources.withHeaders(df, Seq("x", "y", "z"))

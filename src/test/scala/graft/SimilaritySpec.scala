@@ -84,6 +84,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("approxDedupStats: HLL++ estimate within rsd bound of exact") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.01")
+    Similarity.approxDedupStats(docs).collect().foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      val approx = r.getAs[Long]("approx_distinct").toDouble
+      assert(math.abs(approx - exact) / exact < 0.15,
+        s"${r.getString(0)}: exact=$exact approx=$approx")
+    }
+  }
+
   test("minhashSignatures: identical texts share signatures; deterministic across runs") {
     val a = Similarity.minhashSignatures(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(4)).toMap

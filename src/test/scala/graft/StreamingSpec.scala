@@ -43,4 +43,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == batch.length && streamed.length > 0)
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
+
+  test("sliding windows: every event lands in exactly 4 windows") {
+    val events = (0 until 500).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 60000L), "btc", 1.0)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val dir = Files.createTempDirectory("graft_slide_").toString
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val q = StreamingResample.slidingVolume(spark, s"$dir/in", events.schema)
+      .writeStream.format("memory").queryName("slide_t")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val total = spark.table("slide_t").agg(sum("n")).as[Long].head()
+    assert(total == 500L * 4) // 1h window / 15min slide = 4 windows each
+  }
+
+  test("session windows: gap splits sessions at the fixture boundary") {
+    // two bursts separated by 30 min, gap 5 min -> exactly 2 sessions
+    val burst1 = (0 until 10).map(i => (i.toLong,
+      new Timestamp(1704067200000L + i * 60000L), "btc", 1.0))
+    val burst2 = (0 until 7).map(i => (100L + i,
+      new Timestamp(1704067200000L + 40 * 60000L + i * 60000L), "btc", 1.0))
+    val events = (burst1 ++ burst2).toDF("event_id", "ts", "event_type", "value")
+    val dir = Files.createTempDirectory("graft_sess_").toString
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val q = StreamingResample.sessionCounts(spark, s"$dir/in", events.schema, "5 minutes")
+      .writeStream.format("memory").queryName("sess_t")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val sessions = spark.table("sess_t").orderBy("s_start").collect()
+    assert(sessions.length == 2)
+    assert(sessions(0).getAs[Long]("n") == 10L)
+    assert(sessions(1).getAs[Long]("n") == 7L)
+  }
 }
