@@ -130,7 +130,20 @@ object Similarity {
     // a skewed shingle distribution a popular min-value makes big buckets
     // whose m² pairs would otherwise drag two ~kB arrays each through the
     // shuffle; as id pairs the same candidates are 16 bytes.
-    val bands = minhashSignatureCols(documents, k)
+    // One tokenize/shingle/hash pass, materialized (localCheckpoint) and
+    // shared by BOTH the signature branch and the verification branch —
+    // the local analogue of persisting the signature artifact, which is
+    // what a production pipeline does at scale. Only (doc_id, h) longs
+    // are kept; the shingle strings never leave the first stage.
+    val hashes = withShingles(documents)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(MinhashP)).as("h"))
+      .localCheckpoint()
+    val sigAggs = (0 until k).map { i =>
+      val a = hashParam(i)
+      min(pmod(lit(a) * col("h") + lit(a + 13L), lit(MinhashP))).as(s"mh_$i")
+    }
+    val bands = hashes.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
       .select(col("doc_id"),
         posexplode(array((0 until k).map(i => col(s"mh_$i")): _*))
           .as(Seq("band_idx", "band_key")))
@@ -141,15 +154,21 @@ object Similarity {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // Verification re-joins the shingle sets by id (shuffles shingles once
-    // per side, proportional to the candidate id set, not its square).
-    val sh = withShingles(documents).select(col("doc_id"), col("sh"))
+    // Verification joins the hashed shingle SETS by id — primitive long
+    // arrays (fast-path set ops), shuffled once per side proportional to
+    // the candidate id set, not its square. |A∪B| = |A|+|B|-|A∩B| avoids
+    // materializing the union. Hash-set Jaccard equals string-set Jaccard
+    // up to 64-bit collisions (~1e-13 per pair — far below any tolerance).
+    val hsets = hashes.groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hs"))
+      .withColumn("n", size(col("hs")))
     candIds
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(hsets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(hsets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("sa.hs"), col("sb.hs"))).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
-          size(array_union(col("sa.sh"), col("sb.sh"))))
+        col("inter") / (col("sa.n") + col("sb.n") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
