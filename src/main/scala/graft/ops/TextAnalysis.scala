@@ -104,16 +104,21 @@ object TextAnalysis {
     * fingerprint (min md5 over 3-word shingles — a 1-hash MinHash, the
     * building block of content-defined dedup keys).
     */
-  def fingerprint(documents: DataFrame): DataFrame =
-    documents
+  def fingerprint(documents: DataFrame): DataFrame = {
+    // Explode + hash aggregate (codegen'd md5 per shingle row, map-side
+    // combined min) rather than interpreted per-element lambdas.
+    val shingleFp = documents
       .withColumn("w", toks)
       .filter(size(col("w")) >= 3)
-      .withColumn("shingles",
-        expr("transform(sequence(0, size(w) - 3), i -> " +
-          "concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))
-      .select(
-        col("doc_id"),
-        md5(col("text")).as("text_md5"),
-        expr("array_min(transform(shingles, s -> md5(s)))").as("shingle_fp"),
-        size(col("shingles")).as("n_shingles"))
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w) - 3), i -> " +
+          "concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(min(md5(col("s"))).as("shingle_fp"),
+        count(lit(1)).cast("int").as("n_shingles"))
+    documents
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .join(shingleFp, Seq("doc_id"))
+      .select(col("doc_id"), col("text_md5"), col("shingle_fp"), col("n_shingles"))
+  }
 }
