@@ -334,7 +334,7 @@ object SparkEntry {
         |      FROM events)
         |WHERE len(seq) = 5 AND target IS NOT NULL""".stripMargin,
     "seq_tail" ->
-      """SELECT event_id, event_type, ts, value
+      """SELECT event_id, event_type, epoch_us(ts) AS ts_us, value
         |FROM (SELECT *, row_number() OVER
         |        (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)

@@ -109,7 +109,10 @@ object Sequences {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("event_type")).orderBy(col("ts").desc, col("event_id").desc)))
       .filter(col("rn") <= n)
-      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      // epoch-µs long, not raw TimestampType: parquet µs vs DuckDB ns
+      // units would otherwise make strict schema/value compares flaky.
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
 
   /** O3: global top-k with deterministic tie-break — Spark plans
     * `orderBy().limit()` as TakeOrderedAndProject: per-partition heaps,

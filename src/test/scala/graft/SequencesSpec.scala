@@ -42,7 +42,7 @@ class SequencesSpec extends SparkSpec {
   }
 
   test("tailN: returns the latest n per type in original order") {
-    val out = Sequences.tailN(events, 2).orderBy("ts").collect()
+    val out = Sequences.tailN(events, 2).orderBy("ts_us").collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(3L, 4L))
   }
 }
