@@ -32,6 +32,9 @@ object SparkEntry {
     "ohlc_hourly" -> ((s, d) => Resample.ohlcHourly(ev(s, d))),
     // W1/W2: the reference's exact row-position bucketing (comparison only).
     "ohlc_rowbucket" -> ((s, d) => Resample.ohlcRowBucket(ev(s, d), 500)),
+    // Same semantics via range-partitioned sort + zipWithIndex — no
+    // single-task global window (shares ohlc_rowbucket's oracle shape).
+    "ohlc_rowbucket_scale" -> ((s, d) => Resample.ohlcRowBucketScale(ev(s, d), 500)),
     // W3/W4: rolling mean + stddev volatility bands on the hourly series.
     "ma_volatility" -> ((s, d) => Rolling.maVolatility(Resample.ohlcHourly(ev(s, d)))),
     // W5/W6: lag + pct_change returns.
@@ -50,6 +53,11 @@ object SparkEntry {
     "ordered_split" -> ((s, d) => Rolling.orderedSplit(ev(s, d))),
     // A4: summary statistics incl. exact quartiles.
     "summary_stats" -> ((s, d) => Stats.summaryStats(li(s, d))),
+    // Sketch quantiles (rows-only; error bound vs exact pinned in tests —
+    // selecting only the sketch columns lets Catalyst prune the exact
+    // full-sort aggregates out of the plan).
+    "summary_approx" -> ((s, d) => Stats.summaryApprox(li(s, d))
+      .select("n", "approx_median", "approx_p99")),
     // A5: pairwise Pearson correlation matrix.
     "corr_matrix" -> ((s, d) => Stats.corrMatrix(li(s, d))),
     // Grouping sets: rollup subtotals + grand total.
@@ -128,6 +136,8 @@ object SparkEntry {
     "emb_stats" -> ((s, d) => Similarity.embeddingStats(Tables.embeddings(s, d))),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d), 0L, 10)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d), 0L, 10)),
+    // All-corpus embedding near-dup pair mining via LSH bucket self-join.
+    "emb_neardup" -> ((s, d) => Similarity.embNearDup(Tables.embeddings(s, d), 0.4)),
     // LLM tier — multimodal binary-column plumbing (stubbed decode).
     "multimodal_meta" -> ((s, d) => Multimodal.decodeMeta(Tables.documents(s, d))),
     "frame_sample" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d), 100)),
@@ -144,6 +154,12 @@ object SparkEntry {
         | arg_max(value, ts) AS close, sum(value) AS volume, count(*) AS n_trades
         |FROM events GROUP BY 1, 2""".stripMargin,
     "ohlc_rowbucket" ->
+      """SELECT CAST(floor((rn - 1) / 500) AS BIGINT) AS group_id,
+        | arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+        | arg_max(value, ts) AS close, sum(value) AS volume, count(*) AS n_trades
+        |FROM (SELECT *, row_number() OVER (ORDER BY ts) AS rn FROM events)
+        |GROUP BY 1""".stripMargin,
+    "ohlc_rowbucket_scale" ->
       """SELECT CAST(floor((rn - 1) / 500) AS BIGINT) AS group_id,
         | arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
         | arg_max(value, ts) AS close, sum(value) AS volume, count(*) AS n_trades

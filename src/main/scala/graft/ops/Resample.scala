@@ -84,4 +84,33 @@ object Resample {
         sum(col("value")).as("volume"),
         count(lit(1)).as("n_trades"))
   }
+
+  /** [[ohlcRowBucket]] semantics WITHOUT the single-task global window:
+    * range-partitioned sort by ts, then `zipWithIndex` (per-partition
+    * counts + a driver-side prefix-offset pass — the standard scalable
+    * global index), then the same hash aggregate. Identical output to
+    * [[ohlcRowBucket]] for unique timestamps; survives 100× scale-up
+    * because no stage ever sees more than one partition's rows.
+    */
+  def ohlcRowBucketScale(events: DataFrame, trackEach: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val indexed = events
+      .select(unix_micros(col("ts")).as("ts_us"), col("value"))
+      .orderBy(col("ts_us"))
+      .as[(Long, Double)]
+      .rdd
+      .zipWithIndex()
+      .map { case ((tsUs, value), idx) => (idx / trackEach, tsUs, value) }
+      .toDF("group_id", "ts_us", "value")
+    indexed
+      .groupBy(col("group_id"))
+      .agg(
+        min_by(col("value"), col("ts_us")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts_us")).as("close"),
+        sum(col("value")).as("volume"),
+        count(lit(1)).as("n_trades"))
+  }
 }

@@ -262,6 +262,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-dup PAIR MINING (all-corpus, not single-query):
+    * bucket every vector by hyperplane signature, pairwise-verify cosine
+    * only WITHIN buckets — candidate volume tracks cluster density, never
+    * n². The embedding analogue of [[minhashNearDup]]. Pairs at cosine ≥
+    * `threshold` within a shared bucket are reported; like all LSH, recall
+    * of weakly-similar pairs is traded for pruning (tests pin high recall
+    * on genuinely clustered corpora).
+    */
+  def embNearDup(embeddings: DataFrame, threshold: Double,
+                 nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    def mix(z0: Long): Double = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (java.lang.Math.floorMod(z, 2000001L) - 1000000L).toDouble / 1000000.0
+    }
+    val planes = Array.tabulate(nPlanes, dim)((p, d) => mix(p.toLong * 1000003L + d))
+    val bucket = (0 until nPlanes).map { p =>
+      when(dot(asDouble(col("embedding")),
+        array(planes(p).map(lit(_)): _*)) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bucketed = embeddings
+      .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dotF(col("a.embedding"), col("b.embedding")) /
+          (l2F(col("a.embedding")) * l2F(col("b.embedding")))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Hyperplane-LSH bucketed ANN: `nPlanes` deterministic pseudo-random
     * hyperplanes → 2^nPlanes sign-pattern buckets; multi-probe search of
     * every bucket within Hamming distance `probeRadius` of the query's.

@@ -35,6 +35,19 @@ object Stats {
       min(col("l_discount")).as("min_disc"),
       max(col("l_discount")).as("max_disc"))
 
+  /** Sketch-based quantiles (approx_percentile / t-digest-style) — the
+    * only affordable percentile at 100 TB (fixed-size mergeable sketch vs
+    * the exact form's full sort). Exact columns alongside let tests pin
+    * the approximation error.
+    */
+  def summaryApprox(lineitem: DataFrame): DataFrame =
+    lineitem.agg(
+      count(lit(1)).as("n"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"),
+      percentile(col("l_extendedprice"), lit(0.5)).as("exact_median"),
+      percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("approx_p99"),
+      percentile(col("l_extendedprice"), lit(0.99)).as("exact_p99"))
+
   /** Hierarchical rollup over returnflag/linestatus — subtotals + grand
     * total in one pass (grouping-sets surface, SURVEY §7.5).
     */

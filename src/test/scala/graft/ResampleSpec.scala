@@ -59,6 +59,18 @@ class ResampleSpec extends SparkSpec {
     assert(out(1).getDouble(1) == 103.0 && out(1).getDouble(4) == 99.0)
   }
 
+  test("ohlcRowBucketScale equals the global-window form") {
+    val rnd = new scala.util.Random(9)
+    val big = (0 until 3000).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L), "x",
+        100.0 + rnd.nextGaussian())
+    }.toDF("event_id", "ts", "event_type", "value").repartition(4)
+    val a = Resample.ohlcRowBucket(big, 700).orderBy("group_id").collect()
+    val b = Resample.ohlcRowBucketScale(big, 700).orderBy("group_id").collect()
+    assert(a.length == b.length && a.length == 5)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
   test("property: per-bucket high is max of members, trades conserved") {
     val rnd = new scala.util.Random(42)
     val walk = Iterator.iterate(1000.0)(v => v + rnd.nextGaussian()).take(5000).toSeq

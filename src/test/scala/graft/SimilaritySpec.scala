@@ -94,6 +94,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embNearDup: mines planted clustered pairs, skips noise") {
+    val rnd = new scala.util.Random(13)
+    val dim = 64
+    val center = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val cluster = (0 until 10).map { i =>
+      (i.toLong, center.map(c => c + 0.01f * rnd.nextGaussian().toFloat).toSeq, 0)
+    }
+    val noise = (10 until 200).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq, 1)
+    }
+    val emb = (cluster ++ noise).toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.embNearDup(emb, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // all mined pairs are within the planted cluster, and most of the
+    // C(10,2)=45 cluster pairs co-bucket (LSH keeps near-identical
+    // vectors together with high probability)
+    assert(pairs.nonEmpty && pairs.forall { case (a, b) => a < 10 && b < 10 })
+    assert(pairs.length >= 30, s"found ${pairs.length} of 45")
+  }
+
+  test("summaryApprox: sketch quantiles within 1% of exact") {
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val r = graft.ops.Stats.summaryApprox(li).collect().head
+    assert(math.abs(r.getAs[Double]("approx_median") - r.getAs[Double]("exact_median"))
+      / r.getAs[Double]("exact_median") < 0.01)
+    assert(math.abs(r.getAs[Double]("approx_p99") - r.getAs[Double]("exact_p99"))
+      / r.getAs[Double]("exact_p99") < 0.01)
+  }
+
   test("minhashSignatures: identical texts share signatures; deterministic across runs") {
     val a = Similarity.minhashSignatures(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(4)).toMap
