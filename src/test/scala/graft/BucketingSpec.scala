@@ -37,6 +37,23 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("month-partitioned zone: month filter prunes partitions at the scan") {
+    val dir = s"${Files.createTempDirectory("graft_prune_").toString}/zone"
+    val rows = (0 until 84).map { d =>
+      (java.sql.Timestamp.valueOf(f"2024-${d / 28 + 1}%02d-${d % 28 + 1}%02d 12:00:00"),
+        d.toDouble)
+    }.toDF("ts", "value")
+    graft.io.Sinks.overwriteByMonth(rows, "ts", dir)
+    val scan = spark.read.parquet(dir).filter($"month" === "2024-02")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(month"), plan)
+    assert(scan.count() == 28)
+    // pruned scan reads exactly one of the three month directories
+    val filesRead = scan.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(filesRead.contains("PartitionFilters"), filesRead)
+  }
+
   test("saltedJoin returns exactly the plain join's aggregate") {
     val e = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
     val dim = e.groupBy($"event_type".as("et"))

@@ -60,6 +60,39 @@ class StreamingSpec extends SparkSpec {
     assert(total == 500L * 4) // 1h window / 15min slide = 4 windows each
   }
 
+  test("mapGroupsWithState running stats equal the batch oracle on replay") {
+    val rnd = new scala.util.Random(21)
+    val events = (0 until 2000).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 5000L),
+        Seq("btc", "eth", "sol")(i % 3), 50.0 + rnd.nextGaussian() * 5)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val dir = Files.createTempDirectory("graft_state_").toString
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val q = graft.stream.StatefulRunning.runningStats(spark, s"$dir/in", events.schema)
+      .writeStream.format("memory").queryName("state_t")
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // update mode may emit a row per batch per key; keep the final row
+    val streamed = spark.table("state_t")
+      .groupBy("event_type")
+      .agg(max("n").as("n"), max("total_volume").as("total_volume"),
+        max("high").as("high"), min("low").as("low"))
+      .orderBy("event_type").collect()
+    val batch = graft.stream.StatefulRunning.runningStatsBatch(events)
+      .select("event_type", "n", "total_volume", "high", "low")
+      .orderBy("event_type").collect()
+    assert(streamed.length == 3)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[String]("event_type") == b.getAs[String]("event_type"))
+      assert(s.getAs[Long]("n") == b.getAs[Long]("n"))
+      assert(approx(s.getAs[Double]("total_volume"), b.getAs[Double]("total_volume")))
+      assert(s.getAs[Double]("high") == b.getAs[Double]("high"))
+      assert(s.getAs[Double]("low") == b.getAs[Double]("low"))
+    }
+  }
+
   test("session windows: gap splits sessions at the fixture boundary") {
     // two bursts separated by 30 min, gap 5 min -> exactly 2 sessions
     val burst1 = (0 until 10).map(i => (i.toLong,
