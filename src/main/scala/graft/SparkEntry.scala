@@ -51,6 +51,8 @@ object SparkEntry {
     "rmse_mae" -> ((s, d) => Rolling.rmseMae(ev(s, d))),
     // W10: ordered 0.8/0.1/0.1 train/val/test split.
     "ordered_split" -> ((s, d) => Rolling.orderedSplit(ev(s, d))),
+    // §1.1 metrics table: long-format (split, metric, value) rows.
+    "metrics_long" -> ((s, d) => Rolling.metricsLong(ev(s, d))),
     // A4: summary statistics incl. exact quartiles.
     "summary_stats" -> ((s, d) => Stats.summaryStats(li(s, d))),
     // Sketch quantiles (rows-only; error bound vs exact pinned in tests —
@@ -240,6 +242,24 @@ object SparkEntry {
         |        lag(value, 1) OVER (PARTITION BY event_type ORDER BY ts) AS yhat
         |      FROM events)
         |WHERE yhat IS NOT NULL GROUP BY event_type""".stripMargin,
+    "metrics_long" ->
+      """WITH s AS (
+        |  SELECT event_type, value,
+        |    lag(value, 1) OVER (PARTITION BY event_type ORDER BY ts) AS yhat,
+        |    CASE WHEN rn <= 0.8 * n THEN 'train'
+        |         WHEN rn <= 0.9 * n THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT event_type, value, ts,
+        |          row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+        |          count(*) OVER (PARTITION BY event_type) AS n
+        |        FROM events)),
+        |wide AS (
+        |  SELECT event_type, split,
+        |    sqrt(avg(power(value - yhat, 2))) AS rmse,
+        |    avg(abs(value - yhat)) AS mae
+        |  FROM s WHERE yhat IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, split, 'RMSE' AS metric, rmse AS value FROM wide
+        |UNION ALL
+        |SELECT event_type, split, 'MAE' AS metric, mae AS value FROM wide""".stripMargin,
     "ordered_split" ->
       """SELECT event_type, split, count(*) AS n_rows, sum(value) AS sum_value
         |FROM (SELECT event_type, value,

@@ -140,6 +140,33 @@ object Rolling {
         count(lit(1)).as("n"))
   }
 
+  /** Long-format metrics table (evaluation.py:146-158): one row per
+    * (split, metric), values = persistence-baseline RMSE/MAE computed per
+    * ordered split — the §1.1 metrics data model as a query.
+    */
+  def metricsLong(events: DataFrame): DataFrame = {
+    val w = byTypeTime
+    val cnt = Window.partitionBy(col("event_type"))
+    val withSplit = events
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cnt))
+      .withColumn("split",
+        when(col("rn") <= lit(0.8) * col("n"), "train")
+          .when(col("rn") <= lit(0.9) * col("n"), "val")
+          .otherwise("test"))
+      .withColumn("yhat", lag(col("value"), 1).over(byTypeTime))
+      .filter(col("yhat").isNotNull)
+    val wide = withSplit
+      .groupBy(col("event_type"), col("split"))
+      .agg(
+        sqrt(avg(pow(col("value") - col("yhat"), 2))).as("rmse"),
+        avg(abs(col("value") - col("yhat"))).as("mae"))
+    wide.select(col("event_type"), col("split"), lit("RMSE").as("metric"),
+        col("rmse").as("value"))
+      .unionByName(wide.select(col("event_type"), col("split"),
+        lit("MAE").as("metric"), col("mae").as("value")))
+  }
+
   /** Ordered 0.8/0.1/0.1 train/val/test split (training.py:122-132):
     * position-based, NOT random — time-series discipline. Returns per
     * (event_type, split) row counts and value sums for verification.
