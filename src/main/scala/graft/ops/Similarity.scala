@@ -73,6 +73,23 @@ object Similarity {
         "array_distinct(transform(sequence(0, size(w) - 3), i -> " +
           "concat(w[i], ' ', w[i+1], ' ', w[i+2])))"))
 
+  /** Shingles as ROWS via arrays_zip + slice + concat_ws — every operator
+    * codegen'd (the `transform` lambda above runs interpreted). Emits
+    * duplicates: fine for any min/collect_set consumer, which is exactly
+    * the MinHash path.
+    */
+  private def shingleRows(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 3)
+      .withColumn("w1", slice(col("w"), lit(2), size(col("w"))))
+      .withColumn("w2", slice(col("w"), lit(3), size(col("w"))))
+      .select(col("doc_id"),
+        explode(arrays_zip(col("w"), col("w1"), col("w2"))).as("z"))
+      .filter(col("z.w2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("z.w"), col("z.w1"), col("z.w2")).as("s"))
+
   // -------------------------------------------------------------- minhash
 
   /** Deterministic affine hash family over a Mersenne prime. a_i/b_i are
@@ -95,8 +112,7 @@ object Similarity {
     * re-hashes every shingle k times: ~200× slower, measured.)
     */
   def minhashSignatureCols(documents: DataFrame, k: Int): DataFrame = {
-    val hashes = withShingles(documents)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val hashes = shingleRows(documents)
       .withColumn("h", pmod(xxhash64(col("s")), lit(MinhashP)))
     val aggs = (0 until k).map { i =>
       val a = hashParam(i)
@@ -135,8 +151,7 @@ object Similarity {
     // the local analogue of persisting the signature artifact, which is
     // what a production pipeline does at scale. Only (doc_id, h) longs
     // are kept; the shingle strings never leave the first stage.
-    val hashes = withShingles(documents)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val hashes = shingleRows(documents)
       .select(col("doc_id"), pmod(xxhash64(col("s")), lit(MinhashP)).as("h"))
       .localCheckpoint()
     val sigAggs = (0 until k).map { i =>
