@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-up evidence run (not part of the driver contract): generates a
+  * 5M-row tick stream in memory (50× the sf0.1 events table) and runs the
+  * flagship plans, printing per-query wall times. The point is plan
+  * SHAPE under growth: the OHLC aggregate and per-symbol windows must
+  * scale near-linearly because no stage is single-task.
+  *
+  * Usage: `sbt 'runMain graft.Stress [rows]'`.
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(5000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // 1-second ticks across 20 symbols with a deterministic pseudo-random
+    // walk (hash-derived, no RNG state).
+    val events = spark.range(rows)
+      .select(
+        col("id").as("event_id"),
+        timestamp_seconds(lit(1704067200L) + col("id") / 20).as("ts"),
+        concat(lit("sym"), pmod(col("id"), lit(20))).as("event_type"),
+        (lit(100.0) +
+          (pmod(xxhash64(col("id")), lit(20001L)) - 10000L) / 1000.0).as("value"),
+        pmod(col("id"), lit(1000)).as("user_id"),
+        lit("{}").as("props"))
+
+    def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"STRESS $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
+    }
+
+    time("ohlc_hourly")(ops.Resample.ohlcHourly(events))
+    time("ma_volatility")(ops.Rolling.maVolatility(ops.Resample.ohlcHourly(events)))
+    time("returns_lag")(ops.Rolling.returnsLag(events))
+    time("minmax_scale")(ops.Rolling.minMaxScale(events))
+    time("seq_sliding_scale")(ops.Sequences.slidingSequencesScale(events, 60))
+    time("asof_join")(ops.Joins.asofJoin(events))
+    spark.stop()
+  }
+}

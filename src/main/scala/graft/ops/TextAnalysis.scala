@@ -105,14 +105,19 @@ object TextAnalysis {
     * building block of content-defined dedup keys).
     */
   def fingerprint(documents: DataFrame): DataFrame = {
-    // Explode + hash aggregate (codegen'd md5 per shingle row, map-side
-    // combined min) rather than interpreted per-element lambdas.
+    // Shingle rows via arrays_zip + slice (whole-stage codegen; the
+    // transform() lambda spelling runs interpreted), then md5 per row
+    // with a map-side-combined min aggregate.
     val shingleFp = documents
       .withColumn("w", toks)
       .filter(size(col("w")) >= 3)
+      .withColumn("w1", slice(col("w"), lit(2), size(col("w"))))
+      .withColumn("w2", slice(col("w"), lit(3), size(col("w"))))
       .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(w) - 3), i -> " +
-          "concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("s"))
+        explode(arrays_zip(col("w"), col("w1"), col("w2"))).as("z"))
+      .filter(col("z.w2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("z.w"), col("z.w1"), col("z.w2")).as("s"))
       .groupBy(col("doc_id"))
       .agg(min(md5(col("s"))).as("shingle_fp"),
         count(lit(1)).cast("int").as("n_shingles"))
