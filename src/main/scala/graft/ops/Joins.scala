@@ -30,15 +30,19 @@ import org.apache.spark.sql.functions._
 object Joins {
 
   /** J1: revenue rollup through the full dimension chain
-    * lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region. Dimensions
-    * broadcast; the single real shuffle is lineitem ⋈ orders + the final
-    * partial/final hash agg.
+    * lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+    *
+    * Hint discipline: only the BOUNDED dimensions (nation: 25 rows,
+    * region: 5 — constant at any scale factor) carry `broadcast()`.
+    * customer/orders grow with the dataset — force-broadcasting them
+    * works at sf0.1 and OOMs a 100 TB cluster; AQE picks broadcast vs
+    * shuffle for those at runtime from actual sizes.
     */
   def starRevenue(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
                   nation: DataFrame, region: DataFrame): DataFrame =
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
