@@ -19,6 +19,15 @@ import graft.agg.CumProd
   * symbol's series fits a partition, and Spark runs the sorts in parallel
   * per symbol with no global shuffle-to-one-task (unlike the reference's
   * unpartitioned window, SURVEY §4.3.1).
+  *
+  * Known limit: with FEW symbols and deep history, one symbol's entire
+  * series still lands in one window task. The evolution for that regime
+  * is a chunked two-pass — bucket each series by coarse time, compute
+  * per-bucket partials, prefix-merge bucket summaries (tiny), then
+  * finalize within buckets — turning each unbounded-preceding aggregate
+  * (cumprod, running sums) into two hash aggregates plus a bounded sort.
+  * Not implemented here because the bench's symbol cardinality keeps the
+  * per-task slice small; the flagship resample path never has the issue.
   */
 object Rolling {
 
