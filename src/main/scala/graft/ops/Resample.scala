@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   * `min_by`/`max_by` keyed on the timestamp — deterministic under any
   * partitioning/shuffle order, and oracle-checkable (DuckDB
   * `arg_min`/`arg_max` use the same tie rule; `ts` is unique in the data).
+  *
+  * Determinism fine print (property-tested): open/high/low/close/n_trades
+  * are bit-exact under any input order; `volume` is a float SUM whose
+  * accumulation order is partition-dependent, so it is reproducible only
+  * to ~1 ULP — an inherent property of every distributed float sum, and
+  * well inside the oracle's float tolerance.
   */
 object Resample {
 

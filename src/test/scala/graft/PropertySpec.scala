@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.{Resample, Rolling}
+
+/** ScalaCheck properties (SURVEY §5.2.3): resample invariants on generated
+  * gapless series, scaler round-trip, shuffle-invariance. Generators are
+  * driven directly with deterministic seeds (no scalatestplus bridge in
+  * the offline cache).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int, seed0: Long): Seq[T] =
+    (0 until n).flatMap(i => g(Gen.Parameters.default, Seed(seed0 + i)))
+
+  private val seriesGen: Gen[List[Double]] = for {
+    n <- Gen.choose(10, 400)
+    start <- Gen.choose(100.0, 10000.0)
+    steps <- Gen.listOfN(n, Gen.choose(-5.0, 5.0))
+  } yield steps.scanLeft(start)(_ + _)
+
+  private def toEvents(prices: List[Double]) =
+    prices.zipWithIndex.map { case (v, i) =>
+      (i.toLong, new Timestamp(1704067200000L + i * 60000L), "p", v)
+    }.toDF("event_id", "ts", "event_type", "value")
+
+  test("resample invariants: trades conserved, high/low envelope, bucket count") {
+    samples(seriesGen, 8, 100L).foreach { prices =>
+      val hourly = Resample.ohlcHourly(toEvents(prices)).collect()
+      assert(hourly.map(_.getAs[Long]("n_trades")).sum == prices.length)
+      assert(hourly.map(_.getAs[Double]("high")).max == prices.max)
+      assert(hourly.map(_.getAs[Double]("low")).min == prices.min)
+      // 1-minute ticks: ceil(n/60) hourly buckets
+      assert(hourly.length == (prices.length + 59) / 60)
+      hourly.foreach { r =>
+        assert(r.getAs[Double]("low") <= r.getAs[Double]("open"))
+        assert(r.getAs[Double]("open") <= r.getAs[Double]("high"))
+        assert(r.getAs[Double]("low") <= r.getAs[Double]("close"))
+      }
+    }
+  }
+
+  test("scaler round-trip: inverse(scale(x)) recovers x") {
+    samples(seriesGen, 8, 200L).foreach { prices =>
+      Rolling.minMaxRoundtrip(toEvents(prices)).collect().foreach { r =>
+        assert(approx(r.getAs[Double]("unscaled"), r.getAs[Double]("value"), 1e-9))
+      }
+    }
+  }
+
+  test("shuffle invariance: OHLC identical under any input order") {
+    samples(seriesGen.flatMap(p => Gen.choose(0L, Long.MaxValue).map((p, _))),
+      5, 300L).foreach { case (prices, seed) =>
+      val base = toEvents(prices)
+      val shuffled = new scala.util.Random(seed).shuffle(
+        prices.zipWithIndex.map { case (v, i) =>
+          (i.toLong, new Timestamp(1704067200000L + i * 60000L), "p", v)
+        }).toDF("event_id", "ts", "event_type", "value").repartition(3)
+      val a = Resample.ohlcHourly(base).orderBy("bucket").collect()
+      val b = Resample.ohlcHourly(shuffled).orderBy("bucket").collect()
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (x, y) =>
+        // open/high/low/close/n_trades are bit-exact under any input
+        // order (min_by/max_by/min/max/count); volume is a float SUM,
+        // whose accumulation order is partition-dependent — identical
+        // only to ~1 ULP, like any distributed float sum.
+        for (c <- Seq("bucket", "open", "high", "low", "close", "n_trades"))
+          assert(x.getAs[Any](c) == y.getAs[Any](c), c)
+        assert(approx(x.getAs[Double]("volume"), y.getAs[Double]("volume"), 1e-12))
+      }
+    }
+  }
+}
