@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object Sequences {
 
-  private def byTypeTime = Window.partitionBy(col("event_type")).orderBy(col("ts"))
+  // event_id tie-break: events carry sub-second timestamps that CAN collide
+  // at full µs resolution across loads; without a total order the sequence
+  // contents would be partitioning-dependent.
+  private def byTypeTime =
+    Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
 
   /** W8: sliding sequences of the last `n` values per event_type, emitted
     * only when the window is full, plus the next value as the training
@@ -56,12 +60,16 @@ object Sequences {
     */
   def slidingSequencesScale(events: DataFrame, n: Int): DataFrame = {
     import events.sparkSession.implicits._
+    // unix_micros, NOT ts.cast("long"): the cast truncates to whole seconds,
+    // and events carry sub-second components with ties at second granularity
+    // — truncation would order tied rows arbitrarily and break parity with
+    // slidingSequences. event_id breaks any residual full-µs ties.
     val input = events
       .select(col("event_id"), col("event_type"), col("value"),
-        col("ts").cast("long").as("ts_s"))
+        unix_micros(col("ts")).as("ts_us"))
       .as[(Long, String, Double, Long)]
       .repartition(col("event_type"))
-      .sortWithinPartitions(col("event_type"), col("ts_s"))
+      .sortWithinPartitions(col("event_type"), col("ts_us"), col("event_id"))
     input.mapPartitions { iter =>
       // Rows arrive clustered by event_type, time-sorted within each; the
       // buffer resets at each symbol boundary. A full buffer becomes a
