@@ -37,10 +37,17 @@ object SparkEntry {
     "ohlc_rowbucket_scale" -> ((s, d) => Resample.ohlcRowBucketScale(ev(s, d), 500)),
     // W3/W4: rolling mean + stddev volatility bands on the hourly series.
     "ma_volatility" -> ((s, d) => Rolling.maVolatility(Resample.ohlcHourly(ev(s, d)))),
+    // Same, pandas min_periods semantics: NULL until the window is full
+    // (the notebook's rolling(n) default — NaN for the first n−1 rows).
+    "ma_volatility_strict" -> ((s, d) =>
+      Rolling.maVolatility(Resample.ohlcHourly(ev(s, d)), pandasMinPeriods = true)),
     // W5/W6: lag + pct_change returns.
     "returns_lag" -> ((s, d) => Rolling.returnsLag(ev(s, d))),
     // W7/U1: exact cumulative-product equity curve (custom Aggregator).
     "cumprod_equity" -> ((s, d) => Rolling.cumprodEquity(ev(s, d))),
+    // W7 deep-series evolution: chunked two-pass, no unbounded per-symbol
+    // window (same oracle — results agree to float re-association).
+    "cumprod_equity_chunked" -> ((s, d) => Rolling.cumprodEquityChunked(ev(s, d))),
     // P8+W3-W7: MA-crossover backtest as one composed query.
     "ma_crossover" -> ((s, d) => Rolling.maCrossoverBacktest(Resample.ohlcHourly(ev(s, d)))),
     // A6/J1: min-max scaling via broadcast grouped-stats join.
@@ -55,11 +62,13 @@ object SparkEntry {
     "metrics_long" -> ((s, d) => Rolling.metricsLong(ev(s, d))),
     // A4: summary statistics incl. exact quartiles.
     "summary_stats" -> ((s, d) => Stats.summaryStats(li(s, d))),
-    // Sketch quantiles (rows-only; error bound vs exact pinned in tests —
-    // selecting only the sketch columns lets Catalyst prune the exact
-    // full-sort aggregates out of the plan).
+    // Sketch quantiles: registered with the EXACT columns (n + exact
+    // percentiles — DuckDB-comparable); the sketch columns are pinned by
+    // StatsSpec's error-bound test instead (no cross-engine t-digest
+    // equality exists). Projection-pruning of the unused agg columns is
+    // itself part of the P3 story.
     "summary_approx" -> ((s, d) => Stats.summaryApprox(li(s, d))
-      .select("n", "approx_median", "approx_p99")),
+      .select("n", "exact_median", "exact_p99")),
     // A5: pairwise Pearson correlation matrix.
     "corr_matrix" -> ((s, d) => Stats.corrMatrix(li(s, d))),
     // Grouping sets: rollup subtotals + grand total.
@@ -68,8 +77,11 @@ object SparkEntry {
     "range_frame" -> ((s, d) => Stats.rangeFrameAvg(ev(s, d))),
     // Set operations: intersect + except, tagged.
     "set_ops" -> ((s, d) => Sequences.setOps(ev(s, d))),
-    // HLL++ approx distinct vs exact (rows-only; bound pinned in tests).
-    "dedup_approx" -> ((s, d) => Similarity.approxDedupStats(Tables.documents(s, d))),
+    // HLL++ approx distinct vs exact. Registered with the exact columns
+    // (oracle-able); the HLL++ estimate itself is pinned within rsd of
+    // exact by SimilaritySpec (sketch values aren't cross-engine-equal).
+    "dedup_approx" -> ((s, d) => Similarity.approxDedupStats(Tables.documents(s, d))
+      .select("lang", "n_docs", "exact_distinct")),
     // J1: broadcast-hash dimension join through the whole star.
     "join_star" -> ((s, d) => Joins.starRevenue(li(s, d), Tables.orders(s, d),
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
@@ -93,12 +105,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value") - col("type_avg")).as("sum_dev"))
     }),
-    // W8: sliding sequences (array output; rows-only driver check).
-    "seq_sliding" -> ((s, d) => Sequences.slidingSequences(ev(s, d), 5)),
+    // W8: sliding sequences. Registered array-free (seq_0..seq_4 element
+    // columns — the driver's pandas checker can't hash array cells); the
+    // ArrayType form stays the library API (SequencesSpec pins it).
+    "seq_sliding" -> ((s, d) =>
+      Sequences.flattenSeq(Sequences.slidingSequences(ev(s, d), 5), 5)),
     // W8: scalar projection of the same sequences, fully oracled.
     "seq_sliding_stats" -> ((s, d) => Sequences.slidingSequenceStats(ev(s, d), 5)),
-    // W8 scale path: mapPartitions carry-over generator (parity-tested).
-    "seq_sliding_scale" -> ((s, d) => Sequences.slidingSequencesScale(ev(s, d), 5)),
+    // W8 scale path: mapPartitions carry-over generator, same flattening.
+    "seq_sliding_scale" -> ((s, d) =>
+      Sequences.flattenSeq(Sequences.slidingSequencesScale(ev(s, d), 5), 5)),
     // W9: tail-N latest window per symbol.
     "seq_tail" -> ((s, d) => Sequences.tailN(ev(s, d), 60)),
     // O3: global top-k.
@@ -131,15 +147,25 @@ object SparkEntry {
     "dedup_rows" -> ((s, d) => Similarity.exactDedup(Tables.documents(s, d))),
     // LLM tier — near-dup (MinHash signatures + banded-LSH pairs).
     "minhash_sigs" -> ((s, d) => Similarity.minhashSignatures(Tables.documents(s, d))),
-    "minhash_neardup" -> ((s, d) => Similarity.minhashNearDup(Tables.documents(s, d))),
-    "ngram_jaccard" -> ((s, d) => Similarity.ngramJaccard(Tables.documents(s, d), 100L, 0.1)),
+    // Production shape: the hashed-shingle signature table is written to a
+    // (temp) lake artifact and re-read by both band join and verify.
+    "minhash_neardup" -> ((s, d) => Similarity.minhashNearDupPersisted(
+      Tables.documents(s, d),
+      java.nio.file.Files.createTempDirectory("graft_minhash_").toString
+        + "/shingle_hashes")),
+    // Bounded brute baseline: doc_id < 500 covers the whole sf0.01 verify
+    // corpus (25 real pairs ≥ 0.1) while keeping the all-pairs cost fixed
+    // at any SF. (The old bound of 100 made the result vacuously empty —
+    // every near-dup pair straddles the id range.)
+    "ngram_jaccard" -> ((s, d) => Similarity.ngramJaccard(Tables.documents(s, d), 500L, 0.1)),
     "simhash" -> ((s, d) => Similarity.simhash(Tables.documents(s, d))),
     // LLM tier — embeddings / similarity search.
     "emb_stats" -> ((s, d) => Similarity.embeddingStats(Tables.embeddings(s, d))),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d), 0L, 10)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d), 0L, 10)),
-    // All-corpus embedding near-dup pair mining via LSH bucket self-join.
-    "emb_neardup" -> ((s, d) => Similarity.embNearDup(Tables.embeddings(s, d), 0.4)),
+    // All-corpus embedding near-dup pair mining via LSH bucket self-join;
+    // plane count sized from the corpus cardinality (planesFor).
+    "emb_neardup" -> ((s, d) => Similarity.embNearDupAuto(Tables.embeddings(s, d), 0.4)),
     // LLM tier — multimodal binary-column plumbing (stubbed decode).
     "multimodal_meta" -> ((s, d) => Multimodal.decodeMeta(Tables.documents(s, d))),
     "frame_sample" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d), 100)),
@@ -182,12 +208,40 @@ object SparkEntry {
         |WINDOW
         | w7 AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
         | w30 AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "ma_volatility_strict" ->
+      """WITH hourly AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
+        |         arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT bucket, event_type, close,
+        |   avg(close) OVER w7 AS ma7_raw, count(*) OVER w7 AS c7,
+        |   avg(close) OVER w30 AS ma30_raw,
+        |   stddev_samp(close) OVER w30 AS sd30_raw, count(*) OVER w30 AS c30
+        |  FROM hourly
+        |  WINDOW
+        |   w7 AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+        |   w30 AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+        |SELECT bucket, event_type, close,
+        | CASE WHEN c7 >= 7 THEN ma7_raw END AS ma7,
+        | CASE WHEN c30 >= 30 THEN ma30_raw END AS ma30,
+        | CASE WHEN c30 >= 30 THEN sd30_raw END AS sd30,
+        | CASE WHEN c30 >= 30 THEN ma30_raw + 2.0 * sd30_raw END AS band_hi,
+        | CASE WHEN c30 >= 30 THEN ma30_raw - 2.0 * sd30_raw END AS band_lo
+        |FROM m""".stripMargin,
     "returns_lag" ->
       """SELECT event_id, event_type, value,
         | lag(value, 1) OVER w AS prev_value,
         | value / lag(value, 1) OVER w - 1 AS ret
         |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts)""".stripMargin,
     "cumprod_equity" ->
+      """SELECT event_id, event_type, value, factor,
+        | product(factor) OVER (PARTITION BY event_type ORDER BY ts
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS equity
+        |FROM (SELECT *, coalesce(value / lag(value, 1) OVER
+        |        (PARTITION BY event_type ORDER BY ts), 1.0) AS factor
+        |      FROM events)""".stripMargin,
+    "cumprod_equity_chunked" ->
       """SELECT event_id, event_type, value, factor,
         | product(factor) OVER (PARTITION BY event_type ORDER BY ts
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS equity
@@ -283,6 +337,11 @@ object SparkEntry {
         | avg(l_discount) AS avg_disc, min(l_discount) AS min_disc,
         | max(l_discount) AS max_disc
         |FROM lineitem""".stripMargin,
+    "summary_approx" ->
+      """SELECT count(*) AS n,
+        | quantile_cont(l_extendedprice, 0.50) AS exact_median,
+        | quantile_cont(l_extendedprice, 0.99) AS exact_p99
+        |FROM lineitem""".stripMargin,
     "corr_matrix" ->
       """SELECT
         | corr(l_quantity, l_extendedprice) AS corr_qty_price,
@@ -359,14 +418,37 @@ object SparkEntry {
         |FROM events e
         |ASOF LEFT JOIN hourly b
         |  ON e.event_type = b.event_type AND e.ts >= b.bucket_end""".stripMargin,
+    // ORDER BY (ts, event_id) in every window: the Spark side's total order
+    // (byTypeTime) — µs-level ts ties would otherwise leave the oracle's
+    // list()/lead() contents order-arbitrary while Spark's are pinned.
+    "seq_sliding" ->
+      """SELECT event_id, event_type,
+        | seq[1] AS seq_0, seq[2] AS seq_1, seq[3] AS seq_2,
+        | seq[4] AS seq_3, seq[5] AS seq_4, target
+        |FROM (SELECT event_id, event_type,
+        |        list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS seq,
+        |        lead(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS target
+        |      FROM events)
+        |WHERE len(seq) = 5 AND target IS NOT NULL""".stripMargin,
+    "seq_sliding_scale" ->
+      """SELECT event_id, event_type,
+        | seq[1] AS seq_0, seq[2] AS seq_1, seq[3] AS seq_2,
+        | seq[4] AS seq_3, seq[5] AS seq_4, target
+        |FROM (SELECT event_id, event_type,
+        |        list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS seq,
+        |        lead(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS target
+        |      FROM events)
+        |WHERE len(seq) = 5 AND target IS NOT NULL""".stripMargin,
     "seq_sliding_stats" ->
       """SELECT event_id, event_type,
         | seq[1] AS seq_first, seq[5] AS seq_last,
         | list_sum(seq) AS seq_sum, CAST(len(seq) AS INTEGER) AS seq_len, target
         |FROM (SELECT event_id, event_type,
-        |        list(value) OVER (PARTITION BY event_type ORDER BY ts
+        |        list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
         |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS seq,
-        |        lead(value, 1) OVER (PARTITION BY event_type ORDER BY ts) AS target
+        |        lead(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS target
         |      FROM events)
         |WHERE len(seq) = 5 AND target IS NOT NULL""".stripMargin,
     "seq_tail" ->
@@ -480,6 +562,10 @@ object SparkEntry {
         | CAST(len(w) - 2 AS INTEGER) AS n_shingles
         |FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents)
         |WHERE len(w) >= 3""".stripMargin,
+    "dedup_approx" ->
+      """SELECT lang, count(*) AS n_docs,
+        | count(DISTINCT md5(text)) AS exact_distinct
+        |FROM documents GROUP BY 1""".stripMargin,
     "dedup_exact" ->
       """SELECT source, count(*) AS n_docs,
         | count(DISTINCT text) AS n_distinct_text,
@@ -508,7 +594,7 @@ object SparkEntry {
         |    list_distinct(list_transform(generate_series(1, len(w) - 2),
         |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
-        |        WHERE doc_id < 100)
+        |        WHERE doc_id < 500)
         |  WHERE len(w) >= 3)
         |SELECT doc_a, doc_b, jaccard FROM (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -41,12 +41,24 @@ object Stress {
       println(f"STRESS $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
     }
 
+    // Same volume, ONE symbol — the deep-series regime where per-symbol
+    // windows collapse to a single task. The chunked two-pass must stay
+    // within ~2× of the 20-symbol time; the plain unbounded window is
+    // timed alongside as the anti-baseline.
+    val oneSymbol = events.withColumn("event_type", lit("btc"))
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("event_id")))
+
     time("ohlc_hourly")(ops.Resample.ohlcHourly(events))
     time("ma_volatility")(ops.Rolling.maVolatility(ops.Resample.ohlcHourly(events)))
     time("returns_lag")(ops.Rolling.returnsLag(events))
     time("minmax_scale")(ops.Rolling.minMaxScale(events))
     time("seq_sliding_scale")(ops.Sequences.slidingSequencesScale(events, 60))
     time("asof_join")(ops.Joins.asofJoin(events))
+    time("cumprod_20sym")(ops.Rolling.cumprodEquity(events))
+    // 1-day chunks over ~58 days of 1 s ticks → ~58 chunks × ~86k rows
+    time("cumprod_1sym_chunked")(
+      ops.Rolling.cumprodEquityChunked(oneSymbol, 86400L * 1000000L))
+    time("cumprod_1sym_window")(ops.Rolling.cumprodEquity(oneSymbol))
     spark.stop()
   }
 }

@@ -80,6 +80,47 @@ object Sources {
     out.result()
   }
 
+  /** S1 (fetch half): download `url` to `outPath` — the reference's
+    * `requests.get` of the monthly archive
+    * (`btcusdt_ingest_data.py:36-85`). http(s) goes through
+    * `java.net.http.HttpClient` (redirects followed, non-2xx raises —
+    * the reference's `raise_for_status`); other schemes (`file:`, any
+    * Hadoop-served URI) stream-copy, which is how the offline tests
+    * exercise the seam. Driver-side edge step by design: one archive per
+    * (source, period), never a distributed op.
+    */
+  def download(url: String, outPath: String): String = {
+    val uri = java.net.URI.create(url)
+    val target = new File(outPath)
+    Option(target.getParentFile).foreach(_.mkdirs())
+    uri.getScheme match {
+      case "http" | "https" =>
+        val client = java.net.http.HttpClient.newBuilder()
+          .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+          .build()
+        val req = java.net.http.HttpRequest.newBuilder(uri).GET().build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofFile(target.toPath))
+        require(resp.statusCode() / 100 == 2,
+          s"GET $url returned HTTP ${resp.statusCode()}")
+      case _ =>
+        val in = uri.toURL.openStream()
+        try java.nio.file.Files.copy(in, target.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        finally in.close()
+    }
+    target.getAbsolutePath
+  }
+
+  /** S1 end-to-end: fetch + unpack, the full
+    * `download_and_extract_binance_data` shape. Returns extracted paths.
+    */
+  def downloadAndExtract(url: String, workDir: String): Seq[String] = {
+    val name = new File(java.net.URI.create(url).getPath).getName
+    val zip = download(url, new File(workDir, name).getAbsolutePath)
+    extractZip(zip, workDir)
+  }
+
   /** S2: the config-driven crawl manifest — (name, period) pairs expanded
     * to archive names, with the reference's period-format validation
     * (`btcusdt_ingest_data.py:87-153`, `strptime(period, '%Y-%m')`).

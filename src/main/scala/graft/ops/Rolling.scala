@@ -22,12 +22,11 @@ import graft.agg.CumProd
   *
   * Known limit: with FEW symbols and deep history, one symbol's entire
   * series still lands in one window task. The evolution for that regime
-  * is a chunked two-pass — bucket each series by coarse time, compute
-  * per-bucket partials, prefix-merge bucket summaries (tiny), then
-  * finalize within buckets — turning each unbounded-preceding aggregate
-  * (cumprod, running sums) into two hash aggregates plus a bounded sort.
-  * Not implemented here because the bench's symbol cardinality keeps the
-  * per-task slice small; the flagship resample path never has the issue.
+  * is the chunked two-pass implemented by [[cumprodEquityChunked]] —
+  * bucket each series by coarse time, compute per-chunk partials under
+  * bounded (symbol, chunk) windows, prefix-merge the tiny chunk-summary
+  * table, then finalize within chunks — turning the unbounded-preceding
+  * aggregate into bounded sorts plus one small-window pass.
   */
 object Rolling {
 
@@ -35,18 +34,28 @@ object Rolling {
 
   /** Rolling mean + sample stddev over the hourly close series, with ±2σ
     * volatility bands (notebook cell 14) and the MA7/MA30 pair (cell 16).
-    * Frames are row-based trailing windows, matching pandas
-    * `rolling(n)` evaluated at the right edge (but min_periods=1 style:
-    * partial windows at series start emit the stat over available rows).
+    * Frames are row-based trailing windows, matching pandas `rolling(n)`
+    * evaluated at the right edge.
+    *
+    * `pandasMinPeriods = false` (default): partial windows at series
+    * start emit the stat over available rows (min_periods=1 style).
+    * `true`: each stat is NULL until its window is full — bit-for-bit the
+    * notebook's `rolling(n)` default (NaN for the first n−1 rows).
     */
-  def maVolatility(hourly: DataFrame): DataFrame = {
+  def maVolatility(hourly: DataFrame,
+                   pandasMinPeriods: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
     val w7 = w.rowsBetween(-6, 0)
     val w30 = w.rowsBetween(-29, 0)
+    def gate(c: org.apache.spark.sql.Column,
+             frame: org.apache.spark.sql.expressions.WindowSpec, n: Int) =
+      if (!pandasMinPeriods) c
+      else when(count(lit(1)).over(frame) >= n, c)
     hourly
-      .withColumn("ma7", avg(col("close")).over(w7))
-      .withColumn("ma30", avg(col("close")).over(w30))
-      .withColumn("sd30", stddev_samp(col("close")).over(w30))
+      .withColumn("ma7", gate(avg(col("close")).over(w7), w7, 7))
+      .withColumn("ma30", gate(avg(col("close")).over(w30), w30, 30))
+      .withColumn("sd30", gate(stddev_samp(col("close")).over(w30), w30, 30))
+      // bands derive from the gated columns, so the NULL prefix propagates
       .withColumn("band_hi", col("ma30") + lit(2.0) * col("sd30"))
       .withColumn("band_lo", col("ma30") - lit(2.0) * col("sd30"))
       .select("bucket", "event_type", "close", "ma7", "ma30", "sd30",
@@ -80,6 +89,69 @@ object Rolling {
       .withColumn("equity", CumProd.product(col("factor")).over(wGrow))
       .select(col("event_id"), col("event_type"), col("value"),
         col("factor"), col("equity"))
+  }
+
+  /** [[cumprodEquity]] for the deep-single-symbol regime: identical
+    * output, but NO unbounded per-symbol window. Rows are chunked by
+    * coarse time (`floor(epoch_µs / chunkMicros)` — a pure map, so chunk
+    * assignment never shuffles), and the unbounded-preceding product
+    * factors into:
+    *
+    *   1. within-chunk lag + running product over a
+    *      `(event_type, chunk)` window — sort + state bounded by chunk
+    *      span, parallel across chunks of the SAME symbol;
+    *   2. a per-chunk summary (last value, chunk product — one row per
+    *      chunk, via `max_by` over the already-computed running column);
+    *   3. a prefix merge over the summary table — the only per-symbol
+    *      sequential step, sized #chunks not #rows (100 TB of one symbol
+    *      at 1-day chunks ≈ 10⁴ summary rows: trivial);
+    *   4. a broadcast join of the prefix back, `equity = prefix × running`.
+    *
+    * Chunk-boundary factors use the previous chunk's last value, so
+    * results match [[cumprodEquity]] exactly up to float re-association
+    * (chunk products multiply as one term; parity spec pins ≤ 1e-12
+    * relative). Empty time-chunks cost nothing — the summary window's
+    * `lag` skips to the previous chunk that exists.
+    */
+  def cumprodEquityChunked(events: DataFrame,
+                           chunkMicros: Long = 3600L * 1000000L): DataFrame = {
+    val wChunk = Window.partitionBy(col("event_type"), col("chunk"))
+      .orderBy(col("ts"), col("event_id"))
+    val wChunkGrow = wChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bySymbolChunk = Window.partitionBy(col("event_type")).orderBy(col("chunk"))
+    val ord = struct(col("ts"), col("event_id"))
+
+    val chunked = events
+      .withColumn("chunk", floor(unix_micros(col("ts")) / lit(chunkMicros)))
+      .withColumn("prev_in_chunk", lag(col("value"), 1).over(wChunk))
+
+    // Tiny summary #1: last value per (symbol, chunk) → previous chunk's
+    // close, joined back so each chunk's FIRST row gets its true lag.
+    val lastVals = chunked.groupBy(col("event_type"), col("chunk"))
+      .agg(max_by(col("value"), ord).as("chunk_last"))
+      .withColumn("prev_chunk_last", lag(col("chunk_last"), 1).over(bySymbolChunk))
+      .select(col("event_type"), col("chunk"), col("prev_chunk_last"))
+
+    val withRunning = chunked
+      .join(broadcast(lastVals), Seq("event_type", "chunk"))
+      .withColumn("factor", coalesce(
+        try_divide(col("value"),
+          coalesce(col("prev_in_chunk"), col("prev_chunk_last"))), lit(1.0)))
+      .withColumn("running", CumProd.product(col("factor")).over(wChunkGrow))
+
+    // Tiny summary #2: chunk totals (= last running, sequential order
+    // preserved) → exclusive prefix product of all prior chunks.
+    val prefixes = withRunning.groupBy(col("event_type"), col("chunk"))
+      .agg(max_by(col("running"), ord).as("chunk_prod"))
+      .withColumn("prefix", coalesce(
+        CumProd.product(col("chunk_prod")).over(
+          bySymbolChunk.rowsBetween(Window.unboundedPreceding, -1)), lit(1.0)))
+      .select(col("event_type"), col("chunk"), col("prefix"))
+
+    withRunning
+      .join(broadcast(prefixes), Seq("event_type", "chunk"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("factor"), (col("prefix") * col("running")).as("equity"))
   }
 
   /** MA-crossover backtest (notebook cell 16) as ONE composed query:

@@ -37,6 +37,18 @@ object Sequences {
       .filter(size(col("seq")) === n && col("target").isNotNull)
       .select(col("event_id"), col("event_type"), col("seq"), col("target"))
 
+  /** Array-free projection of [[slidingSequences]]-shaped output: one
+    * scalar column per sequence position (`seq_0..seq_{n-1}`). The array
+    * column is the library API; this projection exists for harnesses that
+    * hash plain columns (the driver's pandas checker can't sort/hash
+    * ndarray cells). Pins the FULL sequence contents, element by element.
+    */
+  def flattenSeq(seqs: DataFrame, n: Int): DataFrame =
+    seqs.select(
+      col("event_id") +: col("event_type") +:
+        (0 until n).map(i => element_at(col("seq"), i + 1).as(s"seq_$i")) :+
+        col("target"): _*)
+
   /** W8 scalar projection of [[slidingSequences]] — same op, but emitting
     * per-sequence scalars (first/last/sum/len) so the DuckDB oracle
     * compares plain columns instead of array cells.

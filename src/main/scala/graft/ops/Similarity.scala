@@ -140,20 +140,41 @@ object Similarity {
     * candidate volume; the verify step keeps the output exact either way.)
     */
   def minhashNearDup(documents: DataFrame, k: Int = 32,
-                     threshold: Double = 0.3): DataFrame = {
+                     threshold: Double = 0.3): DataFrame =
+    // One tokenize/shingle/hash pass, materialized (localCheckpoint) and
+    // shared by BOTH the signature branch and the verification branch.
+    // In-memory variant for interactive use; pipelines should prefer
+    // [[minhashNearDupPersisted]] — localCheckpoint pins blocks to
+    // executor storage, which doesn't survive executor loss at scale.
+    nearDupFromHashes(shingleHashes(documents).localCheckpoint(), k, threshold)
+
+  /** The persistable signature input: hashed-shingle rows (doc_id, h).
+    * Only longs — the shingle strings never leave the first stage.
+    */
+  def shingleHashes(documents: DataFrame): DataFrame =
+    shingleRows(documents)
+      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(MinhashP)).as("h"))
+
+  /** Production shape of [[minhashNearDup]]: the hashed-shingle table is
+    * WRITTEN ONCE as a lake artifact (parquet) and re-read by both the
+    * band join and the verification branch — the artifact survives
+    * executor loss, is shareable across jobs (incremental dedup reuses
+    * yesterday's signatures), and caps the recompute at one scan instead
+    * of re-tokenizing 100 TB per consumer.
+    */
+  def minhashNearDupPersisted(documents: DataFrame, artifactDir: String,
+                              k: Int = 32, threshold: Double = 0.3): DataFrame = {
+    shingleHashes(documents).write.mode("overwrite").parquet(artifactDir)
+    nearDupFromHashes(documents.sparkSession.read.parquet(artifactDir), k, threshold)
+  }
+
+  private def nearDupFromHashes(hashes: DataFrame, k: Int,
+                                threshold: Double): DataFrame = {
     // r=1 banding: each signature position is its own band. The candidate
     // join carries ONLY (band, key, id) — never the shingle payload. With
     // a skewed shingle distribution a popular min-value makes big buckets
     // whose m² pairs would otherwise drag two ~kB arrays each through the
     // shuffle; as id pairs the same candidates are 16 bytes.
-    // One tokenize/shingle/hash pass, materialized (localCheckpoint) and
-    // shared by BOTH the signature branch and the verification branch —
-    // the local analogue of persisting the signature artifact, which is
-    // what a production pipeline does at scale. Only (doc_id, h) longs
-    // are kept; the shingle strings never leave the first stage.
-    val hashes = shingleRows(documents)
-      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(MinhashP)).as("h"))
-      .localCheckpoint()
     val sigAggs = (0 until k).map { i =>
       val a = hashParam(i)
       min(pmod(lit(a) * col("h") + lit(a + 13L), lit(MinhashP))).as(s"mh_$i")
@@ -285,6 +306,28 @@ object Similarity {
     * of weakly-similar pairs is traded for pruning (tests pin high recall
     * on genuinely clustered corpora).
     */
+  /** Hyperplane count sized FROM THE DATA: 2^nPlanes buckets such that
+    * the expected bucket population stays ≈ `targetBucketRows`. This is
+    * the invariant that keeps [[embNearDup]] scale-safe — within-bucket
+    * pairing is m², so a FIXED plane count silently degrades to
+    * near-all-pairs as the corpus grows; the plane count must grow as
+    * log2(n). Cardinality comes from one HLL++ scan
+    * (`approx_count_distinct`, fixed-size sketch); on a lake table,
+    * substitute the catalog row-count statistic and skip the scan.
+    */
+  def planesFor(embeddings: DataFrame, targetBucketRows: Long = 64L): Int = {
+    val n = embeddings.agg(approx_count_distinct(col("vec_id")).as("n"))
+      .head.getLong(0)
+    val p = math.ceil(
+      math.log(math.max(n.toDouble / targetBucketRows, 1.0)) / math.log(2.0)).toInt
+    math.min(math.max(p, 2), 24)
+  }
+
+  /** [[embNearDup]] with the plane count derived via [[planesFor]]. */
+  def embNearDupAuto(embeddings: DataFrame, threshold: Double,
+                     targetBucketRows: Long = 64L, dim: Int = 64): DataFrame =
+    embNearDup(embeddings, threshold, planesFor(embeddings, targetBucketRows), dim)
+
   def embNearDup(embeddings: DataFrame, threshold: Double,
                  nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)

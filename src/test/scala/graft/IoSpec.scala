@@ -74,6 +74,39 @@ class IoSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("download + extract + readCsv: the full S1 path against a file: URL") {
+    // The sandbox has no egress, so the fetch seam is exercised through
+    // its non-http branch (stream copy of a file: URL) — same
+    // download→unzip→scan pipeline the reference runs against the
+    // Binance archive endpoint.
+    val dir = tmpDir()
+    val zipPath = s"$dir/src/BTCUSDT-1s-2024-01.zip"
+    new File(s"$dir/src").mkdirs()
+    val zos = new ZipOutputStream(new FileOutputStream(zipPath))
+    zos.putNextEntry(new ZipEntry("BTCUSDT-1s-2024-01.csv"))
+    zos.write(klineCsv.getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    val url = new File(zipPath).toURI.toString // file:/.../BTCUSDT-1s-2024-01.zip
+    val extracted = Sources.downloadAndExtract(url, s"$dir/work")
+    assert(extracted.length == 1 && extracted.head.endsWith("2024-01.csv"))
+    assert(new File(s"$dir/work/BTCUSDT-1s-2024-01.zip").exists()) // fetched archive landed
+    val df = Sources.readCsv(spark, extracted.head, KlineSchema.schema)
+    assert(df.count() == 2)
+  }
+
+  test("download: non-2xx from an http endpoint raises (when network exists)") {
+    // Offline sandbox: the http branch can't reach a server — assert the
+    // failure is a connect-level error, not a silent empty file. (On a
+    // networked box this hits the require(status 2xx) path instead.)
+    val dir = tmpDir()
+    intercept[Exception] {
+      Sources.download("http://127.0.0.1:1/never.zip", s"$dir/never.zip")
+    }
+    assert(!new File(s"$dir/never.zip").exists() ||
+      new File(s"$dir/never.zip").length() == 0)
+  }
+
   test("crawlManifest: expands sources x periods, validates period format") {
     val m = Sources.crawlManifest(Seq("BTCUSDT-1s"), Seq("2025-08", "2025-09"))
     assert(m == Seq("BTCUSDT-1s-2025-08.zip", "BTCUSDT-1s-2025-09.zip"))

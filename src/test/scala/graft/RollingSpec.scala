@@ -37,6 +37,33 @@ class RollingSpec extends SparkSpec {
     }
   }
 
+  test("cumprodEquityChunked: matches the unbounded-window form across chunk boundaries") {
+    // 3k rows, ONE symbol, 10 s spacing, 1 h chunks → ~9 chunks with
+    // boundary rows whose lag lives in the previous chunk; plus a second
+    // sparse symbol leaving EMPTY hour-chunks between its rows.
+    val rnd = new scala.util.Random(7)
+    var a = 100.0
+    var b = 50.0
+    val rows = (0 until 3000).map { i =>
+      a *= math.exp((rnd.nextDouble() - 0.5) * 0.01)
+      (i.toLong, new Timestamp(1704067200000L + i * 10000L), "deep", a)
+    } ++ (0 until 5).map { i =>
+      b *= 1.0 + i * 0.01
+      (10000L + i, new Timestamp(1704067200000L + i * 7200000L), "sparse", b)
+    }
+    val df = rows.toDF("event_id", "ts", "event_type", "value").repartition(7)
+    val exact = Rolling.cumprodEquity(df).orderBy("event_id").collect()
+    val chunk = Rolling.cumprodEquityChunked(df).orderBy("event_id").collect()
+    assert(exact.length == chunk.length && exact.length == 3005)
+    exact.zip(chunk).foreach { case (e, c) =>
+      assert(e.getLong(0) == c.getLong(0))
+      assert(e.getDouble(3) == c.getDouble(3), s"factor @ ${e.getLong(0)}")
+      val (ee, ce) = (e.getDouble(4), c.getDouble(4))
+      assert(math.abs(ee - ce) <= 1e-12 * math.max(math.abs(ee), 1.0),
+        s"equity @ ${e.getLong(0)}: $ee vs $ce")
+    }
+  }
+
   test("minMaxScale + inverse: round-trip recovers values; constant series maps to 0") {
     val out = Rolling.minMaxRoundtrip(events).orderBy("event_id").collect()
     out.foreach { r =>
@@ -70,6 +97,23 @@ class RollingSpec extends SparkSpec {
     val closes = out.map(_.getDouble(0))
     val expected = closes.slice(4, 11).sum / 7.0
     assert(approx(out(10).getDouble(1), expected))
+  }
+
+  test("maVolatility pandasMinPeriods: NaN prefix until each window fills") {
+    val hourly = (0 until 40).map { i =>
+      (1704067200L + i * 3600L, "btc", 100.0 + i)
+    }.toDF("bucket", "event_type", "close")
+    val out = Rolling.maVolatility(hourly, pandasMinPeriods = true)
+      .orderBy("bucket").collect()
+    // pandas rolling(7): rows 0..5 NaN; rolling(30): rows 0..28 NaN
+    assert((0 until 6).forall(i => out(i).isNullAt(out(i).fieldIndex("ma7"))))
+    assert(!out(6).isNullAt(out(6).fieldIndex("ma7")))
+    assert((0 until 29).forall { i =>
+      out(i).isNullAt(out(i).fieldIndex("ma30")) &&
+        out(i).isNullAt(out(i).fieldIndex("band_hi"))
+    })
+    assert(!out(29).isNullAt(out(29).fieldIndex("ma30")))
+    assert(out(29).getAs[Double]("ma30") == (100.0 + 0 + 100.0 + 29) / 2)
   }
 
   test("orderedSplit: 0.8/0.1/0.1 row counts") {

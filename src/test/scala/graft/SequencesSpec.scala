@@ -41,6 +41,44 @@ class SequencesSpec extends SparkSpec {
     }
   }
 
+  test("slidingSequences: timestamp ties resolve by event_id, deterministically") {
+    // Sub-second components that collide at whole-second granularity
+    // (1.200s vs 1.700s vs 1.200s) plus exact-µs duplicates — the cases
+    // the (ts, event_id) total order and the unix_micros (non-truncating)
+    // path exist for. Values encode the expected order.
+    val rows = Seq(
+      (0L, new Timestamp(1704067200200L), "a", 1.0), // 0.200s
+      (1L, new Timestamp(1704067200700L), "a", 2.0), // 0.700s — same second as id 0
+      (2L, new Timestamp(1704067201200L), "a", 3.0),
+      (3L, new Timestamp(1704067201200L), "a", 4.0), // exact-µs tie with id 2
+      (4L, new Timestamp(1704067202000L), "a", 5.0),
+      (5L, new Timestamp(1704067202000L), "a", 6.0)  // exact-µs tie with id 4
+    ).toDF("event_id", "ts", "event_type", "value")
+    val expectedSeqs = Map( // (ts, event_id) total order = values 1..6
+      0L -> Seq(1.0), 1L -> Seq(1.0, 2.0), 2L -> Seq(1.0, 2.0, 3.0),
+      3L -> Seq(2.0, 3.0, 4.0), 4L -> Seq(3.0, 4.0, 5.0))
+    for (_ <- 1 to 3) { // repeated runs: determinism, not luck
+      val w = Sequences.slidingSequences(rows.repartition(5), 3)
+        .orderBy("event_id").collect()
+      assert(w.map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+      w.foreach(r => assert(r.getSeq[Double](2) == expectedSeqs(r.getLong(0))))
+      val m = Sequences.slidingSequencesScale(rows.repartition(5), 3)
+        .orderBy("event_id").collect()
+      assert(w.map(_.toSeq.toList).toList == m.map(_.toSeq.toList).toList)
+    }
+  }
+
+  test("flattenSeq: element columns match the array, no array column left") {
+    val out = Sequences.flattenSeq(Sequences.slidingSequences(events, 3), 3)
+      .orderBy("event_id").collect()
+    assert(out.length == 2)
+    assert(!out(0).schema.fieldNames.contains("seq"))
+    assert(out(0).getDouble(2) == 10000.0 && out(0).getDouble(3) == 10050.0 &&
+      out(0).getDouble(4) == 10100.0 && out(0).getDouble(5) == 10150.0)
+    assert(out(1).getDouble(2) == 10050.0 && out(1).getDouble(4) == 10150.0 &&
+      out(1).getDouble(5) == 10200.0)
+  }
+
   test("tailN: returns the latest n per type in original order") {
     val out = Sequences.tailN(events, 2).orderBy("ts_us").collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(3L, 4L))

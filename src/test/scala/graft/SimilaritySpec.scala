@@ -42,6 +42,19 @@ class SimilaritySpec extends SparkSpec {
     assert(!keys.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated absent
   }
 
+  test("minhashNearDupPersisted: writes the artifact, result identical to in-memory form") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_spec_").toString + "/hashes"
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val mem = Similarity.minhashNearDup(docs, threshold = 0.3).collect().map(key).toSet
+    val per = Similarity.minhashNearDupPersisted(docs, dir, threshold = 0.3)
+      .collect().map(key).toSet
+    assert(per == mem && per.nonEmpty)
+    // the artifact is a real, re-readable (doc_id, h) table
+    val art = spark.read.parquet(dir)
+    assert(art.columns.toSeq == Seq("doc_id", "h"))
+    assert(art.count() > 0)
+  }
+
   test("ngramJaccard equals hand-computed shingle-set jaccard") {
     def sh(t: String) =
       t.toLowerCase.split(" ").sliding(3).map(_.mkString(" ")).toSet
@@ -112,6 +125,27 @@ class SimilaritySpec extends SparkSpec {
     // vectors together with high probability)
     assert(pairs.nonEmpty && pairs.forall { case (a, b) => a < 10 && b < 10 })
     assert(pairs.length >= 30, s"found ${pairs.length} of 45")
+  }
+
+  test("embNearDupAuto: 10x corpus — planes grow with n, buckets stay bounded, cluster found") {
+    val rnd = new scala.util.Random(17)
+    val dim = 64
+    val center = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val cluster = (0 until 20).map { i =>
+      (i.toLong, center.map(c => c + 0.01f * rnd.nextGaussian().toFloat).toSeq, 0)
+    }
+    val noise = (20 until 2000).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq, 1)
+    }
+    val emb = (cluster ++ noise).toDF("vec_id", "embedding", "label")
+    // sizing rule: 2000 vectors / target 64 → ceil(log2(31.25)) = 5 planes
+    val p = Similarity.planesFor(emb, 64L)
+    assert(p >= 4 && p <= 6, s"planes $p") // HLL++ estimate has small rsd
+    assert(2000.0 / (1 << p) <= 2 * 64, "expected bucket size stays bounded")
+    val pairs = Similarity.embNearDupAuto(emb, 0.99, 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty && pairs.forall { case (a, b) => a < 20 && b < 20 })
+    assert(pairs.length >= 120, s"found ${pairs.length} of 190 planted pairs")
   }
 
   test("summaryApprox: sketch quantiles within 1% of exact") {

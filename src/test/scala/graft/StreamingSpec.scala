@@ -44,6 +44,63 @@ class StreamingSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("checkpointed file sink: stop/restart resumes exactly-once across the boundary") {
+    // Two runs of the SAME query over one checkpoint: run 1 sees hours
+    // 0–4.5, run 2 sees the rest plus a far-future sentinel that pushes
+    // the watermark past every real window. The [4,5) window receives
+    // rows from BOTH runs, so correct output requires the restart to
+    // recover run 1's aggregation state; equality with the batch result
+    // (no missing and no duplicated windows) is the exactly-once proof.
+    val rnd = new scala.util.Random(29)
+    val all = (0 until 3600).map { i => // 10 s cadence, 10 hours, 2 symbols
+      (i.toLong, new Timestamp(1704067200000L + i * 10000L),
+        if (i % 2 == 0) "btc" else "eth", 100.0 + rnd.nextGaussian())
+    }
+    val (phase1, phase2) = all.splitAt(1620) // boundary mid-hour at 4.5 h
+    val sentinel = Seq((99999L,
+      new Timestamp(1704067200000L + 50L * 3600000L), "btc", 1.0))
+    val dir = Files.createTempDirectory("graft_ckpt_").toString
+
+    def runOnce(): Unit = {
+      val q = StreamingResample.hourlyOhlc(spark, s"$dir/in",
+          phase1.toDF("event_id", "ts", "event_type", "value").schema)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append") // file sink: only watermark-finalized windows
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+
+    phase1.toDF("event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    runOnce() // run 1: emits only windows already below the watermark
+    (phase2 ++ sentinel).toDF("event_id", "ts", "event_type", "value")
+      .write.mode("append").parquet(s"$dir/in")
+    runOnce() // run 2: same checkpoint — resumes, finalizes the rest
+
+    val sink = spark.read.parquet(s"$dir/out")
+      .filter(col("bucket") < 1704067200L + 40L * 3600L) // drop sentinel window if present
+      .orderBy("bucket", "event_type").collect()
+    val batch = Resample.ohlcHourly(
+        all.toDF("event_id", "ts", "event_type", "value"))
+      .orderBy("bucket", "event_type").collect()
+    assert(sink.length == batch.length && sink.length == 20)
+    sink.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[Long]("bucket") == b.getAs[Long]("bucket"))
+      assert(s.getAs[String]("event_type") == b.getAs[String]("event_type"))
+      assert(s.getAs[Double]("open") == b.getAs[Double]("open"))
+      assert(s.getAs[Double]("high") == b.getAs[Double]("high"))
+      assert(s.getAs[Double]("low") == b.getAs[Double]("low"))
+      assert(s.getAs[Double]("close") == b.getAs[Double]("close"))
+      assert(approx(s.getAs[Double]("volume"), b.getAs[Double]("volume")))
+      assert(s.getAs[Long]("n_trades") == b.getAs[Long]("n_trades"))
+    }
+  }
+
   test("sliding windows: every event lands in exactly 4 windows") {
     val events = (0 until 500).map { i =>
       (i.toLong, new Timestamp(1704067200000L + i * 60000L), "btc", 1.0)
