@@ -114,44 +114,62 @@ object Rolling {
     * `lag` skips to the previous chunk that exists.
     */
   def cumprodEquityChunked(events: DataFrame,
-                           chunkMicros: Long = 3600L * 1000000L): DataFrame = {
+                           chunkMicros: Long = 3600L * 1000000L,
+                           workDir: Option[String] = None): DataFrame = {
     val wChunk = Window.partitionBy(col("event_type"), col("chunk"))
       .orderBy(col("ts"), col("event_id"))
     val wChunkGrow = wChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bySymbolChunk = Window.partitionBy(col("event_type")).orderBy(col("chunk"))
     val ord = struct(col("ts"), col("event_id"))
 
-    val chunked = events
+    // Pass 1 — the ONLY per-row window work, self-contained within each
+    // (symbol, chunk): within-chunk factor (rn-gated, NOT null-lag-gated:
+    // a null VALUE mid-chunk must mean factor 1.0, exactly as the plain
+    // form's try_divide-by-null does, not a fallback to the previous
+    // chunk) and the within-chunk running product g (g=1 at the chunk's
+    // first row — the cross-chunk factor is applied at finalize).
+    val pass1 = events
       .withColumn("chunk", floor(unix_micros(col("ts")) / lit(chunkMicros)))
-      .withColumn("prev_in_chunk", lag(col("value"), 1).over(wChunk))
+      .withColumn("rn", row_number().over(wChunk))
+      .withColumn("fw", when(col("rn") === 1, lit(1.0)).otherwise(
+        coalesce(try_divide(col("value"), lag(col("value"), 1).over(wChunk)),
+          lit(1.0))))
+      .withColumn("g", CumProd.product(col("fw")).over(wChunkGrow))
+      .select(col("event_id"), col("event_type"), col("chunk"), col("ts"),
+        col("value"), col("rn"), col("fw"), col("g"))
 
-    // Tiny summary #1: last value per (symbol, chunk) → previous chunk's
-    // close, joined back so each chunk's FIRST row gets its true lag.
-    val lastVals = chunked.groupBy(col("event_type"), col("chunk"))
-      .agg(max_by(col("value"), ord).as("chunk_last"))
-      .withColumn("prev_chunk_last", lag(col("chunk_last"), 1).over(bySymbolChunk))
-      .select(col("event_type"), col("chunk"), col("prev_chunk_last"))
+    // Two-pass means pass 1 is MATERIALIZED: at production scale pass it a
+    // workDir so summary + finalize read the artifact instead of
+    // recomputing the window per consumer (in-plan, Spark recomputes a
+    // shared subtree once per sink). Tests pin both paths identical.
+    val base = workDir match {
+      case Some(d) =>
+        pass1.write.mode("overwrite").parquet(d)
+        events.sparkSession.read.parquet(d)
+      case None => pass1
+    }
 
-    val withRunning = chunked
-      .join(broadcast(lastVals), Seq("event_type", "chunk"))
-      .withColumn("factor", coalesce(
-        try_divide(col("value"),
-          coalesce(col("prev_in_chunk"), col("prev_chunk_last"))), lit(1.0)))
-      .withColumn("running", CumProd.product(col("factor")).over(wChunkGrow))
-
-    // Tiny summary #2: chunk totals (= last running, sequential order
-    // preserved) → exclusive prefix product of all prior chunks.
-    val prefixes = withRunning.groupBy(col("event_type"), col("chunk"))
-      .agg(max_by(col("running"), ord).as("chunk_prod"))
-      .withColumn("prefix", coalesce(
-        CumProd.product(col("chunk_prod")).over(
+    // Tiny per-chunk summary → per-symbol prefix merge, sized #chunks not
+    // #rows: cross-chunk first-row factor f1 = first/prev-last, exclusive
+    // running product e_prev of the full-chunk products (f1 × g_total).
+    val prefixes = base.groupBy(col("event_type"), col("chunk"))
+      .agg(
+        min_by(col("value"), ord).as("first_value"),
+        max_by(col("value"), ord).as("last_value"),
+        max_by(col("g"), ord).as("g_total"))
+      .withColumn("f1", coalesce(
+        try_divide(col("first_value"),
+          lag(col("last_value"), 1).over(bySymbolChunk)), lit(1.0)))
+      .withColumn("e_prev", coalesce(
+        CumProd.product(col("f1") * col("g_total")).over(
           bySymbolChunk.rowsBetween(Window.unboundedPreceding, -1)), lit(1.0)))
-      .select(col("event_type"), col("chunk"), col("prefix"))
+      .select(col("event_type"), col("chunk"), col("f1"), col("e_prev"))
 
-    withRunning
+    base
       .join(broadcast(prefixes), Seq("event_type", "chunk"))
       .select(col("event_id"), col("event_type"), col("value"),
-        col("factor"), (col("prefix") * col("running")).as("equity"))
+        when(col("rn") === 1, col("f1")).otherwise(col("fw")).as("factor"),
+        (col("e_prev") * col("f1") * col("g")).as("equity"))
   }
 
   /** MA-crossover backtest (notebook cell 16) as ONE composed query:

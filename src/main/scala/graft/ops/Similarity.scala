@@ -65,14 +65,6 @@ object Similarity {
 
   // ------------------------------------------------------------- shingles
 
-  private def withShingles(documents: DataFrame): DataFrame =
-    documents
-      .withColumn("w", split(lower(col("text")), " "))
-      .filter(size(col("w")) >= 3)
-      .withColumn("sh", expr(
-        "array_distinct(transform(sequence(0, size(w) - 3), i -> " +
-          "concat(w[i], ' ', w[i+1], ' ', w[i+2])))"))
-
   /** Shingles as ROWS via arrays_zip + slice + concat_ws — every operator
     * codegen'd (the `transform` lambda above runs interpreted). Emits
     * duplicates: fine for any min/collect_set consumer, which is exactly
@@ -210,17 +202,23 @@ object Similarity {
   }
 
   /** Exact n-gram Jaccard over a bounded id-range (the brute-force
-    * baseline the LSH path is verified against).
+    * baseline the LSH path is verified against). Shingle SETS are carried
+    * as hashed longs, not strings — primitive-array set ops in the m²
+    * pair loop instead of string comparisons (equal to string-set Jaccard
+    * up to 64-bit collisions, ~1e-13 per pair); |A∪B| = |A|+|B|−|A∩B|
+    * avoids materializing the union array per pair.
     */
   def ngramJaccard(documents: DataFrame, maxDocId: Long,
                    threshold: Double): DataFrame = {
-    val sh = withShingles(documents)
-      .filter(col("doc_id") < maxDocId)
-      .select(col("doc_id"), col("sh"))
+    val sh = shingleRows(documents.filter(col("doc_id") < maxDocId))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(pmod(xxhash64(col("s")), lit(MinhashP))).as("sh"))
+      .withColumn("n", size(col("sh")))
     sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-          size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
+        (col("inter") / (col("a.n") + col("b.n") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -331,20 +329,9 @@ object Similarity {
   def embNearDup(embeddings: DataFrame, threshold: Double,
                  nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    def mix(z0: Long): Double = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
-      (java.lang.Math.floorMod(z, 2000001L) - 1000000L).toDouble / 1000000.0
-    }
-    val planes = Array.tabulate(nPlanes, dim)((p, d) => mix(p.toLong * 1000003L + d))
-    val bucket = (0 until nPlanes).map { p =>
-      when(dot(asDouble(col("embedding")),
-        array(planes(p).map(lit(_)): _*)) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
     val bucketed = embeddings
-      .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+      .select(col("vec_id"), col("embedding"),
+        hyperplaneBucket("embedding", nPlanes, dim).as("bucket"))
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") &&
@@ -353,6 +340,67 @@ object Similarity {
         (dotF(col("a.embedding"), col("b.embedding")) /
           (l2F(col("a.embedding")) * l2F(col("b.embedding")))).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** The production LAYOUT for [[annLsh]]: the corpus written to parquet
+    * partitioned by its hyperplane bucket. At 100 TB this is the whole
+    * point of the LSH — a query then touches only the probe buckets'
+    * partitions (directory-level partition pruning at the scan), i.e.
+    * sum(C(nPlanes, i), i ≤ probeRadius) / 2^nPlanes of the data, instead
+    * of filtering every row after reading it.
+    */
+  def writeAnnLayout(embeddings: DataFrame, layoutDir: String,
+                     nPlanes: Int = 4, dim: Int = 64): Unit =
+    embeddings.withColumn("bucket", hyperplaneBucket("embedding", nPlanes, dim))
+      .write.mode("overwrite").partitionBy("bucket").parquet(layoutDir)
+
+  /** [[annLsh]] against a [[writeAnnLayout]] directory: the probe-bucket
+    * filter is a partition predicate, so Catalyst prunes non-probe bucket
+    * directories out of the scan (the plan's PartitionFilters — proven in
+    * the spec). Query vector comes from the layout itself by id.
+    */
+  def annLshBucketed(spark: org.apache.spark.sql.SparkSession,
+                     layoutDir: String, queryId: Long, k: Int,
+                     nPlanes: Int = 4, probeRadius: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = spark.read.parquet(layoutDir)
+    val q = corpus.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+      .head()
+    val qEmb = q.getAs[scala.collection.Seq[Float]]("q_emb")
+    val qBucket = q.getAs[Number]("q_bucket").longValue()
+    val probes = (0L until (1L << nPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+      .map(_ ^ qBucket)
+    val qCol = array(qEmb.toSeq.map(v => lit(v)): _*)
+    corpus
+      // literal IN-list on the partition column → PartitionFilters prune
+      // every non-probe directory before any row is read
+      .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"), col("bucket"),
+        (dotF(col("embedding"), qCol) /
+          (l2F(col("embedding")) * l2F(qCol))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Shared bucket expression: sign pattern of `nPlanes` deterministic
+    * hyperplanes (same plane family as [[annLsh]]).
+    */
+  private[ops] def hyperplaneBucket(embCol: String, nPlanes: Int,
+                                    dim: Int): Column = {
+    def mix(z0: Long): Double = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (java.lang.Math.floorMod(z, 2000001L) - 1000000L).toDouble / 1000000.0
+    }
+    val planes = Array.tabulate(nPlanes, dim)((p, d) => mix(p.toLong * 1000003L + d))
+    (0 until nPlanes).map { p =>
+      when(dot(asDouble(col(embCol)),
+        array(planes(p).map(lit(_)): _*)) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** Hyperplane-LSH bucketed ANN: `nPlanes` deterministic pseudo-random
@@ -376,22 +424,8 @@ object Similarity {
     // Hyperplane components are fixed literals baked into the plan
     // (deterministic splitmix64-style mix of (plane, dim) — no RNG state),
     // so bucketing is pure codegen'd arithmetic per row.
-    def mix(z0: Long): Double = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
-      (java.lang.Math.floorMod(z, 2000001L) - 1000000L).toDouble / 1000000.0
-    }
-    val planes = Array.tabulate(nPlanes, dim)((p, d) => mix(p.toLong * 1000003L + d))
-    val planeLit = (p: Int) => array(planes(p).map(lit(_)): _*)
-    def bucketOf(embCol: String): Column =
-      (0 until nPlanes).map { p =>
-        when(dot(asDouble(col(embCol)), planeLit(p)) >= 0,
-          lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-
-    val bucketed = embeddings.withColumn("bucket", bucketOf("embedding"))
+    val bucketed = embeddings
+      .withColumn("bucket", hyperplaneBucket("embedding", nPlanes, dim))
     val q = bucketed.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
     // All XOR masks with popcount ≤ probeRadius, enumerated at plan time.

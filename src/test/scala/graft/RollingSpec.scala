@@ -46,22 +46,34 @@ class RollingSpec extends SparkSpec {
     var b = 50.0
     val rows = (0 until 3000).map { i =>
       a *= math.exp((rnd.nextDouble() - 0.5) * 0.01)
-      (i.toLong, new Timestamp(1704067200000L + i * 10000L), "deep", a)
+      // nulls and zeros mid-series: factor must fall back to 1.0 exactly
+      // as the plain form's try_divide does, never to the previous
+      // chunk's close
+      val v: Option[Double] =
+        if (i % 371 == 5) None else if (i % 577 == 7) Some(0.0) else Some(a)
+      (i.toLong, new Timestamp(1704067200000L + i * 10000L), "deep", v)
     } ++ (0 until 5).map { i =>
       b *= 1.0 + i * 0.01
-      (10000L + i, new Timestamp(1704067200000L + i * 7200000L), "sparse", b)
+      (10000L + i, new Timestamp(1704067200000L + i * 7200000L), "sparse", Some(b))
     }
     val df = rows.toDF("event_id", "ts", "event_type", "value").repartition(7)
     val exact = Rolling.cumprodEquity(df).orderBy("event_id").collect()
-    val chunk = Rolling.cumprodEquityChunked(df).orderBy("event_id").collect()
-    assert(exact.length == chunk.length && exact.length == 3005)
-    exact.zip(chunk).foreach { case (e, c) =>
-      assert(e.getLong(0) == c.getLong(0))
-      assert(e.getDouble(3) == c.getDouble(3), s"factor @ ${e.getLong(0)}")
-      val (ee, ce) = (e.getDouble(4), c.getDouble(4))
-      assert(math.abs(ee - ce) <= 1e-12 * math.max(math.abs(ee), 1.0),
-        s"equity @ ${e.getLong(0)}: $ee vs $ce")
+    def check(chunk: Array[org.apache.spark.sql.Row]): Unit = {
+      assert(exact.length == chunk.length && exact.length == 3005)
+      exact.zip(chunk).foreach { case (e, c) =>
+        assert(e.getLong(0) == c.getLong(0))
+        assert(e.getDouble(3) == c.getDouble(3), s"factor @ ${e.getLong(0)}")
+        val (ee, ce) = (e.getDouble(4), c.getDouble(4))
+        assert(math.abs(ee - ce) <= 1e-12 * math.max(math.abs(ee), 1.0),
+          s"equity @ ${e.getLong(0)}: $ee vs $ce")
+      }
     }
+    check(Rolling.cumprodEquityChunked(df).orderBy("event_id").collect())
+    // persisted two-pass: pass-1 artifact on disk, same result
+    val work = java.nio.file.Files.createTempDirectory("graft_cumprod_").toString + "/pass1"
+    check(Rolling.cumprodEquityChunked(df, workDir = Some(work))
+      .orderBy("event_id").collect())
+    assert(spark.read.parquet(work).columns.contains("g"))
   }
 
   test("minMaxScale + inverse: round-trip recovers values; constant series maps to 0") {

@@ -97,6 +97,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("annLshBucketed: partition-pruned probe scan returns the in-memory ANN result") {
+    val rnd = new scala.util.Random(5)
+    val dim = 64
+    val center = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val cluster = (0 until 20).map { i =>
+      (i.toLong, center.map(c => c + 0.01f * rnd.nextGaussian().toFloat).toSeq, 0)
+    }
+    val noise = (20 until 220).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq, 1)
+    }
+    val emb = (cluster ++ noise).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_layout_").toString + "/ann"
+    Similarity.writeAnnLayout(emb, dir)
+    val bucketed = Similarity.annLshBucketed(spark, dir, 0L, 10)
+    // the probe filter reaches the scan as a PARTITION filter (directory
+    // pruning), not a post-read row filter
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    val got = bucketed.select("vec_id").as[Long].collect().toSet
+    val mem = Similarity.annLsh(emb, 0L, 10).select("vec_id").as[Long].collect().toSet
+    assert(got == mem && got.nonEmpty)
+    // layout really is bucket-partitioned on disk
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("bucket="))
+    assert(dirs.length > 1, dirs.mkString(","))
+  }
+
   test("approxDedupStats: HLL++ estimate within rsd bound of exact") {
     val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.01")
     Similarity.approxDedupStats(docs).collect().foreach { r =>
