@@ -115,6 +115,11 @@ object SparkEntry {
     // W8 scale path: mapPartitions carry-over generator, same flattening.
     "seq_sliding_scale" -> ((s, d) =>
       Sequences.flattenSeq(Sequences.slidingSequencesScale(ev(s, d), 5), 5)),
+    // W8 deep-single-symbol path: count-chunked generation with boundary
+    // carry rows — parallel WITHIN a symbol (small chunkRows here so the
+    // verify corpus actually exercises many chunk boundaries per symbol).
+    "seq_sliding_chunked" -> ((s, d) =>
+      Sequences.flattenSeq(Sequences.slidingSequencesChunked(ev(s, d), 5, 512), 5)),
     // W9: tail-N latest window per symbol.
     "seq_tail" -> ((s, d) => Sequences.tailN(ev(s, d), 60)),
     // O3: global top-k.
@@ -432,6 +437,16 @@ object SparkEntry {
         |      FROM events)
         |WHERE len(seq) = 5 AND target IS NOT NULL""".stripMargin,
     "seq_sliding_scale" ->
+      """SELECT event_id, event_type,
+        | seq[1] AS seq_0, seq[2] AS seq_1, seq[3] AS seq_2,
+        | seq[4] AS seq_3, seq[5] AS seq_4, target
+        |FROM (SELECT event_id, event_type,
+        |        list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS seq,
+        |        lead(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS target
+        |      FROM events)
+        |WHERE len(seq) = 5 AND target IS NOT NULL""".stripMargin,
+    "seq_sliding_chunked" ->
       """SELECT event_id, event_type,
         | seq[1] AS seq_0, seq[2] AS seq_1, seq[3] AS seq_2,
         | seq[4] AS seq_3, seq[5] AS seq_4, target

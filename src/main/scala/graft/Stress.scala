@@ -59,6 +59,9 @@ object Stress {
     time("cumprod_1sym_chunked")(
       ops.Rolling.cumprodEquityChunked(oneSymbol, 86400L * 1000000L))
     time("cumprod_1sym_window")(ops.Rolling.cumprodEquity(oneSymbol))
+    time("seq_1sym_scale")(ops.Sequences.slidingSequencesScale(oneSymbol, 60))
+    time("seq_1sym_chunked")(
+      ops.Sequences.slidingSequencesChunked(oneSymbol, 60, 250000))
     spark.stop()
   }
 }

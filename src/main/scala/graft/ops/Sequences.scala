@@ -120,6 +120,67 @@ object Sequences {
     }.toDF("event_id", "event_type", "seq", "target")
   }
 
+  /** W8 for the DEEP-single-symbol regime: [[slidingSequencesScale]]
+    * still lands each symbol's whole series in one task (`repartition` by
+    * event_type) — fine with many symbols, a wall with few deep ones.
+    * This variant parallelizes WITHIN a symbol:
+    *
+    *   1. global sort by (symbol, time) + `zipWithIndex` (per-partition
+    *      counts + offsets — the L20 pattern) → dense per-symbol row
+    *      index `sidx` (symbol bases via a tiny broadcast agg);
+    *   2. count-chunks of `chunkRows` rows (`chunk = sidx / chunkRows`)
+    *      — count-based, not time-based, so every carry below is
+    *      guaranteed to have enough rows regardless of time gaps;
+    *   3. each chunk's working set = its rows ∪ the previous chunk's
+    *      last n−1 rows (frame fill for the first anchors) ∪ the next
+    *      chunk's first row (the `lead` target of the last anchor) —
+    *      n extra rows per boundary, shipped by two cheap filters;
+    *   4. the SAME window logic as [[slidingSequences]], but over
+    *      `(event_type, chunk)` partitions — bounded sort + state,
+    *      parallel across chunks of one symbol. Carried rows are
+    *      role-tagged and filtered from the output.
+    *
+    * Output is row-identical to [[slidingSequences]] (parity-spec'd,
+    * boundary and gap cases included).
+    */
+  def slidingSequencesChunked(events: DataFrame, n: Int,
+                              chunkRows: Int = 100000): DataFrame = {
+    require(chunkRows >= n, s"chunkRows ($chunkRows) must be >= n ($n)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val indexed = events
+      .select(col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .orderBy(col("event_type"), col("ts_us"), col("event_id"))
+      .as[(Long, String, Double, Long)]
+      .rdd.zipWithIndex()
+      .map { case ((id, et, v, ts), idx) => (id, et, v, ts, idx) }
+      .toDF("event_id", "event_type", "value", "ts_us", "gidx")
+    val bases = indexed.groupBy(col("event_type").as("et"))
+      .agg(min(col("gidx")).as("base"))
+    val rows = indexed
+      .join(broadcast(bases), col("event_type") === col("et"))
+      .withColumn("sidx", col("gidx") - col("base"))
+      .withColumn("chunk", floor(col("sidx") / chunkRows))
+      .select("event_id", "event_type", "value", "sidx", "chunk")
+    val native = rows.withColumn("role", lit(0))
+    val carry = rows
+      .filter(col("sidx") % chunkRows >= chunkRows - (n - 1))
+      .withColumn("chunk", col("chunk") + 1).withColumn("role", lit(1))
+    val lookahead = rows
+      .filter(col("sidx") % chunkRows === 0 && col("chunk") > 0)
+      .withColumn("chunk", col("chunk") - 1).withColumn("role", lit(2))
+    val wC = Window.partitionBy(col("event_type"), col("chunk"))
+      .orderBy(col("sidx"))
+    native.unionByName(carry).unionByName(lookahead)
+      .withColumn("seq",
+        collect_list(col("value")).over(wC.rowsBetween(-(n - 1), 0)))
+      .withColumn("target", lead(col("value"), 1).over(wC))
+      .filter(col("role") === 0 &&
+        size(col("seq")) === n && col("target").isNotNull)
+      .select(col("event_id"), col("event_type"), col("seq"), col("target"))
+  }
+
   /** W9: tail-N latest window per event_type (`evaluation.py:163-167`
     * takes `df.tail(seq_length)` of the single series; per-symbol top-k
     * here). rank-desc + filter — a per-partition top-k, no global sort.

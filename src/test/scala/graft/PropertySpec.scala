@@ -54,6 +54,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunked cumprod: equals the unbounded window for generated series and chunk sizes") {
+    // property: for ANY series and ANY chunk granularity (including
+    // chunks of ~1 row and one-chunk-covers-all), the two-pass result
+    // matches the single-window form to float re-association.
+    val gen = for {
+      prices <- seriesGen
+      chunkMinutes <- Gen.oneOf(1, 7, 60, 100000)
+    } yield (prices, chunkMinutes)
+    samples(gen, 6, 400L).foreach { case (prices, chunkMinutes) =>
+      val df = toEvents(prices).repartition(5)
+      val w = Rolling.cumprodEquity(df).orderBy("event_id").collect()
+      val c = Rolling.cumprodEquityChunked(df, chunkMinutes * 60000000L)
+        .orderBy("event_id").collect()
+      assert(w.length == c.length)
+      w.zip(c).foreach { case (x, y) =>
+        assert(x.getDouble(3) == y.getDouble(3),
+          s"factor @ ${x.getLong(0)} (chunk=$chunkMinutes)")
+        assert(approx(x.getDouble(4), y.getDouble(4), 1e-10),
+          s"equity @ ${x.getLong(0)} (chunk=$chunkMinutes)")
+      }
+    }
+  }
+
   test("shuffle invariance: OHLC identical under any input order") {
     samples(seriesGen.flatMap(p => Gen.choose(0L, Long.MaxValue).map((p, _))),
       5, 300L).foreach { case (prices, seed) =>

@@ -68,6 +68,32 @@ class SequencesSpec extends SparkSpec {
     }
   }
 
+  test("slidingSequencesChunked: identical to the window form across chunk boundaries") {
+    val rnd = new scala.util.Random(19)
+    // two symbols of very different depth + irregular time gaps (the
+    // count-chunking must not care about time), tiny chunkRows so nearly
+    // every sequence straddles a boundary
+    val big = ((0 until 997).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L + (i % 13) * 90000L),
+        "deep", rnd.nextDouble() * 100)
+    } ++ (0 until 23).map { i =>
+      (5000L + i, new Timestamp(1704067200000L + i * 3600000L), "shallow",
+        rnd.nextDouble() * 10)
+    }).toDF("event_id", "ts", "event_type", "value")
+    for (chunkRows <- Seq(7, 64, 100000)) {
+      val w = Sequences.slidingSequences(big, 7).orderBy("event_id").collect()
+      val c = Sequences.slidingSequencesChunked(big.repartition(5), 7, chunkRows)
+        .orderBy("event_id").collect()
+      assert(w.length == c.length && w.length > 0, s"chunkRows=$chunkRows")
+      w.zip(c).foreach { case (a, b) =>
+        assert(a.getLong(0) == b.getLong(0), s"chunkRows=$chunkRows")
+        assert(a.getSeq[Double](2) == b.getSeq[Double](2),
+          s"chunkRows=$chunkRows @ ${a.getLong(0)}")
+        assert(a.getDouble(3) == b.getDouble(3), s"chunkRows=$chunkRows")
+      }
+    }
+  }
+
   test("flattenSeq: element columns match the array, no array column left") {
     val out = Sequences.flattenSeq(Sequences.slidingSequences(events, 3), 3)
       .orderBy("event_id").collect()
