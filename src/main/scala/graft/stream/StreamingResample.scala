@@ -61,6 +61,23 @@ object StreamingResample {
       .select(unix_timestamp(col("window.start")).as("w_start"),
         col("event_type"), col("volume"), col("n"))
 
+  /** Streaming exact dedup: duplicate `event_id`s arriving within the
+    * watermark horizon are emitted once — the at-least-once-upstream →
+    * exactly-once-downstream repair step every continuous ingest needs
+    * (the reference's batch analogue is the month-overwrite idempotency
+    * fix). State holds one entry per id seen inside the watermark;
+    * `dropDuplicatesWithinWatermark` evicts ids as event time passes, so
+    * state is bounded by the horizon's id cardinality, not the stream's
+    * history.
+    */
+  def dedupEvents(spark: SparkSession, inputDir: String,
+                  schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Session-window counts (gap-based): a session closes after `gap` of
     * inactivity per symbol. State per open session only; the watermark
     * finalizes and evicts closed sessions.

@@ -150,6 +150,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup: replayed event ids emit exactly once") {
+    // at-least-once upstream: every 5th event is delivered twice, some
+    // three times, across separate files (≈ separate micro-batches)
+    val base = (0 until 1000).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 5000L), "btc", i * 1.0)
+    }
+    val replays = base.filter(_._1 % 5 == 0) ++ base.filter(_._1 % 50 == 0)
+    val dir = Files.createTempDirectory("graft_dedup_").toString
+    base.toDF("event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    replays.toDF("event_id", "ts", "event_type", "value")
+      .write.mode("append").parquet(s"$dir/in")
+    val q = StreamingResample.dedupEvents(spark, s"$dir/in",
+        base.toDF("event_id", "ts", "event_type", "value").schema)
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("dedup_t").select("event_id").as[Long].collect()
+    assert(out.length == 1000)               // every id exactly once
+    assert(out.toSet == (0L until 1000L).toSet)
+  }
+
   test("session windows: gap splits sessions at the fixture boundary") {
     // two bursts separated by 30 min, gap 5 min -> exactly 2 sessions
     val burst1 = (0 until 10).map(i => (i.toLong,
