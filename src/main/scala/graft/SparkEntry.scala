@@ -43,6 +43,8 @@ object SparkEntry {
       Rolling.maVolatility(Resample.ohlcHourly(ev(s, d)), pandasMinPeriods = true)),
     // W5/W6: lag + pct_change returns.
     "returns_lag" -> ((s, d) => Rolling.returnsLag(ev(s, d))),
+    // W5/W6 deep-series path: time-chunked lag, one carry row per boundary.
+    "returns_lag_chunked" -> ((s, d) => Rolling.returnsLagChunked(ev(s, d))),
     // W7/U1: exact cumulative-product equity curve (custom Aggregator).
     "cumprod_equity" -> ((s, d) => Rolling.cumprodEquity(ev(s, d))),
     // W7 deep-series evolution: chunked two-pass, no unbounded per-symbol
@@ -75,6 +77,8 @@ object SparkEntry {
     "rollup_agg" -> ((s, d) => Stats.rollupAgg(li(s, d))),
     // Time-range window frame (trailing 1 h per symbol, rangeBetween µs).
     "range_frame" -> ((s, d) => Stats.rangeFrameAvg(ev(s, d))),
+    // Deep-series path: chunked range frame, carry = prior chunk's last 1 h.
+    "range_frame_chunked" -> ((s, d) => Stats.rangeFrameAvgChunked(ev(s, d))),
     // Set operations: intersect + except, tagged.
     "set_ops" -> ((s, d) => Sequences.setOps(ev(s, d))),
     // HLL++ approx distinct vs exact. Registered with the exact columns
@@ -239,6 +243,11 @@ object SparkEntry {
         | lag(value, 1) OVER w AS prev_value,
         | value / lag(value, 1) OVER w - 1 AS ret
         |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts)""".stripMargin,
+    "returns_lag_chunked" ->
+      """SELECT event_id, event_type, value,
+        | lag(value, 1) OVER w AS prev_value,
+        | value / lag(value, 1) OVER w - 1 AS ret
+        |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts)""".stripMargin,
     "cumprod_equity" ->
       """SELECT event_id, event_type, value, factor,
         | product(factor) OVER (PARTITION BY event_type ORDER BY ts
@@ -391,6 +400,12 @@ object SparkEntry {
         | count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     "range_frame" ->
+      """SELECT event_id, event_type, value,
+        | avg(value) OVER w AS avg_1h, count(*) OVER w AS n_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin,
+    "range_frame_chunked" ->
       """SELECT event_id, event_type, value,
         | avg(value) OVER w AS avg_1h, count(*) OVER w AS n_1h
         |FROM events

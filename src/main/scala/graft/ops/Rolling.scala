@@ -76,6 +76,38 @@ object Rolling {
         col("prev_value"), col("ret"))
   }
 
+  /** [[returnsLag]] for the deep-single-symbol regime: time-chunked, no
+    * unbounded per-symbol window. lag(1) needs exactly ONE row across
+    * each chunk boundary, so the carry is the per-chunk last value
+    * (tiny summary, lag'd over the per-symbol chunk list and broadcast
+    * back). rn-gated like [[cumprodEquityChunked]]: a null VALUE
+    * mid-chunk must surface as a null prev (ret null), never fall back
+    * to the previous chunk.
+    */
+  def returnsLagChunked(events: DataFrame,
+                        chunkMicros: Long = 3600L * 1000000L): DataFrame = {
+    val wChunk = Window.partitionBy(col("event_type"), col("chunk"))
+      .orderBy(col("ts"), col("event_id"))
+    val bySymbolChunk = Window.partitionBy(col("event_type")).orderBy(col("chunk"))
+    val ord = struct(col("ts"), col("event_id"))
+    val chunked = events
+      .withColumn("chunk", floor(unix_micros(col("ts")) / lit(chunkMicros)))
+    val lasts = chunked.groupBy(col("event_type"), col("chunk"))
+      .agg(max_by(col("value"), ord).as("chunk_last"))
+      .withColumn("prev_chunk_last",
+        lag(col("chunk_last"), 1).over(bySymbolChunk))
+      .select(col("event_type"), col("chunk"), col("prev_chunk_last"))
+    chunked
+      .withColumn("rn", row_number().over(wChunk))
+      .withColumn("lag_in_chunk", lag(col("value"), 1).over(wChunk))
+      .join(broadcast(lasts), Seq("event_type", "chunk"))
+      .withColumn("prev_value",
+        when(col("rn") === 1, col("prev_chunk_last")).otherwise(col("lag_in_chunk")))
+      .withColumn("ret", try_divide(col("value"), col("prev_value")) - 1)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("prev_value"), col("ret"))
+  }
+
   /** Equity curve (notebook cell 16): cumulative product of per-row growth
     * factors `value / lag(value)` (≡ 1 + return), exact via the CumProd
     * Aggregator over a growing frame. First row's factor coalesces to 1.

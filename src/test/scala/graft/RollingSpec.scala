@@ -76,6 +76,33 @@ class RollingSpec extends SparkSpec {
     assert(spark.read.parquet(work).columns.contains("g"))
   }
 
+  test("returnsLagChunked / rangeFrameAvgChunked: match the plain forms incl. nulls and gaps") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 2000).map { i =>
+      val v: Option[Double] =
+        if (i % 233 == 3) None else Some(100.0 + rnd.nextGaussian())
+      // irregular spacing with multi-hour gaps (empty time-chunks)
+      (i.toLong, new Timestamp(1704067200000L + i * 30000L +
+        (i / 500) * 7200000L), if (i % 3 == 0) "a" else "b", v)
+    }
+    val df = rows.toDF("event_id", "ts", "event_type", "value").repartition(7)
+    val lagPlain = Rolling.returnsLag(df).orderBy("event_id").collect()
+    val lagChunk = Rolling.returnsLagChunked(df).orderBy("event_id").collect()
+    assert(lagPlain.length == lagChunk.length)
+    lagPlain.zip(lagChunk).foreach { case (a, b) =>
+      assert(a.toSeq == b.toSeq, s"@ ${a.getLong(0)}")
+    }
+    val rfPlain = graft.ops.Stats.rangeFrameAvg(df).orderBy("event_id").collect()
+    val rfChunk = graft.ops.Stats.rangeFrameAvgChunked(df).orderBy("event_id").collect()
+    assert(rfPlain.length == rfChunk.length)
+    rfPlain.zip(rfChunk).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(a.getAs[Long]("n_1h") == b.getAs[Long]("n_1h"), s"n @ ${a.getLong(0)}")
+      val (x, y) = (a.getAs[Double]("avg_1h"), b.getAs[Double]("avg_1h"))
+      assert(math.abs(x - y) <= 1e-9 * math.max(math.abs(x), 1.0), s"avg @ ${a.getLong(0)}")
+    }
+  }
+
   test("minMaxScale + inverse: round-trip recovers values; constant series maps to 0") {
     val out = Rolling.minMaxRoundtrip(events).orderBy("event_id").collect()
     out.foreach { r =>
