@@ -151,6 +151,18 @@ object SparkEntry {
     "lang_breakdown" -> ((s, d) => TextAnalysis.langBreakdown(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    // LLM tier — deterministic content-hash sampling (reproducible
+    // training subsets; the exact selected row SET is oracle-verified,
+    // both engines agree on md5).
+    "sample_hash" -> ((s, d) => Sampling.hashSample(Tables.documents(s, d), "doc_id", 0.2)
+      .select("doc_id", "lang", "source", "n_chars")),
+    "sample_stratified" -> ((s, d) => Sampling.stratifiedHashSample(
+      Tables.documents(s, d), "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.1), defaultRate = 0.05)
+      .select("doc_id", "lang")),
+    "sample_exact" -> ((s, d) =>
+      Sampling.hashSampleExact(Tables.documents(s, d), "doc_id", 50)
+        .select("doc_id", "lang")),
     // LLM tier — dedup.
     "dedup_exact" -> ((s, d) => Similarity.exactDedupStats(Tables.documents(s, d))),
     "dedup_rows" -> ((s, d) => Similarity.exactDedup(Tables.documents(s, d))),
@@ -592,6 +604,19 @@ object SparkEntry {
         | CAST(len(w) - 2 AS INTEGER) AS n_shingles
         |FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents)
         |WHERE len(w) >= 3""".stripMargin,
+    // 0.2 → 0x33333333, 0.5 → 0x80000000, 0.1 → 0x19999999,
+    // 0.05 → 0x0ccccccc of 2^32 (first 8 md5 hex chars compare uniformly)
+    "sample_hash" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '19999999'
+        |       ELSE '0ccccccc' END""".stripMargin,
+    "sample_exact" ->
+      """SELECT doc_id, lang FROM documents
+        |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 50""".stripMargin,
     "dedup_approx" ->
       """SELECT lang, count(*) AS n_docs,
         | count(DISTINCT md5(text)) AS exact_distinct

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic, reproducible sampling for training-data curation.
+  *
+  * Random `df.sample` is useless for corpus work at scale: re-running the
+  * pipeline must select the SAME subset (cache keys, incremental
+  * processing, A/B-stable eval splits), and the choice must not depend on
+  * partitioning or row order. Content-hash sampling gives all of that:
+  * a row is selected iff a hash of its key falls under the rate
+  * threshold — a pure codegen'd map, no shuffle, no state, and any engine
+  * with md5 agrees bit-for-bit (which is how the DuckDB oracle verifies
+  * the exact selected row set, not just its size).
+  *
+  * The hash is md5 (not xxhash64) deliberately: md5 exists in Spark,
+  * DuckDB, Python, and practically everything else, so the sample is
+  * reproducible across the whole toolchain, not just inside Spark.
+  */
+object Sampling {
+
+  /** First 8 hex chars of md5 compare uniformly over [0, 2^32): a
+    * lexicographic `< threshold` test selects ≈ `rate` of rows,
+    * deterministically per key.
+    */
+  private def hexThreshold(rate: Double): String = {
+    require(rate > 0.0 && rate <= 1.0, s"rate $rate outside (0, 1]")
+    f"${math.min((rate * 4294967296.0).toLong, 4294967295L)}%08x"
+  }
+
+  private def hashBucket(keyCol: String) =
+    substring(md5(col(keyCol).cast("string")), 1, 8)
+
+  /** Uniform deterministic sample: keep a row iff
+    * `md5(key)[0,8) < threshold(rate)`. Same subset on every run, every
+    * partitioning, every engine.
+    */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.filter(hashBucket(keyCol) < lit(hexThreshold(rate)))
+
+  /** Stratified deterministic sample: per-stratum rates (e.g. downsample
+    * dominant languages, keep the tail whole) — the corpus-rebalancing
+    * step of every training-data pipeline. Unknown strata are dropped
+    * unless `defaultRate` says otherwise.
+    */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, stratumCol: String,
+                           rates: Map[String, Double],
+                           defaultRate: Double = 0.0): DataFrame = {
+    val base: org.apache.spark.sql.Column =
+      lit(if (defaultRate <= 0.0) "00000000" else hexThreshold(defaultRate))
+    val threshold = rates.foldLeft(base) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit(hexThreshold(rate))).otherwise(acc)
+    }
+    df.filter(hashBucket(keyCol) < threshold)
+  }
+
+  /** Exactly-k deterministic sample: the k smallest hash values — uniform
+    * without replacement, reproducible, and planned as
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k, no
+    * global sort).
+    */
+  def hashSampleExact(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    df.orderBy(md5(col(keyCol).cast("string")), col(keyCol)).limit(k)
+}

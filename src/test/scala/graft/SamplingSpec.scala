@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sampling
+
+/** Deterministic-sampling contracts: same subset under any partitioning,
+  * rates within binomial tolerance, strata respected, exact-k stable.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (0 until 10000).map { i =>
+    (i.toLong, if (i % 10 < 6) "en" else if (i % 10 < 9) "de" else "fr")
+  }.toDF("doc_id", "lang")
+
+  test("hashSample: deterministic under repartitioning; rate within tolerance") {
+    val a = Sampling.hashSample(corpus, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(corpus.repartition(13), "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // binomial(10000, 0.2): sd = 40; allow 5 sd
+    assert(math.abs(a.size - 2000) < 200, s"sampled ${a.size}")
+    // selection is per-key, not positional: a subset of rows selects the
+    // same keys the full corpus did
+    val half = Sampling.hashSample(corpus.filter($"doc_id" < 5000), "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(half == a.filter(_ < 5000))
+  }
+
+  test("stratifiedHashSample: per-stratum rates; default applies to unknown strata") {
+    val out = Sampling.stratifiedHashSample(corpus, "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.1), defaultRate = 0.05)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(out("en") - 3000) < 350, s"en ${out("en")}")   // 6000 × 0.5
+    assert(math.abs(out("de") - 300) < 120, s"de ${out("de")}")    // 3000 × 0.1
+    assert(math.abs(out.getOrElse("fr", 0L) - 50) < 50, s"fr ${out.get("fr")}") // 1000 × 0.05
+    // zero default drops unknown strata entirely
+    val strict = Sampling.stratifiedHashSample(corpus, "doc_id", "lang",
+      Map("en" -> 0.5))
+    assert(strict.filter($"lang" =!= "en").count() == 0)
+  }
+
+  test("hashSampleExact: exactly k, stable, equals the k smallest hashes") {
+    val got = Sampling.hashSampleExact(corpus, "doc_id", 25)
+      .select("doc_id").as[Long].collect()
+    assert(got.length == 25)
+    val again = Sampling.hashSampleExact(corpus.repartition(7), "doc_id", 25)
+      .select("doc_id").as[Long].collect()
+    assert(got.toSeq == again.toSeq)
+    val manual = corpus.select($"doc_id", md5($"doc_id".cast("string")).as("h"))
+      .orderBy($"h", $"doc_id").limit(25).select("doc_id").as[Long].collect()
+    assert(got.toSeq == manual.toSeq)
+  }
+}
