@@ -163,6 +163,9 @@ object SparkEntry {
     "sample_exact" -> ((s, d) =>
       Sampling.hashSampleExact(Tables.documents(s, d), "doc_id", 50)
         .select("doc_id", "lang")),
+    // LLM tier — concat-and-chunk sequence packing (sharded by hash
+    // nibble; every doc's (shard, chunk, offset) assignment verified).
+    "pack_chunks" -> ((s, d) => Packing.packDocs(Tables.documents(s, d), 512)),
     // LLM tier — dedup.
     "dedup_exact" -> ((s, d) => Similarity.exactDedupStats(Tables.documents(s, d))),
     "dedup_rows" -> ((s, d) => Similarity.exactDedup(Tables.documents(s, d))),
@@ -604,6 +607,17 @@ object SparkEntry {
         | CAST(len(w) - 2 AS INTEGER) AS n_shingles
         |FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents)
         |WHERE len(w) >= 3""".stripMargin,
+    "pack_chunks" ->
+      """SELECT doc_id, shard, n_tokens,
+        | CAST(floor(start_tok / 512) AS BIGINT) AS chunk_id,
+        | start_tok % 512 AS offset
+        |FROM (SELECT doc_id, substr(h, 1, 1) AS shard, n_tokens,
+        |        coalesce(CAST(sum(n_tokens) OVER (PARTITION BY substr(h, 1, 1)
+        |          ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS BIGINT), 0) AS start_tok
+        |      FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |            FROM documents))""".stripMargin,
     // 0.2 → 0x33333333, 0.5 → 0x80000000, 0.1 → 0x19999999,
     // 0.05 → 0x0ccccccc of 2^32 (first 8 md5 hex chars compare uniformly)
     "sample_hash" ->

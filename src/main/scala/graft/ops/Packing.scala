@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Concat-and-chunk sequence packing — the standard pretraining layout:
+  * documents are concatenated in a deterministic pseudo-random order and
+  * cut into fixed token-budget chunks (documents may straddle a cut; the
+  * trainer masks across boundaries).
+  *
+  * Scale shape: a single global concat order would be one prefix-sum
+  * window task, so the corpus is SHARDED by a hash nibble first — each
+  * shard packs independently and in parallel, which is exactly how a
+  * distributed packing job lays out its output files (one chunk stream
+  * per shard). The order/shard hash is md5, so any engine reproduces the
+  * identical layout (the DuckDB oracle verifies every (doc → shard,
+  * chunk, offset) assignment; for more shards at larger scale, widen the
+  * nibble — 2 hex chars = 256 shards).
+  */
+object Packing {
+
+  /** Assign every document a (shard, chunk_id, offset) under a
+    * `tokensPerChunk` budget. Tokens = whitespace count (swap in the
+    * BPE-ish tokenizer from TextAnalysis for real budgets).
+    */
+  def packDocs(documents: DataFrame, tokensPerChunk: Int): DataFrame = {
+    require(tokensPerChunk > 0)
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"))
+    documents
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("shard", substring(col("h"), 1, 1))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("start_tok", coalesce(
+        sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("chunk_id", floor(col("start_tok") / tokensPerChunk))
+      .withColumn("offset", col("start_tok") % tokensPerChunk)
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("chunk_id"), col("offset"))
+  }
+}
