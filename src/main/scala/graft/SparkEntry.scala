@@ -71,6 +71,12 @@ object SparkEntry {
     // itself part of the P3 story.
     "summary_approx" -> ((s, d) => Stats.summaryApprox(li(s, d))
       .select("n", "exact_median", "exact_p99")),
+    // Exact percentiles via range-sort + global index — the shape that
+    // survives high-cardinality columns at 100 TB (percentile()'s
+    // value-counts buffer does not).
+    "exact_quantiles" -> ((s, d) => Stats.exactPercentilesScale(
+      li(s, d), "l_extendedprice",
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))),
     // A5: pairwise Pearson correlation matrix.
     "corr_matrix" -> ((s, d) => Stats.corrMatrix(li(s, d))),
     // Grouping sets: rollup subtotals + grand total.
@@ -370,6 +376,12 @@ object SparkEntry {
       """SELECT count(*) AS n,
         | quantile_cont(l_extendedprice, 0.50) AS exact_median,
         | quantile_cont(l_extendedprice, 0.99) AS exact_p99
+        |FROM lineitem""".stripMargin,
+    "exact_quantiles" ->
+      """SELECT count(l_extendedprice) AS n,
+        | quantile_cont(l_extendedprice, 0.50) AS p50,
+        | quantile_cont(l_extendedprice, 0.90) AS p90,
+        | quantile_cont(l_extendedprice, 0.99) AS p99
         |FROM lineitem""".stripMargin,
     "corr_matrix" ->
       """SELECT

@@ -48,6 +48,49 @@ object Stats {
       percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("approx_p99"),
       percentile(col("l_extendedprice"), lit(0.99)).as("exact_p99"))
 
+  /** EXACT interpolated percentiles at scale. The built-in `percentile()`
+    * aggregate accumulates a value→count map in ONE buffer — fine for
+    * low-cardinality columns (l_quantity: 50 values), a memory bomb on
+    * high-cardinality doubles at 100 TB. This shape is scale-correct:
+    * range-partitioned global sort (parallel), `zipWithIndex` for global
+    * positions, then a lookup of the ≤ 2·|ps| boundary rows and linear
+    * interpolation — O(1) memory beyond the sort, which Spark spills.
+    * Same semantics as `percentile()` / DuckDB `quantile_cont`.
+    */
+  def exactPercentilesScale(df: DataFrame, valueCol: String,
+                            ps: Seq[(String, Double)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val n = vals.count()
+    require(n > 0, s"no non-null values in $valueCol")
+    val positions: Map[Long, Int] = ps.flatMap { case (_, p) =>
+      val pos = (n - 1) * p
+      Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+    }.distinct.map(i => i -> 0).toMap
+    val boundary = vals.orderBy(col("v"))
+      .as[Double].rdd.zipWithIndex()
+      .filter { case (_, idx) => positions.contains(idx) }
+      .map(_.swap).collect().toMap
+    val row = ps.map { case (_, p) =>
+      val pos = (n - 1) * p
+      val (lo, hi) = (math.floor(pos).toLong, math.ceil(pos).toLong)
+      val (vLo, vHi) = (boundary(lo), boundary(hi))
+      vLo + (pos - lo) * (vHi - vLo)
+    }
+    spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row.fromSeq(n +: row)),
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false) +:
+          ps.map { case (name, _) =>
+            org.apache.spark.sql.types.StructField(name,
+              org.apache.spark.sql.types.DoubleType, nullable = false)
+          }))
+  }
+
   /** Hierarchical rollup over returnflag/linestatus — subtotals + grand
     * total in one pass (grouping-sets surface, SURVEY §7.5).
     */

@@ -77,6 +77,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("exactPercentilesScale: equals the built-in percentile() on generated data") {
+    samples(seriesGen, 6, 500L).foreach { prices =>
+      val df = toEvents(prices)
+      val got = graft.ops.Stats.exactPercentilesScale(df, "value",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p99" -> 0.99)).collect().head
+      val exp = df.select(
+        percentile(col("value"), lit(0.25)).as("p25"),
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.99)).as("p99")).collect().head
+      assert(got.getAs[Long]("n") == prices.length.toLong)
+      for (c <- Seq("p25", "p50", "p99"))
+        assert(approx(got.getAs[Double](c), exp.getAs[Double](c), 1e-9), c)
+    }
+  }
+
   test("shuffle invariance: OHLC identical under any input order") {
     samples(seriesGen.flatMap(p => Gen.choose(0L, Long.MaxValue).map((p, _))),
       5, 300L).foreach { case (prices, seed) =>
