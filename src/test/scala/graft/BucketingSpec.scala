@@ -37,6 +37,40 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // one hot key carrying ~98% of rows: exactly the shape that strands
+    // a sort-merge join on one straggler task. With the skew thresholds
+    // scaled to the fixture, AQE must mark and split the hot partition.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val skewed = (0 until 200000).map { i =>
+        (if (i % 100 < 98) "hot" else s"cold_${i % 100}", i.toLong,
+          "x" * 32) // payload so the hot partition crosses the threshold
+      }.toDF("k", "v", "pad")
+      val dim = (0 until 100).map(i =>
+        (if (i == 0) "hot" else s"cold_$i", i * 1.0)).toDF("dk", "w")
+      val joined = skewed.join(dim, $"k" === $"dk")
+      // drive THIS DataFrame's own query execution so AQE finalizes its
+      // plan (count() would plan a separate query on top)
+      val qe = joined.queryExecution
+      assert(qe.toRdd.count() == 200000L)
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan.linesIterator.take(5).mkString("\n"))
+      assert(plan.contains("skew=true"), plan.linesIterator.take(25).mkString("\n"))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("month-partitioned zone: month filter prunes partitions at the scan") {
     val dir = s"${Files.createTempDirectory("graft_prune_").toString}/zone"
     val rows = (0 until 84).map { d =>
