@@ -104,6 +104,8 @@ object SparkEntry {
       Tables.orders(s, d).filter(org.apache.spark.sql.functions.col("o_totalprice") > 400000.0))),
     // J4: as-of join of events to the latest closed hourly bar.
     "join_asof" -> ((s, d) => Joins.asofJoin(ev(s, d))),
+    // J4 deep-series path: per-(symbol, chunk) carry with boundary seeds.
+    "join_asof_chunked" -> ((s, d) => Joins.asofJoinChunked(ev(s, d))),
     // Skew-safe salted equi-join (result identical to the plain join).
     "join_salted" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -488,6 +490,16 @@ object SparkEntry {
         |        lead(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS target
         |      FROM events)
         |WHERE len(seq) = 5 AND target IS NOT NULL""".stripMargin,
+    "join_asof_chunked" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |         date_trunc('hour', ts) + INTERVAL 1 HOUR AS bucket_end,
+        |         arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.event_type, e.value, b.close AS bar_close
+        |FROM events e
+        |ASOF LEFT JOIN hourly b
+        |  ON e.event_type = b.event_type AND e.ts >= b.bucket_end""".stripMargin,
     "seq_sliding_chunked" ->
       """SELECT event_id, event_type,
         | seq[1] AS seq_0, seq[2] AS seq_1, seq[3] AS seq_2,

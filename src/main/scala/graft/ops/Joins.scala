@@ -111,6 +111,56 @@ object Joins {
     * symbol — the standard scale-safe as-of shape (vs. a range cross-join
     * that would explode at 100 TB).
     */
+  /** [[asofJoin]] for the deep-single-symbol regime: the carry-forward
+    * window runs per `(symbol, time-chunk)` instead of per symbol. The
+    * cross-chunk state is one number — the as-of bar close at each
+    * chunk's start — computed from a tiny per-chunk bar summary
+    * (last bar per chunk, `last(ignoreNulls)` EXCLUSIVE prefix over the
+    * symbol's chunk list, so bar-less chunks inherit through gaps) and
+    * injected as a seed pseudo-row at the chunk start, sorting before
+    * any native row at the same instant. Output row-identical to
+    * [[asofJoin]] (parity-spec'd).
+    */
+  def asofJoinChunked(events: DataFrame,
+                      chunkMicros: Long = 6L * 3600L * 1000000L): DataFrame = {
+    val hourly = Resample.ohlcHourlyTs(events)
+    val bars = hourly.select(
+      col("event_type"), unix_micros(col("bucket_end")).as("t_us"),
+      lit(1).as("is_bar"), col("close").as("bar_close"),
+      lit(null).cast("long").as("event_id"),
+      lit(null).cast("double").as("value"))
+    val evs = events.select(
+      col("event_type"), unix_micros(col("ts")).as("t_us"),
+      lit(0).as("is_bar"), lit(null).cast("double").as("bar_close"),
+      col("event_id"), col("value"))
+    val un = bars.unionByName(evs)
+      .withColumn("chunk", floor(col("t_us") / lit(chunkMicros)))
+    val bySymbolChunk = Window.partitionBy(col("event_type")).orderBy(col("chunk"))
+    val chunksAll = un.select(col("event_type"), col("chunk")).distinct()
+    val barLast = un.filter(col("is_bar") === 1)
+      .groupBy(col("event_type"), col("chunk"))
+      .agg(max_by(col("bar_close"), col("t_us")).as("chunk_last_bar"))
+    val seeds = chunksAll
+      .join(barLast, Seq("event_type", "chunk"), "left")
+      .withColumn("seed", last(col("chunk_last_bar"), ignoreNulls = true)
+        .over(bySymbolChunk.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("seed").isNotNull)
+      .select(col("event_type"), col("chunk"),
+        (col("chunk") * chunkMicros).as("t_us"),
+        lit(2).as("is_bar"), // sorts before bars/events at the same instant
+        col("seed").as("bar_close"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("value"))
+    val w = Window.partitionBy(col("event_type"), col("chunk"))
+      .orderBy(col("t_us").asc, col("is_bar").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    un.unionByName(seeds)
+      .withColumn("last_close", last(col("bar_close"), ignoreNulls = true).over(w))
+      .filter(col("is_bar") === 0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("last_close").as("bar_close"))
+  }
+
   def asofJoin(events: DataFrame): DataFrame = {
     val hourly = Resample.ohlcHourlyTs(events)
     val bars = hourly.select(
