@@ -177,6 +177,8 @@ object SparkEntry {
     // LLM tier — dedup.
     "dedup_exact" -> ((s, d) => Similarity.exactDedupStats(Tables.documents(s, d))),
     "dedup_rows" -> ((s, d) => Similarity.exactDedup(Tables.documents(s, d))),
+    // Normalization-insensitive dedup survey (canonical text key).
+    "dedup_normalized" -> ((s, d) => Similarity.normalizedDedupStats(Tables.documents(s, d))),
     // LLM tier — near-dup (MinHash signatures + banded-LSH pairs).
     "minhash_sigs" -> ((s, d) => Similarity.minhashSignatures(Tables.documents(s, d))),
     // Production shape: the hashed-shingle signature table is written to a
@@ -668,6 +670,15 @@ object SparkEntry {
     "dedup_rows" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
+    "dedup_normalized" ->
+      """SELECT source, count(*) AS n_docs,
+        | count(DISTINCT md5(text)) AS distinct_raw,
+        | count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |   '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')))) AS distinct_norm,
+        | count(DISTINCT md5(text)) -
+        |   count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |     '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')))) AS formatting_dupes
+        |FROM documents GROUP BY 1""".stripMargin,
     "minhash_neardup" ->
       """WITH sh AS (
         |  SELECT doc_id,

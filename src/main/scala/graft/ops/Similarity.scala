@@ -36,6 +36,30 @@ object Similarity {
         countDistinct(md5(col("text"))).as("n_distinct_md5"),
         (count(lit(1)) - countDistinct(col("text"))).as("n_dupes"))
 
+  /** Canonical text key for normalization-insensitive dedup: lowercase,
+    * strip everything but `[a-z0-9 ]`, collapse whitespace, trim. Catches
+    * the re-encoded/re-wrapped duplicates exact byte-dedup misses — the
+    * standard first pass of corpus canonicalization (cheap codegen string
+    * ops, no tokenization).
+    */
+  def normalizedKey(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9 ]", ""), "\\s+", " "))
+
+  /** Per-source dedup survey on the normalized key vs the raw byte key:
+    * `formatting_dupes` counts documents that are normalization-equal but
+    * byte-distinct. Both keys travel as md5 — payloads never shuffle.
+    */
+  def normalizedDedupStats(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("distinct_raw"),
+        countDistinct(md5(normalizedKey(col("text")))).as("distinct_norm"),
+        (countDistinct(md5(col("text"))) -
+          countDistinct(md5(normalizedKey(col("text"))))).as("formatting_dupes"))
+
   /** Cardinality at scale: exact `count(DISTINCT md5)` vs HyperLogLog++
     * `approx_count_distinct` — the approx form is the only affordable
     * dedup-survey primitive at 100 TB (no distinct shuffle; fixed-size

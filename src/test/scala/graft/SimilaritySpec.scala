@@ -42,6 +42,20 @@ class SimilaritySpec extends SparkSpec {
     assert(!keys.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated absent
   }
 
+  test("normalizedDedupStats: counts case/whitespace/punct variants as one doc") {
+    val vdocs = Seq(
+      (0L, "Hello,  World!", "en", "s1", 14L),
+      (1L, "hello world", "en", "s1", 11L),      // same after normalization
+      (2L, "HELLO   world.", "en", "s1", 14L),   // same after normalization
+      (3L, "goodbye world", "en", "s1", 13L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Similarity.normalizedDedupStats(vdocs).collect().head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("distinct_raw") == 4L)
+    assert(r.getAs[Long]("distinct_norm") == 2L)
+    assert(r.getAs[Long]("formatting_dupes") == 2L)
+  }
+
   test("minhashNearDupPersisted: writes the artifact, result identical to in-memory form") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mh_spec_").toString + "/hashes"
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
