@@ -62,6 +62,9 @@ object Stress {
     time("seq_1sym_scale")(ops.Sequences.slidingSequencesScale(oneSymbol, 60))
     time("seq_1sym_chunked")(
       ops.Sequences.slidingSequencesChunked(oneSymbol, 60, 250000))
+    time("asof_1sym_window")(ops.Joins.asofJoin(oneSymbol))
+    time("asof_1sym_chunked")(
+      ops.Joins.asofJoinChunked(oneSymbol, 86400L * 1000000L))
     spark.stop()
   }
 }
