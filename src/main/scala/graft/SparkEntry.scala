@@ -203,6 +203,9 @@ object SparkEntry {
     // LLM tier — multimodal binary-column plumbing (stubbed decode).
     "multimodal_meta" -> ((s, d) => Multimodal.decodeMeta(Tables.documents(s, d))),
     "frame_sample" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d), 100)),
+    // LLM-curation golden path: quality gate → normalized dedup →
+    // deterministic sample → per-lang stats, as one composed query.
+    "curation_pipeline" -> ((s, d) => Pipeline.curationPipeline(Tables.documents(s, d))),
     // S1-S11 end-to-end: CSV landing zone roundtrip + warehouse/export.
     "etl_roundtrip" -> ((s, d) => Pipeline.etlRoundtrip(ev(s, d))),
     "warehouse_roundtrip" -> ((s, d) => Pipeline.warehouseRoundtrip(ev(s, d))),
@@ -734,6 +737,33 @@ object SparkEntry {
         |        CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
         |        unnest(range(0, octet_length(CAST(text AS BLOB)), 100)) AS frame_offset
         |      FROM documents)""".stripMargin,
+    "curation_pipeline" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+        |      + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.5
+        |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality
+        |  FROM (SELECT doc_id,
+        |          CAST(len(w) AS INTEGER) AS n_tokens,
+        |          CAST(len(list_filter(w, x -> list_contains(
+        |            ['the','a','of','and','to','in','is','it'], x))) AS INTEGER) AS n_stop,
+        |          len(list_distinct(w)) AS n_uniq
+        |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))),
+        |kept AS (
+        |  SELECT d.* FROM documents d
+        |  WHERE d.doc_id IN (SELECT doc_id FROM q WHERE quality >= 0.37)),
+        |canon AS (
+        |  SELECT min(doc_id) AS doc_id FROM kept
+        |  GROUP BY trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))),
+        |samp AS (
+        |  SELECT * FROM kept
+        |  WHERE doc_id IN (SELECT doc_id FROM canon)
+        |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000')
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | count(DISTINCT source) AS n_sources
+        |FROM samp GROUP BY 1""".stripMargin,
     "etl_roundtrip" ->
       """SELECT event_type, count(*) AS n_buckets,
         | sum(volume) AS total_volume,

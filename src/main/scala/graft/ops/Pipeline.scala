@@ -68,4 +68,30 @@ object Pipeline {
       StructField("total_volume", DoubleType)))
     Sources.readCsvWithHeader(spark, s"$tmp/export", exportSchema)
   }
+
+  /** The LLM-curation golden path as ONE composed query: quality gate →
+    * normalization-insensitive dedup (min-id canonical per normalized
+    * key, left-semi — payloads never shuffle) → deterministic 50%
+    * content-hash sample → per-lang corpus stats. Each stage is an
+    * operator verified on its own elsewhere; this proves they COMPOSE
+    * into the pipeline a corpus team actually runs, end-to-end oracled.
+    */
+  def curationPipeline(documents: DataFrame,
+                       qualityThreshold: Double = 0.37): DataFrame = {
+    val kept = documents.join(
+      TextAnalysis.qualityScore(documents)
+        .filter(col("quality") >= qualityThreshold)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val canonical = kept
+      .groupBy(Similarity.normalizedKey(col("text")).as("k"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = kept.join(canonical, Seq("doc_id"), "left_semi")
+    Sampling.hashSample(deduped, "doc_id", 0.5)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"))
+  }
 }
