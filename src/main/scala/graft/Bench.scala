@@ -17,7 +17,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: benign WARN spam (WindowExec, AQE) once pushed the
+    // final JSON line out of the driver's capture window.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the JVM (codegen, parquet reader, shuffle paths) on the
     // flagship query so the first timed entry doesn't absorb JIT cost.
     try SparkEntry.queries("ohlc_hourly")(spark, sfDir)
@@ -33,10 +35,14 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision keeps the one-line JSON short enough that a byte-bounded
+    // tail capture can't truncate it (17-digit doubles once did).
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

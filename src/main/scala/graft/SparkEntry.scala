@@ -64,13 +64,14 @@ object SparkEntry {
     "metrics_long" -> ((s, d) => Rolling.metricsLong(ev(s, d))),
     // A4: summary statistics incl. exact quartiles.
     "summary_stats" -> ((s, d) => Stats.summaryStats(li(s, d))),
-    // Sketch quantiles: registered with the EXACT columns (n + exact
-    // percentiles — DuckDB-comparable); the sketch columns are pinned by
-    // StatsSpec's error-bound test instead (no cross-engine t-digest
-    // equality exists). Projection-pruning of the unused agg columns is
-    // itself part of the P3 story.
-    "summary_approx" -> ((s, d) => Stats.summaryApprox(li(s, d))
-      .select("n", "exact_median", "exact_p99")),
+    // Sketch quantiles: registered with the EXACT comparison columns
+    // (n + exact percentiles — DuckDB-comparable), computed by the
+    // range-sort exactPercentilesScale — NOT the built-in percentile()
+    // whose value→count buffer dies on high-cardinality doubles at
+    // 100 TB. The sketch estimates themselves are pinned within 1% of
+    // this output by SimilaritySpec (no cross-engine t-digest equality
+    // exists).
+    "summary_approx" -> ((s, d) => Stats.summaryApproxScale(li(s, d))),
     // Exact percentiles via range-sort + global index — the shape that
     // survives high-cardinality columns at 100 TB (percentile()'s
     // value-counts buffer does not).
@@ -196,7 +197,18 @@ object SparkEntry {
     // LLM tier — embeddings / similarity search.
     "emb_stats" -> ((s, d) => Similarity.embeddingStats(Tables.embeddings(s, d))),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d), 0L, 10)),
-    "ann_lsh" -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d), 0L, 10)),
+    // Production shape (mirrors minhash_neardup's persisted artifact):
+    // the corpus is written partitioned by hyperplane bucket, then the
+    // probe reads ONLY the probe-bucket directories — the registered plan
+    // shows PartitionFilters, not a full scan. Same top-10 as the
+    // in-plan annLsh form (which stays the library's ad-hoc API,
+    // recall-spec'd in SimilaritySpec).
+    "ann_lsh" -> ((s, d) => {
+      val layout = java.nio.file.Files.createTempDirectory("graft_ann_")
+        .toString + "/ann_layout"
+      Similarity.writeAnnLayout(Tables.embeddings(s, d), layout)
+      Similarity.annLshBucketed(s, layout, 0L, 10)
+    }),
     // All-corpus embedding near-dup pair mining via LSH bucket self-join;
     // plane count sized from the corpus cardinality (planesFor).
     "emb_neardup" -> ((s, d) => Similarity.embNearDupAuto(Tables.embeddings(s, d), 0.4)),
@@ -380,7 +392,7 @@ object SparkEntry {
         | max(l_discount) AS max_disc
         |FROM lineitem""".stripMargin,
     "summary_approx" ->
-      """SELECT count(*) AS n,
+      """SELECT count(l_extendedprice) AS n,
         | quantile_cont(l_extendedprice, 0.50) AS exact_median,
         | quantile_cont(l_extendedprice, 0.99) AS exact_p99
         |FROM lineitem""".stripMargin,

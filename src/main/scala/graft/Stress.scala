@@ -65,6 +65,20 @@ object Stress {
     time("asof_1sym_window")(ops.Joins.asofJoin(oneSymbol))
     time("asof_1sym_chunked")(
       ops.Joins.asofJoinChunked(oneSymbol, 86400L * 1000000L))
+
+    // Exact percentiles on a HIGH-CARDINALITY double (~every row distinct
+    // at 5M rows): the built-in percentile() accumulates a value→count
+    // map per partial — the scaladoc'd memory bomb, timed here as the
+    // measured fact — vs the range-sort exactPercentilesScale shape.
+    val highCard = events.select(
+      (col("value") * pmod(xxhash64(col("event_id")), lit(1000003L))).as("v"))
+    time("pctl_highcard_builtin")(
+      highCard.agg(
+        percentile(col("v"), lit(0.5)).as("p50"),
+        percentile(col("v"), lit(0.99)).as("p99")))
+    time("pctl_highcard_rangesort")(
+      ops.Stats.exactPercentilesScale(highCard, "v",
+        Seq("p50" -> 0.5, "p99" -> 0.99)))
     spark.stop()
   }
 }

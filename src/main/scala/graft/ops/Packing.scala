@@ -23,13 +23,22 @@ object Packing {
   /** Assign every document a (shard, chunk_id, offset) under a
     * `tokensPerChunk` budget. Tokens = whitespace count (swap in the
     * BPE-ish tokenizer from TextAnalysis for real budgets).
+    *
+    * `shardNibbles` controls parallelism: 16^nibbles shard streams, each
+    * an independent prefix-sum window. 1 nibble (16 shards) suits the
+    * test corpus; at real scale size it so each shard's token stream
+    * fits one task comfortably (2 → 256, 3 → 4096 shards). The oracle is
+    * the same substring of the same md5 at any width.
     */
-  def packDocs(documents: DataFrame, tokensPerChunk: Int): DataFrame = {
+  def packDocs(documents: DataFrame, tokensPerChunk: Int,
+               shardNibbles: Int = 1): DataFrame = {
     require(tokensPerChunk > 0)
+    require(shardNibbles >= 1 && shardNibbles <= 8,
+      s"shardNibbles ($shardNibbles) must be in [1, 8]")
     val w = Window.partitionBy(col("shard")).orderBy(col("h"))
     documents
       .withColumn("h", md5(col("doc_id").cast("string")))
-      .withColumn("shard", substring(col("h"), 1, 1))
+      .withColumn("shard", substring(col("h"), 1, shardNibbles))
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .withColumn("start_tok", coalesce(
         sum(col("n_tokens")).over(

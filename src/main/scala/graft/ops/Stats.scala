@@ -37,16 +37,27 @@ object Stats {
 
   /** Sketch-based quantiles (approx_percentile / t-digest-style) — the
     * only affordable percentile at 100 TB (fixed-size mergeable sketch vs
-    * the exact form's full sort). Exact columns alongside let tests pin
-    * the approximation error.
+    * the exact form's full sort). Sketch columns ONLY: the exact
+    * comparison values come from [[summaryApproxScale]] (range-sort
+    * shape), never from the built-in `percentile()` — its value→count
+    * buffer is the documented memory bomb on high-cardinality doubles
+    * like `l_extendedprice`.
     */
   def summaryApprox(lineitem: DataFrame): DataFrame =
     lineitem.agg(
       count(lit(1)).as("n"),
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"),
-      percentile(col("l_extendedprice"), lit(0.5)).as("exact_median"),
-      percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("approx_p99"),
-      percentile(col("l_extendedprice"), lit(0.99)).as("exact_p99"))
+      percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("approx_p99"))
+
+  /** [[summaryApprox]]'s oracle-able face: the exact median/p99 of the
+    * same column via [[exactPercentilesScale]] — parallel range sort +
+    * boundary interpolation, O(1) memory beyond the spillable sort. The
+    * sketch columns themselves aren't cross-engine comparable, so the
+    * spec pins `summaryApprox`'s estimates against THIS output instead.
+    */
+  def summaryApproxScale(lineitem: DataFrame): DataFrame =
+    exactPercentilesScale(lineitem, "l_extendedprice",
+      Seq("exact_median" -> 0.5, "exact_p99" -> 0.99))
 
   /** EXACT interpolated percentiles at scale. The built-in `percentile()`
     * aggregate accumulates a value→count map in ONE buffer — fine for

@@ -26,11 +26,20 @@ object StreamingResample {
   /** Build the streaming hourly-OHLC DataFrame from a parquet landing
     * directory with the given schema (streams must declare schemas).
     * Output matches `Resample.ohlcHourly` column-for-column.
+    *
+    * `maxFilesPerTrigger` is the incremental-discovery throttle for the
+    * reference's drop cadence (`airflow/dags/new6.py:32-39` lands one
+    * archive per month): each micro-batch ingests at most that many NEW
+    * files — the source's file log skips everything already committed —
+    * so a backlog of historical drops replays paced instead of as one
+    * giant batch.
     */
   def hourlyOhlc(spark: SparkSession, inputDir: String,
-                 schema: StructType): DataFrame =
-    spark.readStream
-      .schema(schema)
+                 schema: StructType,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
       .parquet(inputDir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -45,6 +54,7 @@ object StreamingResample {
         unix_timestamp(col("window.start")).as("bucket"),
         col("event_type"), col("open"), col("high"), col("low"),
         col("close"), col("volume"), col("n_trades"))
+  }
 
   /** Sliding-window twin (1 h window every 15 min): each event lands in 4
     * overlapping windows — the smoothed-bar view. Extension tier (no

@@ -48,4 +48,34 @@ class PackingSpec extends SparkSpec {
       assert(out(r.getLong(0))._2 == r.getString(1).split(" ").length.toLong)
     }
   }
+
+  test("packDocs shardNibbles=2: 256-way sharding, each shard stream contiguous") {
+    val budget = 512
+    val rows = Packing.packDocs(docs, budget, shardNibbles = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 2000)
+    // 2-hex-char shards: 2000 docs over 256 buckets → far more streams
+    // than the 1-nibble layout, every label exactly two nibbles
+    val shards = rows.map(_._2).toSet
+    assert(shards.forall(s => s.length == 2 && s.forall("0123456789abcdef".contains(_))))
+    assert(shards.size > 200, s"only ${shards.size} distinct shards")
+    // within each shard the chunk layout is one gapless token stream:
+    // sorted by start offset, every doc starts where the previous ended
+    rows.groupBy(_._2).foreach { case (_, ds) =>
+      val byStart = ds.map { case (_, _, n, chunk, off) =>
+        (chunk * budget + off, n)
+      }.sortBy(_._1)
+      byStart.foldLeft(0L) { case (expectedStart, (start, n)) =>
+        assert(start == expectedStart)
+        start + n
+      }
+    }
+    // 1-nibble shard is the first hex char of the 2-nibble shard: the
+    // wider layout refines, never re-hashes
+    val narrow = Packing.packDocs(docs, budget).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, s2, _, _, _) =>
+      assert(s2.substring(0, 1) == narrow(id))
+    }
+  }
 }

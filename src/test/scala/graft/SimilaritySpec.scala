@@ -189,13 +189,15 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.length >= 120, s"found ${pairs.length} of 190 planted pairs")
   }
 
-  test("summaryApprox: sketch quantiles within 1% of exact") {
+  test("summaryApprox: sketch quantiles within 1% of the range-sort exact values") {
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
-    val r = graft.ops.Stats.summaryApprox(li).collect().head
-    assert(math.abs(r.getAs[Double]("approx_median") - r.getAs[Double]("exact_median"))
-      / r.getAs[Double]("exact_median") < 0.01)
-    assert(math.abs(r.getAs[Double]("approx_p99") - r.getAs[Double]("exact_p99"))
-      / r.getAs[Double]("exact_p99") < 0.01)
+    val approx = graft.ops.Stats.summaryApprox(li).collect().head
+    val exact = graft.ops.Stats.summaryApproxScale(li).collect().head
+    assert(approx.getAs[Long]("n") == exact.getAs[Long]("n"))
+    assert(math.abs(approx.getAs[Double]("approx_median") - exact.getAs[Double]("exact_median"))
+      / exact.getAs[Double]("exact_median") < 0.01)
+    assert(math.abs(approx.getAs[Double]("approx_p99") - exact.getAs[Double]("exact_p99"))
+      / exact.getAs[Double]("exact_p99") < 0.01)
   }
 
   test("minhashSignatures: identical texts share signatures; deterministic across runs") {

@@ -101,6 +101,73 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental file discovery: later drops emit only new hours, maxFilesPerTrigger paces the backlog") {
+    // The reference's cadence: one archive file lands per period
+    // (airflow/dags/new6.py:32-39, monthly). Here: drop 1 is processed,
+    // then TWO more drops land; the restarted query discovers only the
+    // unseen files, and maxFilesPerTrigger=1 spreads them over separate
+    // micro-batches instead of one giant catch-up batch.
+    val rnd = new scala.util.Random(37)
+    val t0 = 1704067200000L
+    def drop(hLo: Int, hHi: Int): Seq[(Long, Timestamp, String, Double)] =
+      (hLo * 60 until hHi * 60).map { m =>
+        (m.toLong, new Timestamp(t0 + m * 60000L), "btc", 100.0 + rnd.nextGaussian())
+      }
+    val d1 = drop(0, 6)
+    val d2 = drop(6, 12)
+    val d3 = drop(12, 18) :+
+      ((99999L, new Timestamp(t0 + 1000L * 3600000L), "btc", 1.0)) // watermark push
+    val schema = d1.toDF("event_id", "ts", "event_type", "value").schema
+    val dir = Files.createTempDirectory("graft_inc_").toString
+
+    def land(rows: Seq[(Long, Timestamp, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "event_type", "value")
+        .coalesce(1) // one drop = one file, like the monthly archive
+        .write.mode("append").parquet(s"$dir/in")
+
+    def run(maxFiles: Option[Int]) = {
+      val q = StreamingResample.hourlyOhlc(spark, s"$dir/in", schema, maxFiles)
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+      q
+    }
+    def sinkBuckets(): Seq[Long] = spark.read.parquet(s"$dir/out")
+      .filter(col("bucket") < t0 / 1000 + 100L * 3600) // drop sentinel window
+      .select("bucket").as[Long].collect().toSeq.sorted
+
+    land(d1)
+    run(None)
+    val after1 = sinkBuckets()
+    assert(after1.nonEmpty && after1.distinct == after1)
+    assert(after1.forall(_ < t0 / 1000 + 6 * 3600)) // only drop-1 hours exist yet
+
+    land(d2); land(d3)
+    val q2 = run(Some(1))
+    // pacing proof: the 2-file backlog took >= 2 data batches of 1 file each
+    val dataBatches = q2.recentProgress.filter(_.numInputRows > 0)
+    assert(dataBatches.length >= 2,
+      s"expected >=2 paced batches, got ${dataBatches.length}")
+    assert(dataBatches.forall(_.numInputRows <= 6 * 60 + 1))
+
+    val after2 = sinkBuckets()
+    // run 1's hours were NOT re-emitted (append exactly-once) and every
+    // newly-emitted hour comes from the new drops only
+    assert(after2.distinct == after2)
+    assert(after2.containsSlice(after1))
+    assert((after2.toSet -- after1.toSet).forall(_ >= t0 / 1000 + after1.length * 3600))
+    // and the final sink equals the batch result over all three drops
+    val batch = Resample.ohlcHourly(
+      (d1 ++ d2 ++ d3.dropRight(1)).toDF("event_id", "ts", "event_type", "value"))
+      .select("bucket").as[Long].collect().toSeq.sorted
+    assert(after2 == batch)
+  }
+
   test("sliding windows: every event lands in exactly 4 windows") {
     val events = (0 until 500).map { i =>
       (i.toLong, new Timestamp(1704067200000L + i * 60000L), "btc", 1.0)
