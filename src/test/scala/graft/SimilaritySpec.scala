@@ -200,6 +200,41 @@ class SimilaritySpec extends SparkSpec {
       / exact.getAs[Double]("exact_p99") < 0.01)
   }
 
+  test("simhashNearDup: banded Hamming mining finds the exact copy, skips unrelated") {
+    for (df <- Seq(docs, docs.repartition(3))) { // partition-invariant
+      val pairs = Similarity.simhashNearDup(df, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+      val keys = pairs.map(p => (p._1, p._2)).toSet
+      assert(keys.contains((0L, 3L))) // identical text: Hamming 0
+      assert(pairs.find(p => p._1 == 0L && p._2 == 3L).get._3 == 0L)
+      assert(!keys.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated absent
+      assert(pairs.forall(_._3 <= 3L)) // verify step enforces the radius
+    }
+  }
+
+  test("simhashMd5 / minhashSignaturesMd5: identical texts collide, engine-portable keys") {
+    val sm = Similarity.simhashMd5(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sm(0L) == sm(3L) && sm(0L) != sm(2L))
+    assert(sm.values.forall(v => v >= 0L && v <= 0xFFFFFFFFL)) // 32-bit range
+    val mh = Similarity.minhashSignaturesMd5(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(mh(0L) == mh(3L) && mh(0L) != mh(2L))
+    // signature entries are md5 hex: reproducible by any engine
+    assert(mh(0L).forall(_.asInstanceOf[String].matches("[0-9a-f]{32}")))
+  }
+
+  test("contamination: near-dup of a benchmark doc is flagged; benchmark members excluded") {
+    // benchmarkMod=2: docs 0/2 are the benchmark set; doc 1 (near-dup of
+    // benchmark doc 0) shares most of its shingles and doc 3 (exact
+    // copy of doc 0, 18 tokens -> 16 shingles) all 16 — both flagged;
+    // benchmark members 0/2 never appear on the corpus side.
+    val out = Similarity.contamination(docs, benchmarkMod = 2L, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L) >= 10L && out(3L) == 16L)
+  }
+
   test("minhashSignatures: identical texts share signatures; deterministic across runs") {
     val a = Similarity.minhashSignatures(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(4)).toMap
