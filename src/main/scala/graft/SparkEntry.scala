@@ -185,6 +185,23 @@ object SparkEntry {
     "dedup_rows" -> ((s, d) => Similarity.exactDedup(Tables.documents(s, d))),
     // Normalization-insensitive dedup survey (canonical text key).
     "dedup_normalized" -> ((s, d) => Similarity.normalizedDedupStats(Tables.documents(s, d))),
+    // Incremental-ingest dedup: the batch (doc_id >= 250) deduped within
+    // itself AND against the persisted corpus key artifact (doc_id < 250)
+    // — only md5 keys shuffle; the artifact is the standing seen-set of
+    // a continuous ingest.
+    "dedup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val keysDir = java.nio.file.Files.createTempDirectory("graft_keys_")
+        .toString + "/corpus_keys"
+      Similarity.writeCorpusKeys(docs.filter(col("doc_id") < 250), keysDir)
+      Similarity.dedupIncremental(docs.filter(col("doc_id") >= 250), keysDir)
+    }),
+    // Length-percentile batching buckets (boundaries via the scale-safe
+    // range-sort percentiles, broadcast into a codegen bucket map).
+    "length_buckets" -> ((s, d) => TextAnalysis.lengthBuckets(Tables.documents(s, d))),
+    // Per-language top-k vocabulary by document frequency.
+    "top_terms" -> ((s, d) => TextAnalysis.topTerms(Tables.documents(s, d))),
     // LLM tier — near-dup (MinHash signatures + banded-LSH pairs).
     "minhash_sigs" -> ((s, d) => Similarity.minhashSignatures(Tables.documents(s, d))),
     // Production shape: the hashed-shingle signature table is written to a
@@ -706,6 +723,38 @@ object SparkEntry {
         |   count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
         |     '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')))) AS formatting_dupes
         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_incremental" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents d
+        |WHERE doc_id >= 250
+        |  AND doc_id IN (SELECT min(doc_id) FROM documents
+        |                 WHERE doc_id >= 250 GROUP BY md5(text))
+        |  AND md5(text) NOT IN (SELECT md5(text) FROM documents
+        |                        WHERE doc_id < 250)""".stripMargin,
+    "length_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n_tokens
+        |  FROM documents),
+        |q AS (SELECT quantile_cont(n_tokens, 0.25) AS p25,
+        |             quantile_cont(n_tokens, 0.50) AS p50,
+        |             quantile_cont(n_tokens, 0.75) AS p75 FROM t)
+        |SELECT bucket, count(*) AS n_docs, avg(n_tokens) AS avg_tokens,
+        | min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        |FROM (SELECT CASE WHEN n_tokens <= p25 THEN 'q1'
+        |                  WHEN n_tokens <= p50 THEN 'q2'
+        |                  WHEN n_tokens <= p75 THEN 'q3'
+        |                  ELSE 'q4' END AS bucket, n_tokens
+        |      FROM t, q)
+        |GROUP BY 1""".stripMargin,
+    "top_terms" ->
+      """SELECT lang, CAST(rank AS INTEGER) AS rank, t, df FROM (
+        |  SELECT lang, t, df,
+        |    row_number() OVER (PARTITION BY lang ORDER BY df DESC, t ASC) AS rank
+        |  FROM (SELECT lang, t, count(*) AS df
+        |        FROM (SELECT DISTINCT doc_id, lang,
+        |                unnest(string_split(lower(text), ' ')) AS t
+        |              FROM documents)
+        |        GROUP BY 1, 2))
+        |WHERE rank <= 5""".stripMargin,
     "minhash_neardup" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -87,6 +87,34 @@ object Similarity {
     documents.join(canonical, Seq("doc_id"), "left_semi")
   }
 
+  /** Write the corpus content-key artifact for [[dedupIncremental]]: one
+    * md5 per distinct text, as parquet. At 100 TB this is the standing
+    * "seen set" of a continuous ingest — tiny relative to the corpus
+    * (16 bytes/distinct doc) and mergeable by plain append.
+    */
+  def writeCorpusKeys(corpus: DataFrame, keysDir: String): Unit =
+    corpus.select(md5(col("text")).as("k")).distinct()
+      .write.mode("overwrite").parquet(keysDir)
+
+  /** Incremental-ingest dedup — the production shape of [[exactDedup]]
+    * for a continuously growing corpus: the NEW batch is deduped
+    * (a) within itself (min-doc_id canonical per content key) and
+    * (b) against the persisted corpus key artifact by anti-join on the
+    * md5 key. Only 16-byte keys ever shuffle; the batch payload moves
+    * once, in the final semi-join. Survivors' keys are appended to the
+    * artifact by the caller (plain parquet append — no rewrite).
+    */
+  def dedupIncremental(newDocs: DataFrame, keysDir: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val seen = spark.read.parquet(keysDir)
+    val keyed = newDocs.select(col("doc_id"), md5(col("text")).as("k"))
+    val canonical = keyed
+      .groupBy(col("k")).agg(min(col("doc_id")).as("doc_id"))
+      .join(seen, Seq("k"), "left_anti")
+      .select(col("doc_id"))
+    newDocs.join(canonical, Seq("doc_id"), "left_semi")
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Shingles as ROWS via arrays_zip + slice + concat_ws — every operator

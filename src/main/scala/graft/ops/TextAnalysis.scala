@@ -134,6 +134,54 @@ object TextAnalysis {
           .as("dup_ngram_frac"))
   }
 
+  /** Length-percentile bucketing for inference/training batching: docs
+    * grouped into quartile buckets of token count, with the boundaries
+    * computed by the scale-safe range-sort percentiles
+    * ([[graft.ops.Stats.exactPercentilesScale]]) and BROADCAST into a
+    * codegen'd bucket map — never a global ntile window (single-task at
+    * scale). Boundaries at p ∈ {.25,.5,.75} over integer token counts
+    * interpolate to exact binary fractions, so any engine reproduces the
+    * same cut points bit-for-bit.
+    */
+  def lengthBuckets(documents: DataFrame): DataFrame = {
+    val t = documents.select(col("doc_id"),
+      size(toks).cast("double").as("n_tokens"))
+    val q = Stats.exactPercentilesScale(t, "n_tokens",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+      .select("p25", "p50", "p75")
+    t.crossJoin(broadcast(q))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") <= col("p25"), lit("q1"))
+          .when(col("n_tokens") <= col("p50"), lit("q2"))
+          .when(col("n_tokens") <= col("p75"), lit("q3"))
+          .otherwise(lit("q4")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("n_tokens")).as("avg_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+  }
+
+  /** Per-language top-k vocabulary by document frequency — the corpus
+    * top-terms staple. Two-level aggregate (token rows → per-(lang, t)
+    * doc counts, map-side combined) then a per-lang top-k window over the
+    * SMALL term-stats table, never the token rows. Integer scores +
+    * lexicographic tie-break keep the ranking engine-exact.
+    */
+  def topTerms(documents: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val termStats = documents
+      .select(col("doc_id"), col("lang"), explode(array_distinct(toks)).as("t"))
+      .groupBy(col("lang"), col("t"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("df").desc, col("t").asc)
+    termStats
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("t"), col("df"))
+  }
+
   /** Document fingerprints: whole-text md5 plus a rolling-shingle
     * fingerprint (min md5 over 3-word shingles — a 1-hash MinHash, the
     * building block of content-defined dedup keys).

@@ -88,6 +88,25 @@ object StreamingResample {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: the event stream joined to a STATIC
+    * dimension (symbol → weight) before a windowed weighted-volume
+    * aggregate. The static side is planned as a broadcast per
+    * micro-batch — the canonical "enrich ticks with instrument metadata"
+    * shape; no stream-stream state, watermark only for the window.
+    */
+  def enrichedVolume(spark: SparkSession, inputDir: String,
+                     schema: StructType, dim: DataFrame): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(sum(col("value") * col("weight")).as("w_volume"),
+        count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("bucket"),
+        col("event_type"), col("w_volume"), col("n"))
+
   /** Session-window counts (gap-based): a session closes after `gap` of
     * inactivity per symbol. State per open session only; the watermark
     * finalizes and evicts closed sessions.

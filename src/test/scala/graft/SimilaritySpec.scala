@@ -200,6 +200,23 @@ class SimilaritySpec extends SparkSpec {
       / exact.getAs[Double]("exact_p99") < 0.01)
   }
 
+  test("dedupIncremental: batch dedups within itself and against the corpus artifact; append admits nothing twice") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_keys_").toString + "/keys"
+    Similarity.writeCorpusKeys(docs.filter(col("doc_id") <= 1L), dir) // corpus: base, nearDup
+    val batch = Seq(
+      (10L, base, "en", "s9", base.length.toLong),      // dup of corpus doc 0 → dropped
+      (11L, unrelated, "en", "s9", unrelated.length.toLong), // new → kept
+      (12L, unrelated, "en", "s9", unrelated.length.toLong), // within-batch dup → dropped
+      (13L, "genuinely new text never seen before", "en", "s9", 36L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Similarity.dedupIncremental(batch, dir)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(11L, 13L))
+    // append survivors' keys; a replay of the same batch now admits nothing
+    out.select(md5(col("text")).as("k")).distinct()
+      .write.mode("append").parquet(dir)
+    assert(Similarity.dedupIncremental(batch, dir).count() == 0L)
+  }
+
   test("simhashNearDup: banded Hamming mining finds the exact copy, skips unrelated") {
     for (df <- Seq(docs, docs.repartition(3))) { // partition-invariant
       val pairs = Similarity.simhashNearDup(df, maxHamming = 3)

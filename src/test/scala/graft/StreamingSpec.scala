@@ -184,6 +184,37 @@ class StreamingSpec extends SparkSpec {
     assert(total == 500L * 4) // 1h window / 15min slide = 4 windows each
   }
 
+  test("stream-static enrichment join equals the batch weighted aggregate") {
+    val rnd = new scala.util.Random(43)
+    val events = (0 until 2000).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 7000L),
+        if (i % 2 == 0) "btc" else "eth", 100.0 + rnd.nextGaussian())
+    }.toDF("event_id", "ts", "event_type", "value")
+    val dim = Seq(("btc", 2.0), ("eth", 0.5)).toDF("event_type", "weight")
+    val dir = Files.createTempDirectory("graft_enrich_").toString
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val q = StreamingResample.enrichedVolume(spark, s"$dir/in", events.schema, dim)
+      .writeStream.format("memory").queryName("enrich_t")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("enrich_t").orderBy("bucket", "event_type").collect()
+    val batch = events.join(dim, Seq("event_type"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(sum(col("value") * col("weight")).as("w_volume"), count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("bucket"),
+        col("event_type"), col("w_volume"), col("n"))
+      .orderBy("bucket", "event_type").collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[Long]("bucket") == b.getAs[Long]("bucket"))
+      assert(s.getAs[String]("event_type") == b.getAs[String]("event_type"))
+      assert(approx(s.getAs[Double]("w_volume"), b.getAs[Double]("w_volume")))
+      assert(s.getAs[Long]("n") == b.getAs[Long]("n"))
+    }
+  }
+
   test("mapGroupsWithState running stats equal the batch oracle on replay") {
     val rnd = new scala.util.Random(21)
     val events = (0 until 2000).map { i =>
