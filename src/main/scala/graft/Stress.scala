@@ -79,6 +79,30 @@ object Stress {
     time("pctl_highcard_rangesort")(
       ops.Stats.exactPercentilesScale(highCard, "v",
         Seq("p50" -> 0.5, "p99" -> 0.99)))
+
+    // Text-tier scale-up: 500k synthetic docs (100× the sf0.1 documents
+    // table), ~40 tokens each from a 10k-word vocabulary, with every
+    // 100th doc an exact copy of its neighbor (planted dups). All
+    // constructed relationally — the same codegen pipeline the real
+    // corpus takes.
+    val docRows = rows / 10
+    val docs = spark.range(docRows)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map(i =>
+          concat(lit("w"), pmod(xxhash64(
+            // ids ending in 99 copy their left neighbor's text exactly
+            (col("id") - when(pmod(col("id"), lit(100)) === 99L, lit(1L))
+              .otherwise(lit(0L))) * 1000003L + i),
+            lit(10000L)))): _*).as("text"),
+        concat(lit("l"), pmod(col("id"), lit(5))).as("lang"),
+        concat(lit("s"), pmod(col("id"), lit(7))).as("source"),
+        lit(200L).as("n_chars"))
+    time(s"docs_exact_dedup")(ops.Similarity.exactDedup(docs))
+    time(s"docs_minhash_sigs")(ops.Similarity.minhashSignatures(docs))
+    time(s"docs_simhash_md5")(ops.Similarity.simhashMd5(docs))
+    time(s"docs_repetition")(ops.TextAnalysis.repetitionScore(docs))
+    time(s"docs_contamination")(ops.Similarity.contamination(docs, 997L))
+    time(s"docs_length_buckets")(ops.TextAnalysis.lengthBuckets(docs))
     spark.stop()
   }
 }
