@@ -88,6 +88,12 @@ object SparkEntry {
     "range_frame_chunked" -> ((s, d) => Stats.rangeFrameAvgChunked(ev(s, d))),
     // Set operations: intersect + except, tagged.
     "set_ops" -> ((s, d) => Sequences.setOps(ev(s, d))),
+    // pandas ffill: last non-null carried down each symbol's time order.
+    "fill_forward" -> ((s, d) => Rolling.fillForward(ev(s, d))),
+    // Wide reshape: groupBy().pivot() with enumerated values.
+    "pivot_wide" -> ((s, d) => Stats.pivotCounts(Tables.documents(s, d))),
+    // Ranking analytics: rank/dense_rank/percent_rank/cume_dist top-k.
+    "rank_metrics" -> ((s, d) => Sequences.rankMetrics(Tables.orders(s, d))),
     // HLL++ approx distinct vs exact. Registered with the exact columns
     // (oracle-able); the HLL++ estimate itself is pinned within rsd of
     // exact by SimilaritySpec (sketch values aren't cross-engine-equal).
@@ -496,6 +502,34 @@ object SparkEntry {
         |  SELECT event_id FROM events WHERE value > 90.0
         |  EXCEPT
         |  SELECT event_id FROM events WHERE user_id % 2 = 0)""".stripMargin,
+    "fill_forward" ->
+      """SELECT event_id, event_type, gappy,
+        | last_value(gappy IGNORE NULLS) OVER (PARTITION BY event_type
+        |   ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM (SELECT event_id, event_type, ts,
+        |        CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS gappy
+        |      FROM events)""".stripMargin,
+    "pivot_wide" ->
+      """SELECT source,
+        | CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+        | CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        | CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+        | CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+        | CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+        |FROM documents GROUP BY 1""".stripMargin,
+    "rank_metrics" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        | rnk, dense_rnk, pct_rank, cume
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |        CAST(rank() OVER w AS INTEGER) AS rnk,
+        |        CAST(dense_rank() OVER w AS INTEGER) AS dense_rnk,
+        |        percent_rank() OVER w AS pct_rank,
+        |        cume_dist() OVER w AS cume
+        |      FROM orders
+        |      WINDOW w AS (PARTITION BY o_orderpriority
+        |        ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |WHERE rnk <= 5""".stripMargin,
     "join_salted" ->
       """SELECT event_type, count(*) AS n,
         | sum(value - type_avg) AS sum_dev

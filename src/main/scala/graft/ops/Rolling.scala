@@ -315,4 +315,24 @@ object Rolling {
       .groupBy(col("event_type"), col("split"))
       .agg(count(lit(1)).as("n_rows"), sum(col("value")).as("sum_value"))
   }
+
+  /** Forward-fill (pandas `ffill`): carry the last non-null value down
+    * each symbol's time order — the standard repair for gappy market
+    * data before resampling. `last(ignoreNulls)` over an
+    * unbounded-preceding row frame, per-symbol partitions (the same
+    * scale contract as every window here). The gaps are derived
+    * deterministically (every 7th event masked) so the operator is
+    * exercised identically at any SF and by any engine.
+    */
+  def fillForward(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("gappy",
+        when(pmod(col("event_id"), lit(7)) === 0L, lit(null).cast("double"))
+          .otherwise(col("value")))
+      .select(col("event_id"), col("event_type"), col("gappy"),
+        last(col("gappy"), ignoreNulls = true).over(w).as("filled"))
+  }
 }

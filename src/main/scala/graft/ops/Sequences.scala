@@ -230,4 +230,24 @@ object Sequences {
     hi.intersect(even).withColumn("op", lit("intersect"))
       .unionByName(hi.except(even).withColumn("op", lit("except")))
   }
+
+  /** Ranking-analytics family over a per-group order: rank, dense_rank,
+    * percent_rank, cume_dist for the top-k orders by price within each
+    * priority class. Deterministic total order (price desc, key asc)
+    * keeps every rank engine-exact; percent_rank/cume_dist are exact
+    * rationals of counts, identical in any IEEE engine. One window over
+    * per-priority partitions — parallel across groups at any scale.
+    */
+  def rankMetrics(orders: DataFrame, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders
+      .withColumn("rnk", rank().over(w))
+      .withColumn("dense_rnk", dense_rank().over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        col("rnk"), col("dense_rnk"), col("pct_rank"), col("cume"))
+  }
 }

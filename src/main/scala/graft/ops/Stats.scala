@@ -166,6 +166,21 @@ object Stats {
         col("avg_1h"), col("n_1h"))
   }
 
+  /** Wide reshape via the `pivot()` relational operator: documents per
+    * (source × lang), languages as columns. Pivot values are ENUMERATED
+    * (the 5 known langs) — with explicit values Spark skips the extra
+    * distinct-scan job and the schema is stable at any SF; at 100 TB a
+    * pivot without values would first shuffle-scan the whole corpus just
+    * to learn the column set. One partial+final hash aggregate.
+    */
+  def pivotCounts(documents: DataFrame,
+                  langs: Seq[String] = Seq("de", "en", "es", "fr", "zh")): DataFrame =
+    documents
+      .groupBy(col("source"))
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+      .na.fill(0L, langs)
+
   /** Pairwise Pearson correlation matrix over lineitem measures, one row —
     * the notebook's `corr()` (cell 15). Pairs are flat columns so the
     * DuckDB oracle is a literal transliteration.
