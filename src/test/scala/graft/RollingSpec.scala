@@ -164,4 +164,23 @@ class RollingSpec extends SparkSpec {
       .map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(out("train") == 80L && out("val") == 10L && out("test") == 10L)
   }
+
+  test("fillForward: matches a sequential carry scan; leading gap stays null") {
+    // event_id 0 is masked (0 % 7 == 0) and is the series head → the
+    // fill has nothing to carry: stays null. Later masked ids (7, 14…)
+    // take the previous surviving value.
+    val n = 30
+    val big = (0 until n).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L), "btc", 100.0 + i)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val out = Rolling.fillForward(big).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    // sequential oracle
+    var carry: Option[Double] = None
+    (0 until n).foreach { i =>
+      if (i % 7 != 0) carry = Some(100.0 + i)
+      assert(out(i.toLong) == carry, s"id $i")
+    }
+  }
 }

@@ -68,6 +68,24 @@ class SequencesSpec extends SparkSpec {
     }
   }
 
+  test("rankMetrics: ties share rank, dense_rank stays dense, rationals exact") {
+    val orders = Seq(
+      (1L, 1L, 500.0, "P1"), (2L, 1L, 500.0, "P1"), // price tie → rank tie? no: key tie-break
+      (3L, 1L, 400.0, "P1"), (4L, 1L, 300.0, "P1"),
+      (5L, 2L, 900.0, "P2"), (6L, 2L, 100.0, "P2")
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    val out = graft.ops.Sequences.rankMetrics(orders, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getInt(3), r.getInt(4), r.getDouble(5), r.getDouble(6))).toMap
+    // the (price desc, key asc) order is total: no true ties survive, so
+    // rank == dense_rank == row position
+    assert(out(("P1", 1L)) == ((1, 1, 0.0, 0.25)))
+    assert(out(("P1", 2L)) == ((2, 2, 1.0 / 3.0, 0.5)))
+    assert(out(("P1", 3L)) == ((3, 3, 2.0 / 3.0, 0.75)))
+    assert(out(("P2", 5L)) == ((1, 1, 0.0, 0.5)))
+    assert(!out.contains(("P1", 4L))) // k=3 cut
+  }
+
   test("slidingSequencesChunked: identical to the window form across chunk boundaries") {
     val rnd = new scala.util.Random(19)
     // two symbols of very different depth + irregular time gaps (the
