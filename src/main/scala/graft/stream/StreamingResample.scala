@@ -107,6 +107,36 @@ object StreamingResample {
       .select(unix_timestamp(col("window.start")).as("bucket"),
         col("event_type"), col("w_volume"), col("n"))
 
+  /** Stream-stream inner join with a time-range condition: each trade
+    * (even event_id) joined to quotes (odd event_id) of the SAME symbol
+    * within the preceding 10 minutes. Both sides are watermarked, and
+    * the range condition bounds the join state: Spark evicts buffered
+    * rows once the other side's watermark passes the range — without
+    * the time bound, stream-stream state grows forever. The canonical
+    * trades×quotes enrichment, and the one join family a batch oracle
+    * can't replay incrementally (spec checks parity on a full replay).
+    */
+  def tradesQuotesJoin(spark: SparkSession, inputDir: String,
+                       schema: StructType): DataFrame = {
+    val src = spark.readStream.schema(schema).parquet(inputDir)
+    val trades = src.filter(col("event_id") % 2 === 0)
+      .withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("trade_id"), col("event_type"),
+        col("ts").as("trade_ts"), col("value").as("trade_px"))
+    val quotes = src.filter(col("event_id") % 2 === 1)
+      .withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("quote_id"),
+        col("event_type").as("q_type"), col("ts").as("quote_ts"),
+        col("value").as("quote_px"))
+    trades.join(quotes,
+      col("event_type") === col("q_type") &&
+        col("quote_ts") >= col("trade_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("quote_ts") <= col("trade_ts"))
+      .select(col("trade_id"), col("event_type"), col("trade_px"),
+        col("quote_id"), col("quote_px"),
+        (col("trade_px") - col("quote_px")).as("px_diff"))
+  }
+
   /** Session-window counts (gap-based): a session closes after `gap` of
     * inactivity per symbol. State per open session only; the watermark
     * finalizes and evicts closed sessions.

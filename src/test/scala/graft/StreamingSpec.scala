@@ -215,6 +215,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream trades/quotes range join equals the batch join on replay") {
+    val rnd = new scala.util.Random(47)
+    val events = (0 until 1200).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 30000L),
+        if (i % 4 < 2) "btc" else "eth", 100.0 + rnd.nextGaussian())
+    }.toDF("event_id", "ts", "event_type", "value")
+    val dir = Files.createTempDirectory("graft_ss_").toString
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val q = StreamingResample.tradesQuotesJoin(spark, s"$dir/in", events.schema)
+      .writeStream.format("memory").queryName("ssj_t")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ssj_t")
+      .orderBy("trade_id", "quote_id").collect()
+    val t = events.filter(col("event_id") % 2 === 0)
+      .select(col("event_id").as("trade_id"), col("event_type"),
+        col("ts").as("trade_ts"), col("value").as("trade_px"))
+    val qt = events.filter(col("event_id") % 2 === 1)
+      .select(col("event_id").as("quote_id"), col("event_type").as("q_type"),
+        col("ts").as("quote_ts"), col("value").as("quote_px"))
+    val batch = t.join(qt,
+        col("event_type") === col("q_type") &&
+          col("quote_ts") >= col("trade_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("quote_ts") <= col("trade_ts"))
+      .select(col("trade_id"), col("event_type"), col("trade_px"),
+        col("quote_id"), col("quote_px"),
+        (col("trade_px") - col("quote_px")).as("px_diff"))
+      .orderBy("trade_id", "quote_id").collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("mapGroupsWithState running stats equal the batch oracle on replay") {
     val rnd = new scala.util.Random(21)
     val events = (0 until 2000).map { i =>
