@@ -90,6 +90,9 @@ object SparkEntry {
     "set_ops" -> ((s, d) => Sequences.setOps(ev(s, d))),
     // pandas ffill: last non-null carried down each symbol's time order.
     "fill_forward" -> ((s, d) => Rolling.fillForward(ev(s, d))),
+    // ffill deep-series twin: bounded per-chunk fills + prefix-scan of
+    // the tiny chunk-summary table for the cross-chunk carry.
+    "fill_forward_chunked" -> ((s, d) => Rolling.fillForwardChunked(ev(s, d))),
     // Wide reshape: groupBy().pivot() with enumerated values.
     "pivot_wide" -> ((s, d) => Stats.pivotCounts(Tables.documents(s, d))),
     // Ranking analytics: rank/dense_rank/percent_rank/cume_dist top-k.
@@ -503,6 +506,14 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT event_id FROM events WHERE user_id % 2 = 0)""".stripMargin,
     "fill_forward" ->
+      """SELECT event_id, event_type, gappy,
+        | last_value(gappy IGNORE NULLS) OVER (PARTITION BY event_type
+        |   ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM (SELECT event_id, event_type, ts,
+        |        CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS gappy
+        |      FROM events)""".stripMargin,
+    "fill_forward_chunked" ->
       """SELECT event_id, event_type, gappy,
         | last_value(gappy IGNORE NULLS) OVER (PARTITION BY event_type
         |   ORDER BY ts, event_id

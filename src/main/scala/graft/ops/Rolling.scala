@@ -335,4 +335,43 @@ object Rolling {
       .select(col("event_id"), col("event_type"), col("gappy"),
         last(col("gappy"), ignoreNulls = true).over(w).as("filled"))
   }
+
+  /** [[fillForward]] for the deep-single-symbol regime — the same
+    * two-pass factoring as [[cumprodEquityChunked]]: (1) fill within
+    * bounded (symbol, time-chunk) windows; (2) reduce each chunk to its
+    * last non-null value, prefix-scan THAT tiny summary table for the
+    * cross-chunk carry (a whole chunk of nulls correctly inherits from
+    * earlier chunks), broadcast-join the carry back and coalesce. The
+    * unbounded per-symbol window never touches full-size data, so one
+    * symbol's history fills in parallel across its chunks.
+    */
+  def fillForwardChunked(events: DataFrame,
+                         chunkMicros: Long = 4L * 3600L * 1000000L): DataFrame = {
+    val raw = events
+      .withColumn("gappy",
+        when(pmod(col("event_id"), lit(7)) === 0L, lit(null).cast("double"))
+          .otherwise(col("value")))
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("chunk", floor(col("ts_us") / lit(chunkMicros)))
+    val wChunk = Window.partitionBy(col("event_type"), col("chunk"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = raw.withColumn("f_local",
+      last(col("gappy"), ignoreNulls = true).over(wChunk))
+    // one row per (symbol, chunk): the chunk-last fill state (null iff
+    // the whole chunk is gaps) — #chunks rows, not #events
+    val summaries = local
+      .groupBy(col("event_type"), col("chunk"))
+      .agg(max_by(col("f_local"),
+        struct(col("ts_us"), col("event_id"))).as("chunk_last"))
+    val wCarry = Window.partitionBy(col("event_type")).orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = summaries
+      .withColumn("carry", last(col("chunk_last"), ignoreNulls = true).over(wCarry))
+      .select(col("event_type"), col("chunk"), col("carry"))
+    local
+      .join(broadcast(carries), Seq("event_type", "chunk"), "left")
+      .select(col("event_id"), col("event_type"), col("gappy"),
+        coalesce(col("f_local"), col("carry")).as("filled"))
+  }
 }

@@ -165,6 +165,25 @@ class RollingSpec extends SparkSpec {
     assert(out("train") == 80L && out("val") == 10L && out("test") == 10L)
   }
 
+  test("fillForwardChunked: matches the plain window across chunk sizes, incl. all-null chunks") {
+    // 1-hour event spacing with ids spaced so that some 4-hour chunks
+    // contain ONLY masked events (id % 7 == 0) — the cross-chunk carry
+    // must then reach back several chunks.
+    val big = (0 until 400).map { i =>
+      // every 5th row's id is a multiple of 7 (masked); others never are
+      val id = if (i % 5 == 0) i.toLong * 7L else i.toLong * 7L + 1L + (i % 3)
+      (id, new Timestamp(1704067200000L + i * 3600000L),
+        if (i % 2 == 0) "btc" else "eth", 100.0 + i)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val plain = Rolling.fillForward(big)
+      .orderBy("event_type", "event_id").collect().map(_.toSeq)
+    for (chunkH <- Seq(2L, 4L, 16L)) {
+      val chunked = Rolling.fillForwardChunked(big, chunkH * 3600L * 1000000L)
+        .orderBy("event_type", "event_id").collect().map(_.toSeq)
+      assert(chunked.toList == plain.toList, s"chunkH=$chunkH")
+    }
+  }
+
   test("fillForward: matches a sequential carry scan; leading gap stays null") {
     // event_id 0 is masked (0 % 7 == 0) and is the series head → the
     // fill has nothing to carry: stays null. Later masked ids (7, 14…)
