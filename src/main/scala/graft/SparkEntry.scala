@@ -116,6 +116,9 @@ object SparkEntry {
     "join_asof" -> ((s, d) => Joins.asofJoin(ev(s, d))),
     // J4 deep-series path: per-(symbol, chunk) carry with boundary seeds.
     "join_asof_chunked" -> ((s, d) => Joins.asofJoinChunked(ev(s, d))),
+    // J4 forward direction: next bar's open at-or-after each event (the
+    // supervised-label lookup).
+    "join_asof_fwd" -> ((s, d) => Joins.asofJoinForward(ev(s, d))),
     // Skew-safe salted equi-join (result identical to the plain join).
     "join_salted" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -561,6 +564,21 @@ object SparkEntry {
     // ORDER BY (ts, event_id) in every window: the Spark side's total order
     // (byTypeTime) — µs-level ts ties would otherwise leave the oracle's
     // list()/lead() contents order-arbitrary while Spark's are pinned.
+    // Forward ASOF via sign flip: DuckDB's ASOF matches the largest
+    // right-side key <= the left key, so joining on negated epochs picks
+    // the SMALLEST bucket_ts >= ts — the next bar, inclusive.
+    "join_asof_fwd" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bstart,
+        |         arg_min(value, ts) AS open
+        |  FROM events GROUP BY 1, 2),
+        |e2 AS (SELECT event_id, event_type, value, -epoch_us(ts) AS nts
+        |       FROM events),
+        |h2 AS (SELECT event_type AS et, open, -epoch_us(bstart) AS nts
+        |       FROM hourly)
+        |SELECT event_id, event_type, value, open AS next_open
+        |FROM e2 ASOF LEFT JOIN h2
+        |  ON e2.event_type = h2.et AND e2.nts >= h2.nts""".stripMargin,
     "seq_sliding" ->
       """SELECT event_id, event_type,
         | seq[1] AS seq_0, seq[2] AS seq_1, seq[3] AS seq_2,

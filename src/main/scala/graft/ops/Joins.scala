@@ -161,6 +161,42 @@ object Joins {
         col("last_close").as("bar_close"))
   }
 
+  /** FORWARD as-of join — the label-generation direction: each event
+    * paired with the OPEN of the next hourly bar starting at or after
+    * its timestamp (supervised targets look forward; the backward
+    * [[asofJoin]] enriches features). Same union + windowed-carry shape,
+    * mirrored: `first(ignoreNulls)` over a current-row-to-unbounded-
+    * FOLLOWING frame, bars sorting after events at equal t so a bar
+    * opening exactly at the event's instant matches (inclusive >=).
+    * Still one shuffle, no range cross-join, parallel per symbol.
+    */
+  def asofJoinForward(events: DataFrame): DataFrame = {
+    val hourly = Resample.ohlcHourlyTs(events)
+    val bars = hourly.select(
+      col("event_type"),
+      col("bucket_ts").as("t"),
+      lit(1).as("is_bar"),
+      col("open").as("bar_open"),
+      lit(null).cast("long").as("event_id"),
+      lit(null).cast("double").as("value"))
+    val evs = events.select(
+      col("event_type"),
+      col("ts").as("t"),
+      lit(0).as("is_bar"),
+      lit(null).cast("double").as("bar_open"),
+      col("event_id"),
+      col("value"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("t").asc, col("is_bar").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    bars.unionByName(evs)
+      .withColumn("next_open",
+        first(col("bar_open"), ignoreNulls = true).over(w))
+      .filter(col("is_bar") === 0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("next_open"))
+  }
+
   def asofJoin(events: DataFrame): DataFrame = {
     val hourly = Resample.ohlcHourlyTs(events)
     val bars = hourly.select(

@@ -33,4 +33,25 @@ class JoinsSpec extends SparkSpec {
       }
     }
   }
+
+  test("asofJoinForward: next bar's open, inclusive at the bar-start instant") {
+    // two symbols, 30-min spacing → hourly bars open at :00; the event
+    // AT a bar start must take that bar's open (inclusive >=), events
+    // after the last bar start still match it, nothing looks backward
+    val rows = Seq(
+      (0L, new Timestamp(1704067200000L), "btc", 10.0), // 00:00 — bar0 open
+      (1L, new Timestamp(1704069000000L), "btc", 11.0), // 00:30
+      (2L, new Timestamp(1704070800000L), "btc", 12.0), // 01:00 — bar1 open
+      (3L, new Timestamp(1704072600000L), "btc", 13.0), // 01:30
+      (4L, new Timestamp(1704067200000L), "eth", 20.0)  // 00:00 — eth bar open
+    ).toDF("event_id", "ts", "event_type", "value")
+    val out = graft.ops.Joins.asofJoinForward(rows).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(0L) == Some(10.0)) // its own bar's open (inclusive)
+    assert(out(1L) == Some(12.0)) // next bar opens 01:00 with value 12
+    assert(out(2L) == Some(12.0))
+    assert(out(3L) == None) // nothing opens at or after 01:30 — left join null
+    assert(out(4L) == Some(20.0))
+  }
 }
