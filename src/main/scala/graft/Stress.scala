@@ -103,6 +103,63 @@ object Stress {
     time(s"docs_repetition")(ops.TextAnalysis.repetitionScore(docs))
     time(s"docs_contamination")(ops.Similarity.contamination(docs, 997L))
     time(s"docs_length_buckets")(ops.TextAnalysis.lengthBuckets(docs))
+
+    // Embeddings-tier scale-up: 100k 64-dim float vectors (10× the sf0.1
+    // embeddings table), 32 planted clusters (centroid + noise), built
+    // relationally. Pins the two numbers the ANN design stands on:
+    // steady-state PROBE latency against the partitioned layout (the
+    // build is a one-time lake artifact) and the planesFor bucket-size
+    // distribution (buckets must stay near targetBucketRows as n grows —
+    // that is the whole point of data-sized plane counts).
+    val nVec = math.max(rows / 50L, 100000L)
+    def comp(i: Int) = {
+      val centroid = (pmod(xxhash64(pmod(col("id"), lit(32L)) * 1000003L + i),
+        lit(2001L)) - 1000L) / 1000.0
+      val noise = (pmod(xxhash64(col("id") * 999983L + i),
+        lit(2001L)) - 1000L) / 5000.0
+      (centroid + noise).cast("float")
+    }
+    val emb = spark.range(nVec).select(
+      col("id").as("vec_id"),
+      concat(lit("c"), pmod(col("id"), lit(32L))).as("label"),
+      array((0 until 64).map(comp): _*).as("embedding"))
+
+    val tP0 = System.nanoTime()
+    val planes = ops.Similarity.planesFor(emb)
+    println(f"STRESS emb_planes_for        ${(System.nanoTime() - tP0) / 1e9}%8.2f s  " +
+      f"($nVec vectors -> $planes planes, ${1 << planes} buckets)")
+    val layout = java.nio.file.Files.createTempDirectory("graft_stress_ann_")
+      .toString + "/layout"
+    val tB0 = System.nanoTime()
+    ops.Similarity.writeAnnLayout(emb, layout, planes)
+    println(f"STRESS emb_layout_build      ${(System.nanoTime() - tB0) / 1e9}%8.2f s  ($nVec vectors)")
+    // bucket-size distribution: the layout's partition sizes
+    val dist = spark.read.parquet(layout)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"), min(col("n")).as("min_n"),
+        avg(col("n")).as("avg_n"), max(col("n")).as("max_n"))
+      .head()
+    println(s"STRESS emb_bucket_dist           buckets=${dist.getLong(0)} " +
+      f"min=${dist.getLong(1)} avg=${dist.getDouble(2)}%.1f max=${dist.getLong(3)} " +
+      s"(target ~64)")
+    // steady-state probe latency: the query VECTOR is known (the
+    // production case — an external embedding), bucket computed
+    // driver-side, scan partition-pruned to the probe buckets. Three
+    // probes; the first pays file-listing warmup, the rest are the
+    // number. The by-id form is timed once for comparison — it adds a
+    // column-pruned full-layout scan just to find the query vector.
+    val qVecs = emb.filter(col("vec_id").isin(0L, 17L, 4242L))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).toArray).toMap
+    for (q <- Seq(0L, 17L, 4242L))
+      time(s"emb_probe_vec_q$q")(
+        ops.Similarity.annLshProbe(spark, layout, qVecs(q), 10, planes,
+          excludeId = Some(q)))
+    time("emb_probe_byid_q0")(
+      ops.Similarity.annLshBucketed(spark, layout, 0L, 10, planes))
+    // exact brute-force baseline the probe must beat
+    time("emb_brute_cosine")(ops.Similarity.cosineTopK(emb, 0L, 10))
     spark.stop()
   }
 }

@@ -202,6 +202,59 @@ object Joins {
         col("next_open"))
   }
 
+  /** [[asofJoinForward]] for the deep-single-symbol regime — the mirror
+    * of [[asofJoinChunked]] run over reversed time. The carry window runs
+    * per `(symbol, time-chunk)`; the cross-chunk state is one number per
+    * chunk — the FIRST bar open at-or-after the chunk's exclusive end —
+    * computed from a tiny per-chunk summary (first bar per chunk,
+    * `last(ignoreNulls)` EXCLUSIVE prefix over the symbol's chunk list in
+    * DESCENDING chunk order, so bar-less chunks inherit through gaps) and
+    * injected as a seed pseudo-row at the chunk's end boundary
+    * (`(chunk+1)·chunkMicros`, strictly above every in-chunk `t_us`, so
+    * it sorts first in the reversed order). Output row-identical to
+    * [[asofJoinForward]] (parity-spec'd across chunk sizes).
+    */
+  def asofJoinForwardChunked(events: DataFrame,
+                             chunkMicros: Long = 6L * 3600L * 1000000L): DataFrame = {
+    val hourly = Resample.ohlcHourlyTs(events)
+    val bars = hourly.select(
+      col("event_type"), unix_micros(col("bucket_ts")).as("t_us"),
+      lit(1).as("is_bar"), col("open").as("bar_open"),
+      lit(null).cast("long").as("event_id"),
+      lit(null).cast("double").as("value"))
+    val evs = events.select(
+      col("event_type"), unix_micros(col("ts")).as("t_us"),
+      lit(0).as("is_bar"), lit(null).cast("double").as("bar_open"),
+      col("event_id"), col("value"))
+    val un = bars.unionByName(evs)
+      .withColumn("chunk", floor(col("t_us") / lit(chunkMicros)))
+    val bySymbolChunkDesc =
+      Window.partitionBy(col("event_type")).orderBy(col("chunk").desc)
+    val chunksAll = un.select(col("event_type"), col("chunk")).distinct()
+    val barFirst = un.filter(col("is_bar") === 1)
+      .groupBy(col("event_type"), col("chunk"))
+      .agg(min_by(col("bar_open"), col("t_us")).as("chunk_first_bar"))
+    val seeds = chunksAll
+      .join(barFirst, Seq("event_type", "chunk"), "left")
+      .withColumn("seed", last(col("chunk_first_bar"), ignoreNulls = true)
+        .over(bySymbolChunkDesc.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("seed").isNotNull)
+      .select(col("event_type"), col("chunk"),
+        ((col("chunk") + 1) * chunkMicros).as("t_us"),
+        lit(2).as("is_bar"), // above every in-chunk t: first in DESC order
+        col("seed").as("bar_open"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("value"))
+    val w = Window.partitionBy(col("event_type"), col("chunk"))
+      .orderBy(col("t_us").desc, col("is_bar").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    un.unionByName(seeds)
+      .withColumn("next_open", last(col("bar_open"), ignoreNulls = true).over(w))
+      .filter(col("is_bar") === 0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("next_open"))
+  }
+
   def asofJoin(events: DataFrame): DataFrame = {
     val hourly = Resample.ohlcHourlyTs(events)
     val bars = hourly.select(

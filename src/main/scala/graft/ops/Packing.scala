@@ -20,9 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** The chunk budget's unit — how a document's token count is measured.
+    * `Whitespace` is the cheap split count; `Bpe` is the BPE-ish
+    * pre-tokenization from [[TextAnalysis.tokenBpe]] (letter runs / digit
+    * runs / single symbols over lowercased text) — the count a real
+    * subword budget tracks, still pure codegen regex and still
+    * engine-agnostic (the oracle recomputes it with
+    * `regexp_extract_all`).
+    */
+  sealed trait Tokenizer
+  case object Whitespace extends Tokenizer
+  case object Bpe extends Tokenizer
+
   /** Assign every document a (shard, chunk_id, offset) under a
-    * `tokensPerChunk` budget. Tokens = whitespace count (swap in the
-    * BPE-ish tokenizer from TextAnalysis for real budgets).
+    * `tokensPerChunk` budget measured by `tokenizer`.
     *
     * `shardNibbles` controls parallelism: 16^nibbles shard streams, each
     * an independent prefix-sum window. 1 nibble (16 shards) suits the
@@ -31,15 +42,21 @@ object Packing {
     * the same substring of the same md5 at any width.
     */
   def packDocs(documents: DataFrame, tokensPerChunk: Int,
-               shardNibbles: Int = 1): DataFrame = {
+               shardNibbles: Int = 1,
+               tokenizer: Tokenizer = Whitespace): DataFrame = {
     require(tokensPerChunk > 0)
     require(shardNibbles >= 1 && shardNibbles <= 8,
       s"shardNibbles ($shardNibbles) must be in [1, 8]")
+    val nTokens = tokenizer match {
+      case Whitespace => size(split(col("text"), " ")).cast("long")
+      case Bpe => size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+    }
     val w = Window.partitionBy(col("shard")).orderBy(col("h"))
     documents
       .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("shard", substring(col("h"), 1, shardNibbles))
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_tokens", nTokens)
       .withColumn("start_tok", coalesce(
         sum(col("n_tokens")).over(
           w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -366,28 +366,38 @@ object Similarity {
       .distinct() // a pair can collide in several bands
   }
 
-  /** Benchmark-contamination detection: training docs sharing ≥
-    * `minShared` distinct 3-gram shingles with any benchmark document
-    * (membership here: doc_id % benchmarkMod == 0; in production the
-    * benchmark table is explicit). The benchmark shingle set — tiny by
-    * construction, real eval sets are thousands of docs against a 100 TB
-    * corpus — is distinct-hashed and BROADCAST, so the corpus side
-    * streams map-only: hash shingle, probe, count. md5 keys make the
-    * match set engine-exact (oracle-able), and only 32-hex keys travel,
-    * never shingle text.
+  /** Benchmark-contamination detection against an EXPLICIT benchmark
+    * table (the production shape: the eval set is its own corpus, not a
+    * predicate over the training one): training docs sharing ≥
+    * `minShared` distinct 3-gram shingles with any benchmark document.
+    * The benchmark shingle set — tiny by construction, real eval sets
+    * are thousands of docs against a 100 TB corpus — is distinct-hashed
+    * and BROADCAST, so the corpus side streams map-only: hash shingle,
+    * probe, count. md5 keys make the match set engine-exact
+    * (oracle-able), and only 32-hex keys travel, never shingle text.
     */
-  def contamination(documents: DataFrame, benchmarkMod: Long = 97L,
-                    minShared: Long = 2L): DataFrame = {
+  def contaminationAgainst(documents: DataFrame, benchmark: DataFrame,
+                           minShared: Long = 2L): DataFrame = {
     val sh = shingleRows(documents)
       .select(col("doc_id"), md5(col("s")).as("bh"))
-    val bench = sh.filter(col("doc_id") % benchmarkMod === 0L)
-      .select(col("bh")).distinct()
-    sh.filter(col("doc_id") % benchmarkMod =!= 0L)
-      .join(broadcast(bench), Seq("bh"))
+    val bench = shingleRows(benchmark)
+      .select(md5(col("s")).as("bh")).distinct()
+    sh.join(broadcast(bench), Seq("bh"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("bh")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** [[contaminationAgainst]] with the benchmark membership derived from
+    * a doc_id predicate over the same table (the self-contained fixture
+    * form; kept for the oracle query that has only one table).
+    */
+  def contamination(documents: DataFrame, benchmarkMod: Long = 97L,
+                    minShared: Long = 2L): DataFrame =
+    contaminationAgainst(
+      documents.filter(col("doc_id") % benchmarkMod =!= 0L),
+      documents.filter(col("doc_id") % benchmarkMod === 0L),
+      minShared)
 
   // ------------------------------------------------------------ embeddings
 
@@ -492,6 +502,12 @@ object Similarity {
   def writeAnnLayout(embeddings: DataFrame, layoutDir: String,
                      nPlanes: Int = 4, dim: Int = 64): Unit =
     embeddings.withColumn("bucket", hyperplaneBucket("embedding", nPlanes, dim))
+      // cluster by the partition key before the partitioned write: one
+      // task owns one bucket, so the layout is one file per bucket
+      // instead of (tasks × buckets) small files — at many-plane counts
+      // the unclustered write is the dominant build cost (measured 3×
+      // at 2048 buckets in graft.Stress)
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(layoutDir)
 
   /** [[annLsh]] against a [[writeAnnLayout]] directory: the probe-bucket
@@ -502,21 +518,40 @@ object Similarity {
   def annLshBucketed(spark: org.apache.spark.sql.SparkSession,
                      layoutDir: String, queryId: Long, k: Int,
                      nPlanes: Int = 4, probeRadius: Int = 1): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
     val corpus = spark.read.parquet(layoutDir)
+    // the by-id lookup scans only the (vec_id, embedding) columns; at
+    // production scale the query vector arrives from outside the layout
+    // — use annLshProbe directly and skip this scan entirely
     val q = corpus.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+      .select(col("embedding").as("q_emb"))
       .head()
-    val qEmb = q.getAs[scala.collection.Seq[Float]]("q_emb")
-    val qBucket = q.getAs[Number]("q_bucket").longValue()
+    val qEmb = q.getAs[scala.collection.Seq[Float]]("q_emb").toArray
+    annLshProbe(spark, layoutDir, qEmb, k, nPlanes, probeRadius,
+      excludeId = Some(queryId))
+  }
+
+  /** The steady-state probe: the query VECTOR is given (an external
+    * embedding — the production case), its bucket is computed driver-side
+    * from the shared plane family, and the scan touches ONLY the probe
+    * buckets' directories (literal IN-list on the partition column →
+    * PartitionFilters prune everything else before any row is read). No
+    * full-layout lookup anywhere — this is the latency `ann_probe` and
+    * the Stress embeddings section pin.
+    */
+  def annLshProbe(spark: org.apache.spark.sql.SparkSession,
+                  layoutDir: String, qEmb: Array[Float], k: Int,
+                  nPlanes: Int = 4, probeRadius: Int = 1,
+                  dim: Int = 64,
+                  excludeId: Option[Long] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val qBucket = bucketOf(qEmb, nPlanes, dim)
     val probes = (0L until (1L << nPlanes))
       .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
       .map(_ ^ qBucket)
     val qCol = array(qEmb.toSeq.map(v => lit(v)): _*)
-    corpus
-      // literal IN-list on the partition column → PartitionFilters prune
-      // every non-probe directory before any row is read
-      .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)
+    val base = spark.read.parquet(layoutDir)
+      .filter(col("bucket").isin(probes: _*))
+    excludeId.fold(base)(id => base.filter(col("vec_id") =!= id))
       .select(col("vec_id"), col("label"), col("bucket"),
         (dotF(col("embedding"), qCol) /
           (l2F(col("embedding")) * l2F(qCol))).as("cosine"))
@@ -524,11 +559,12 @@ object Similarity {
       .limit(k)
   }
 
-  /** Shared bucket expression: sign pattern of `nPlanes` deterministic
-    * hyperplanes (same plane family as [[annLsh]]).
+  /** The deterministic hyperplane family (splitmix64-style mix of
+    * (plane, dim) — no RNG state): shared by the bucket EXPRESSION that
+    * lays out the corpus and the driver-side bucket of a single query
+    * vector, so both sides always agree.
     */
-  private[ops] def hyperplaneBucket(embCol: String, nPlanes: Int,
-                                    dim: Int): Column = {
+  private def planesArray(nPlanes: Int, dim: Int): Array[Array[Double]] = {
     def mix(z0: Long): Double = {
       var z = z0 + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -536,11 +572,32 @@ object Similarity {
       z = z ^ (z >>> 31)
       (java.lang.Math.floorMod(z, 2000001L) - 1000000L).toDouble / 1000000.0
     }
-    val planes = Array.tabulate(nPlanes, dim)((p, d) => mix(p.toLong * 1000003L + d))
+    Array.tabulate(nPlanes, dim)((p, d) => mix(p.toLong * 1000003L + d))
+  }
+
+  /** Shared bucket expression: sign pattern of `nPlanes` deterministic
+    * hyperplanes (same plane family as [[annLsh]]).
+    */
+  private[ops] def hyperplaneBucket(embCol: String, nPlanes: Int,
+                                    dim: Int): Column = {
+    val planes = planesArray(nPlanes, dim)
     (0 until nPlanes).map { p =>
       when(dot(asDouble(col(embCol)),
         array(planes(p).map(lit(_)): _*)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** Driver-side bucket of ONE query vector — plain arithmetic over the
+    * same plane family, no Spark job.
+    */
+  private[ops] def bucketOf(emb: Array[Float], nPlanes: Int, dim: Int): Long = {
+    val planes = planesArray(nPlanes, dim)
+    (0 until nPlanes).map { p =>
+      var s = 0.0
+      var i = 0
+      while (i < math.min(dim, emb.length)) { s += emb(i) * planes(p)(i); i += 1 }
+      if (s >= 0) 1L << p else 0L
+    }.sum
   }
 
   /** Hyperplane-LSH bucketed ANN: `nPlanes` deterministic pseudo-random

@@ -125,8 +125,11 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("s"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("c")).cast("int").as("n_ngrams"),
-        count(lit(1)).cast("int").as("n_uniq_ngrams"))
+      // counts stay LONG through the aggregate (a pathological >2^31-token
+      // doc must not silently wrap); the int cast is only the registered
+      // projection's oracle-schema concession below
+      .agg(sum(col("c")).as("n_ngrams"),
+        count(lit(1)).as("n_uniq_ngrams"))
     documents
       .select(col("doc_id"), size(toks).as("n_tokens"),
         size(array_distinct(toks)).as("n_uniq_tokens"))
@@ -134,7 +137,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"),
         (lit(1.0) - col("n_uniq_tokens").cast("double") / col("n_tokens"))
           .as("dup_token_frac"),
-        col("n_ngrams"),
+        col("n_ngrams").cast("int").as("n_ngrams"),
         (lit(1.0) - col("n_uniq_ngrams").cast("double") / col("n_ngrams"))
           .as("dup_ngram_frac"))
   }

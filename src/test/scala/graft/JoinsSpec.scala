@@ -54,4 +54,27 @@ class JoinsSpec extends SparkSpec {
     assert(out(3L) == None) // nothing opens at or after 01:30 — left join null
     assert(out(4L) == Some(20.0))
   }
+
+  test("asofJoinForwardChunked: identical to asofJoinForward across chunk boundaries and gaps") {
+    val rnd = new scala.util.Random(31)
+    // same bursty shape as the backward parity test: silent chunks (no
+    // bars), events exactly on chunk boundaries, trailing events past the
+    // last bar (null carries must survive chunking in BOTH directions)
+    val rows = (0 until 4000).map { i =>
+      val burst = i / 400
+      val ts = 1704067200000L + burst * 10L * 3600000L + (i % 400) * 9000L
+      (i.toLong, new Timestamp(ts), if (i % 2 == 0) "btc" else "eth",
+        100.0 + rnd.nextGaussian())
+    }
+    val df = rows.toDF("event_id", "ts", "event_type", "value").repartition(7)
+    val plain = Joins.asofJoinForward(df).orderBy("event_id").collect()
+    for (chunkMicros <- Seq(2L * 3600L * 1000000L, 7200L * 1000000L * 12L)) {
+      val chunked = Joins.asofJoinForwardChunked(df, chunkMicros)
+        .orderBy("event_id").collect()
+      assert(plain.length == chunked.length && plain.length == 4000)
+      plain.zip(chunked).foreach { case (a, b) =>
+        assert(a.toSeq == b.toSeq, s"chunk=$chunkMicros @ ${a.getLong(0)}")
+      }
+    }
+  }
 }

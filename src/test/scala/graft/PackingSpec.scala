@@ -49,6 +49,37 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packDocs Bpe tokenizer: budget counted in BPE-ish tokens, layout still gapless") {
+    val budget = 64
+    // punctuation + digits + mixed case: whitespace and BPE counts diverge
+    val mixed = (0 until 500).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      val words = (0 until n).map(j => s"Word$j, x${i % 10}.${j % 7}!")
+      (i.toLong, words.mkString(" "), "en", "s", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Packing.packDocs(mixed, budget, 1, Packing.Bpe).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // n_tokens is EXACTLY TextAnalysis.tokenBpe's count (same regex)
+    val bpe = graft.ops.TextAnalysis.tokenBpe(mixed).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    out.foreach { case (id, _, n, _, _) => assert(n == bpe(id), s"doc $id") }
+    // and it diverges from the whitespace count (the budget is genuinely
+    // measured in subword pre-tokens, not spaces)
+    val ws = Packing.packDocs(mixed, budget).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.exists { case (id, _, n, _, _) => n != ws(id) })
+    // gapless per-shard token stream under the BPE measure
+    out.groupBy(_._2).foreach { case (_, ds) =>
+      val byStart = ds.map { case (_, _, n, chunk, off) =>
+        (chunk * budget + off, n)
+      }.sortBy(_._1)
+      byStart.foldLeft(0L) { case (expectedStart, (start, n)) =>
+        assert(start == expectedStart)
+        start + n
+      }
+    }
+  }
+
   test("packDocs shardNibbles=2: 256-way sharding, each shard stream contiguous") {
     val budget = 512
     val rows = Packing.packDocs(docs, budget, shardNibbles = 2).collect()

@@ -252,6 +252,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L) >= 10L && out(3L) == 16L)
   }
 
+  test("contaminationAgainst: explicit benchmark table, disjoint from the corpus") {
+    // the benchmark is its OWN DataFrame (production shape): corpus docs
+    // overlapping it are flagged regardless of any id arithmetic, and a
+    // corpus doc equal to ANOTHER corpus doc is not
+    val bench = docs.filter($"doc_id" === 0L).select(
+      ($"doc_id" + 100L).as("doc_id"), $"text", $"lang", $"source", $"n_chars")
+    val corpus = docs.filter($"doc_id" =!= 0L)
+    val out = Similarity.contaminationAgainst(corpus, bench, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 3 is an exact copy of doc 0 (16 shingles), doc 1 its near-dup;
+    // doc 2 is unrelated -> absent
+    assert(out.contains(3L) && out(3L) == 16L)
+    assert(out.contains(1L) && out(1L) >= 10L)
+    assert(!out.contains(2L))
+    // same-table form is the overload composed over id predicates
+    val viaMod = Similarity.contamination(docs, benchmarkMod = 2L, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaTables = Similarity.contaminationAgainst(
+      docs.filter($"doc_id" % 2 =!= 0L), docs.filter($"doc_id" % 2 === 0L),
+      minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaMod == viaTables)
+  }
+
   test("minhashSignatures: identical texts share signatures; deterministic across runs") {
     val a = Similarity.minhashSignatures(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(4)).toMap

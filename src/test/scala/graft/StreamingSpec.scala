@@ -6,7 +6,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 
 import graft.ops.Resample
-import graft.stream.StreamingResample
+import graft.stream.{StreamingResample, StreamingSink}
 
 /** Streaming parity (SURVEY §5.2.5): the Structured Streaming resample
   * replayed from a file source must equal the batch result on the same
@@ -99,6 +99,86 @@ class StreamingSpec extends SparkSpec {
       assert(approx(s.getAs[Double]("volume"), b.getAs[Double]("volume")))
       assert(s.getAs[Long]("n_trades") == b.getAs[Long]("n_trades"))
     }
+  }
+
+  test("warehouse sink: replay never double-counts, late month merges, latest write wins") {
+    // The reference's terminal warehouse step is CREATE-OR-REPLACE
+    // (duckdb_api.py:44-47) while its parquet zone is blind append
+    // (process_data.py:125 — a re-run lands rows twice). The streaming
+    // sink must carry the REPLACE semantics: a replayed micro-batch (or a
+    // full from-scratch replay) converges to the same table.
+    val t0 = 1704067200000L // 2024-01-01
+    val feb = t0 + 31L * 24 * 3600000L
+    def mkDf(rows: Seq[(Long, Long, String, Double)]) =
+      rows.map { case (id, ms, sym, v) => (id, new Timestamp(ms), sym, v) }
+        .toDF("event_id", "ts", "event_type", "value")
+    val phase1 = (0 until 1000).map { i =>
+      (i.toLong, t0 + i * 60000L, if (i % 2 == 0) "btc" else "eth", 100.0 + i)
+    } ++ Seq((5000L, feb, "btc", 7.0)) // one early February straggler
+    val dir = Files.createTempDirectory("graft_whsink_").toString
+    val schema = mkDf(phase1).schema
+    mkDf(phase1).write.mode("append").parquet(s"$dir/in")
+
+    def run(): Unit = {
+      val q = StreamingSink.warehouseSink(
+        spark.readStream.schema(schema).parquet(s"$dir/in"),
+        "event_id", "ts", s"$dir/wh", s"$dir/ckpt")
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    def table() = spark.read.parquet(s"$dir/wh")
+
+    run()
+    assert(table().count() == 1001)
+    assert(table().select("month").distinct().as[String].collect().sorted
+      .toSeq == Seq("2024-01", "2024-02"))
+    val sum1 = table().agg(sum("value")).as[Double].head()
+
+    // FULL replay: wipe the checkpoint so the source re-delivers every
+    // file from scratch — with an append sink this doubles the table;
+    // the upsert converges to the identical state.
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+    }
+    rmrf(java.nio.file.Paths.get(s"$dir/ckpt"))
+    run()
+    assert(table().count() == 1001, "replayed stream must not double-count")
+    assert(table().agg(sum("value")).as[Double].head() == sum1)
+
+    // Late batch: a correction for an EXISTING key (event 5 re-arrives
+    // with a new value) plus genuinely new February rows. The January
+    // partition merges (old rows survive, key 5 replaced), February
+    // extends.
+    val phase2 = Seq((5L, t0 + 5 * 60000L, "btc", 999.0)) ++
+      (0 until 100).map { i =>
+        (6000L + i, feb + i * 60000L, "eth", 200.0 + i)
+      }
+    mkDf(phase2).write.mode("append").parquet(s"$dir/in")
+    run() // same checkpoint: only the new file is processed
+    assert(table().count() == 1101)
+    assert(table().filter($"event_id" === 5L).select("value")
+      .as[Double].head() == 999.0, "latest write must win")
+    // batch parity: the table equals the batch-computed latest-wins union
+    val expected = mkDf(phase1.filter(_._1 != 5L) ++ phase2)
+    val got = table().drop("month")
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+    // warehouse_roundtrip's summary shape over the sink table matches the
+    // same summary over the batch union (the oracle-shape parity)
+    val whSummary = table().groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .orderBy("event_type").collect()
+    val batchSummary = expected.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .orderBy("event_type").collect()
+    whSummary.zip(batchSummary).foreach { case (a, b) => assert(a == b) }
+
+    // the batch API is idempotent on its own: merging the same batch
+    // twice changes nothing
+    StreamingSink.upsertByMonth(mkDf(phase2), "event_id", "ts", s"$dir/wh")
+    assert(table().count() == 1101)
   }
 
   test("incremental file discovery: later drops emit only new hours, maxFilesPerTrigger paces the backlog") {
