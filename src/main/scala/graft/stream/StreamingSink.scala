@@ -2,7 +2,7 @@ package graft.stream
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
-import org.apache.spark.sql.functions.{col, date_format}
+import org.apache.spark.sql.functions.{col, date_format, timestamp_seconds}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** The streaming warehouse sink (SURVEY §2.8 terminal step): carry the
@@ -45,11 +45,22 @@ object StreamingSink {
     * batch upsert too — the streaming sink is this, once per micro-batch.
     */
   def upsertByMonth(batch: DataFrame, keyCol: String, tsCol: String,
+                    path: String): Unit =
+    upsertByMonth(batch, Seq(keyCol), tsCol, path)
+
+  /** Composite-key form: aggregated tables are keyed by their full group
+    * key — e.g. the hourly-bar warehouse upserts on (bucket, event_type),
+    * so a bar RE-emitted with more data (update-mode streaming aggregate,
+    * or a late-data recompute) replaces its previous version instead of
+    * duplicating it.
+    */
+  def upsertByMonth(batch: DataFrame, keyCols: Seq[String], tsCol: String,
                     path: String): Unit = {
+    require(keyCols.nonEmpty)
     val spark = batch.sparkSession
     val b = batch
       .withColumn("month", date_format(col(tsCol), "yyyy-MM"))
-      .dropDuplicates(keyCol) // a replayed batch may also self-duplicate
+      .dropDuplicates(keyCols) // a replayed batch may also self-duplicate
       .localCheckpoint(true)
     val months = b.select("month").distinct().collect().map(_.getString(0))
     if (months.isEmpty) return
@@ -60,7 +71,7 @@ object StreamingSink {
       else {
         val survivors = spark.read.parquet(path)
           .filter(col("month").isin(months.toSeq: _*)) // partition-pruned
-          .join(b.select(keyCol), Seq(keyCol), "left_anti")
+          .join(b.select(keyCols.map(col): _*), keyCols, "left_anti")
           .localCheckpoint(true)
         b.unionByName(survivors)
       }
@@ -83,6 +94,33 @@ object StreamingSink {
     val w = stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         upsertByMonth(batch.toDF(), keyCol, tsCol, outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
+  /** The reference's ACTUAL terminal table, end-to-end: the streaming
+    * hourly-OHLC aggregate ([[StreamingResample.hourlyOhlc]]-shaped,
+    * `bucket` = epoch-seconds hour key) upserted into the warehouse on
+    * its full group key (bucket, event_type).
+    *
+    * Runs in UPDATE output mode: every micro-batch emits the bars that
+    * CHANGED, including hours still open — each re-emission replaces the
+    * bar's previous version via the keyed merge, so the warehouse always
+    * holds the latest state of every bar and converges to the batch
+    * result once an hour stops changing. (Contrast the append-mode file
+    * sink, which must wait for the watermark to finalize a window and can
+    * never revise it.) Replays converge the same way the raw sink does.
+    */
+  def ohlcWarehouseSink(bars: DataFrame, outPath: String,
+                        checkpoint: String,
+                        availableNow: Boolean = true): StreamingQuery = {
+    val w = bars.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        upsertByMonth(
+          batch.toDF().withColumn("bucket_ts", timestamp_seconds(col("bucket"))),
+          Seq("bucket", "event_type"), "bucket_ts", outPath)
       }
       .option("checkpointLocation", checkpoint)
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()

@@ -181,6 +181,78 @@ class StreamingSpec extends SparkSpec {
     assert(table().count() == 1101)
   }
 
+  test("aggregated OHLC warehouse sink: update-mode bars converge to batch under late data and replay") {
+    // The reference's terminal table IS the hourly aggregate
+    // (duckdb_api.py:44-47 CREATE-OR-REPLACEs aggregated_financial_data).
+    // Update-mode emission + (bucket, event_type)-keyed upsert: an hour
+    // still open when a batch ends is WRITTEN EARLY and then REPLACED
+    // when later data extends it — the warehouse always holds the latest
+    // version of every bar, and a from-scratch replay converges.
+    val rnd = new scala.util.Random(43)
+    val all = (0 until 3000).map { i => // 10 s cadence, ~4.2 h, 2 symbols
+      (i.toLong, new Timestamp(1704067200000L + i * 10000L),
+        if (i % 2 == 0) "btc" else "eth", 100.0 + rnd.nextGaussian())
+    }
+    val (phase1, phase2) = all.splitAt(1000) // boundary mid-hour (~2.8 h in)
+    val dir = Files.createTempDirectory("graft_aggsink_").toString
+    val schema = phase1.toDF("event_id", "ts", "event_type", "value").schema
+
+    def run(): Unit = {
+      val q = graft.stream.StreamingSink.ohlcWarehouseSink(
+        StreamingResample.hourlyOhlc(spark, s"$dir/in", schema),
+        s"$dir/wh", s"$dir/ckpt")
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    def table() = spark.read.parquet(s"$dir/wh")
+
+    phase1.toDF("event_id", "ts", "event_type", "value")
+      .write.mode("append").parquet(s"$dir/in")
+    run()
+    // every hour seen so far is present ALREADY — including the still-open
+    // one (6 hours * 2 symbols; hour 2 is open at row 1000)
+    assert(table().count() == 6)
+    val openBarV1 = table().filter($"bucket" === 1704074400L && $"event_type" === "btc")
+      .select("n_trades").as[Long].head()
+
+    phase2.toDF("event_id", "ts", "event_type", "value")
+      .write.mode("append").parquet(s"$dir/in")
+    run() // same checkpoint: the open hour extends, new hours append
+    val cmp = (s: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row) => {
+      assert(s.getAs[Long]("bucket") == b.getAs[Long]("bucket"))
+      assert(s.getAs[String]("event_type") == b.getAs[String]("event_type"))
+      assert(s.getAs[Double]("open") == b.getAs[Double]("open"))
+      assert(s.getAs[Double]("high") == b.getAs[Double]("high"))
+      assert(s.getAs[Double]("low") == b.getAs[Double]("low"))
+      assert(s.getAs[Double]("close") == b.getAs[Double]("close"))
+      assert(approx(s.getAs[Double]("volume"), b.getAs[Double]("volume")))
+      assert(s.getAs[Long]("n_trades") == b.getAs[Long]("n_trades"))
+    }
+    val batch = Resample.ohlcHourly(all.toDF("event_id", "ts", "event_type", "value"))
+      .orderBy("bucket", "event_type").collect()
+    val got = table().orderBy("bucket", "event_type").collect()
+    assert(got.length == batch.length && got.length == 18) // 9 hours x 2 symbols
+    got.zip(batch).foreach { case (s, b) => cmp(s, b) }
+    // the once-open bar was genuinely REPLACED, not duplicated
+    val openBarV2 = table().filter($"bucket" === 1704074400L && $"event_type" === "btc")
+      .select("n_trades").as[Long].collect()
+    assert(openBarV2.length == 1 && openBarV2.head > openBarV1)
+
+    // from-scratch replay over the SAME warehouse: delete only the
+    // checkpoint; every bar re-emits and replaces itself — still batch
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+    }
+    rmrf(java.nio.file.Paths.get(s"$dir/ckpt"))
+    run()
+    val replayed = table().orderBy("bucket", "event_type").collect()
+    assert(replayed.length == 18)
+    replayed.zip(batch).foreach { case (s, b) => cmp(s, b) }
+  }
+
   test("incremental file discovery: later drops emit only new hours, maxFilesPerTrigger paces the backlog") {
     // The reference's cadence: one archive file lands per period
     // (airflow/dags/new6.py:32-39, monthly). Here: drop 1 is processed,
