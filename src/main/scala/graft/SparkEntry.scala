@@ -209,6 +209,10 @@ object SparkEntry {
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     // Gopher/C4-style within-doc repetition fractions (boilerplate gate).
     "repetition_ngram" -> ((s, d) => TextAnalysis.repetitionScore(Tables.documents(s, d))),
+    // BM25 topical scoring (retrieval-style curation slice); log-free
+    // Robertson idf + fixed-order term addition keep doubles engine-exact.
+    "bm25_score" -> ((s, d) =>
+      TextAnalysis.bm25(Tables.documents(s, d), Seq("spark", "hash", "window"))),
     // Benchmark contamination: docs sharing >= 2 shingles with the
     // benchmark subset, via a broadcast md5-shingle probe.
     "contamination" -> ((s, d) => Similarity.contamination(Tables.documents(s, d))),
@@ -872,6 +876,38 @@ object SparkEntry {
         |WHERE sh.doc_id % 97 <> 0
         |GROUP BY 1
         |HAVING count(*) >= 2""".stripMargin,
+    // Same constant COMPOSITION as the Spark side ((1.2 + 1.0), not 2.2:
+    // both engines then do the identical IEEE add on identically-parsed
+    // literals) and same left-assoc parenthesization — doubles hash-match.
+    "bm25_score" -> {
+      val terms = Seq("spark", "hash", "window")
+      val tfDefs = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN t = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf_$i"
+      }.mkString(",\n        ")
+      val dfDefs = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN list_contains(string_split(lower(text), ' '), '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+      }.mkString(",\n        ")
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val score = terms.indices.map { i =>
+        s"(n_docs - df_$i + 0.5) / (df_$i + 0.5) * (CAST(tf_$i AS DOUBLE) * (1.2 + 1.0)) / " +
+          s"(CAST(tf_$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+      }.mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+         |             FROM documents),
+         |tf AS (SELECT doc_id,
+         |        $tfDefs
+         |       FROM tok WHERE t IN ($inList) GROUP BY 1),
+         |c AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |        CAST(sum(len(string_split(lower(text), ' '))) AS DOUBLE)
+         |          / CAST(count(*) AS DOUBLE) AS avgdl,
+         |        $dfDefs
+         |      FROM documents),
+         |d AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl
+         |      FROM documents)
+         |SELECT tf.doc_id, tf_0 + tf_1 + tf_2 AS n_hits,
+         | $score AS bm25
+         |FROM tf JOIN d USING (doc_id), c""".stripMargin
+    },
     "contamination_table" ->
       """WITH d AS (
         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 2),

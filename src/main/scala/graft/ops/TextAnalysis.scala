@@ -38,6 +38,71 @@ object TextAnalysis {
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
       size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_digit_runs"))
 
+  /** BM25 relevance of every document against a small query term set —
+    * the retrieval-style scorer a curation pipeline uses to pull topical
+    * slices out of a corpus ("give me the docs about X, best first").
+    *
+    * Scale shape: per-term stats come from CONDITIONAL aggregates over
+    * the token explode (`sum(when(t == term))`), so only one doc-keyed
+    * hash aggregate runs and non-query tokens die in the map stage; the
+    * corpus-level constants (N, avg doclen, per-term doc frequencies)
+    * are one tiny aggregate row cross-joined back as a broadcast. No
+    * shuffle ever carries more than (doc_id, k term counts).
+    *
+    * Engine-exactness (the oracle hashes doubles bit-for-bit):
+    *  - idf is the log-free Robertson fraction (N − df + 0.5)/(df + 0.5)
+    *    — pure IEEE +,−,/ reproduces identically everywhere, unlike
+    *    libm `ln` which may differ in the last ulp across engines;
+    *  - avg doclen divides an integer-exact sum once (no running mean);
+    *  - the per-term scores are summed as FIXED-ORDER column addition
+    *    (term0 + term1 + …), never a row-order-dependent aggregate.
+    */
+  def bm25(documents: DataFrame, queryTerms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty)
+    val qt = queryTerms.map(_.toLowerCase)
+    // per-doc conditional term counts (one aggregate, map-side combined)
+    val tfCols = qt.zipWithIndex.map { case (t, i) =>
+      sum(when(col("t") === t, 1L).otherwise(0L)).as(s"tf_$i")
+    }
+    val tf = documents
+      .select(col("doc_id"), explode(toks).as("t"))
+      .filter(col("t").isin(qt: _*)) // non-query tokens never shuffle
+      .groupBy(col("doc_id"))
+      .agg(tfCols.head, tfCols.tail: _*)
+    // corpus constants: one row — N, integer-exact avgdl, per-term df
+    val dfCols = qt.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(toks, t), 1L).otherwise(0L))
+        .cast("double").as(s"df_$i")
+    }
+    val constCols = Seq(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(size(toks)).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl")) ++ dfCols
+    val consts = documents.agg(constCols.head, constCols.tail: _*)
+    val scored = documents
+      .select(col("doc_id"), size(toks).cast("double").as("dl"))
+      .join(tf, Seq("doc_id"))
+      .crossJoin(broadcast(consts))
+    val termScore = qt.indices.map { i =>
+      val tfD = col(s"tf_$i").cast("double")
+      ((col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5))) *
+        (tfD * lit(k1 + 1.0)) /
+        (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduceLeft(_ + _) // fixed order: term0 + term1 + ...
+    scored.select(
+      col("doc_id"),
+      qt.indices.map(i => col(s"tf_$i")).reduceLeft(_ + _).as("n_hits"),
+      termScore.as("bm25"))
+  }
+
+  /** [[bm25]] top-k: best-scoring docs, deterministic tie-break. */
+  def bm25TopK(documents: DataFrame, queryTerms: Seq[String],
+               k: Int): DataFrame =
+    bm25(documents, queryTerms)
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
   /** Quality scoring: stopword ratio, length, lexical diversity — the

@@ -21,4 +21,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0L) == ((4, 0.75, 2, 0.5)))
     assert(out(1L) == ((5, 0.0, 3, 0.0)))
   }
+
+  test("bm25: matches a sequential reimplementation; rarer terms weigh more") {
+    val docs = Seq(
+      (0L, "spark runs fast spark wins", "en", "s", 0L), // spark x2
+      (1L, "hash join hash agg hash", "en", "s", 0L), // hash x3
+      (2L, "window frame spark window", "en", "s", 0L), // window x2, spark x1
+      (3L, "plain prose only here", "en", "s", 0L), // no query term -> absent
+      (4L, "spark", "en", "s", 0L) // shortest doc, spark x1
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val terms = Seq("spark", "hash", "window")
+    val out = TextAnalysis.bm25(docs, terms).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    // sequential oracle with the same constant composition
+    val texts = Map(0L -> "spark runs fast spark wins",
+      1L -> "hash join hash agg hash",
+      2L -> "window frame spark window", 3L -> "plain prose only here",
+      4L -> "spark")
+    val tokss = texts.view.mapValues(_.split(" ").toSeq).toMap
+    val n = texts.size.toDouble
+    val avgdl = tokss.values.map(_.length.toLong).sum.toDouble / n
+    val df = terms.map(t => t -> tokss.values.count(_.contains(t)).toDouble).toMap
+    val (k1, b) = (1.2, 0.75)
+    def score(id: Long): (Long, Double) = {
+      val tf = terms.map(t => tokss(id).count(_ == t).toLong)
+      val dl = tokss(id).length.toDouble
+      val s = terms.zip(tf).map { case (t, f) =>
+        (n - df(t) + 0.5) / (df(t) + 0.5) * (f.toDouble * (k1 + 1.0)) /
+          (f.toDouble + k1 * ((1.0 - b) + b * dl / avgdl))
+      }.reduceLeft(_ + _)
+      (tf.sum, s)
+    }
+    assert(out.keySet == Set(0L, 1L, 2L, 4L))
+    out.keySet.foreach(id => assert(out(id) == score(id), s"doc $id"))
+    // length-normalization sanity: the 1-token doc whose ONLY token is a
+    // hit outscores the 5-token doc with two hits — tf saturates (k1)
+    // while the short doc's length term shrinks its denominator
+    assert(out(4L)._2 > out(0L)._2 && out(0L)._2 > 0.0)
+  }
 }
