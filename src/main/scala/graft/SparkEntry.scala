@@ -51,6 +51,20 @@ object SparkEntry {
       path
     })
 
+  /** The synthetic documents are PII-free word salad, so the pii_scrub
+    * fixture plants one email, one IPv4 and one SSN-shaped token per doc,
+    * derived from doc_id — the DuckDB oracle plants the identical strings,
+    * so the scrubbed text and the match counts are fully hash-comparable.
+    */
+  private def plantPii(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.withColumn("text", concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com ip 10."), pmod(col("doc_id"), lit(256L)).cast("string"),
+      lit(".0."), pmod(col("doc_id"), lit(100L)).cast("string"),
+      lit(" id 123-45-"), (pmod(col("doc_id"), lit(9000L)) + 1000L).cast("string")))
+  }
+
   /** Flagship query on sf=0.001: the 1 s → 1 h OHLC resample
     * (reference `components/process_data.py:44-59`) over the events table.
     * Driver smoke-checks rows>0.
@@ -318,6 +332,21 @@ object SparkEntry {
     // LLM-curation golden path: quality gate → normalized dedup →
     // deterministic sample → per-lang stats, as one composed query.
     "curation_pipeline" -> ((s, d) => Pipeline.curationPipeline(Tables.documents(s, d))),
+    // Gap-based sessionization: the batch twin of the streaming session
+    // window (flag + running sum per user; one shuffle on user_id).
+    "sessionize" -> ((s, d) => Sessions.sessionize(ev(s, d), 1800L)),
+    // Bucketed interval join: events inside post-jump volatile windows.
+    // The generic rangeJoin turns the theta predicate into an equi-join
+    // on (symbol, time-bucket) + exact post-filter — no per-key cross
+    // product anywhere in the plan.
+    "range_join" -> ((s, d) => Joins.eventsInVolatileWindows(ev(s, d))),
+    // PII redaction over planted-PII text (codegen regex projections;
+    // counts measured on the original text, before redaction).
+    "pii_scrub" -> ((s, d) => Pii.scrub(plantPii(Tables.documents(s, d)))),
+    // Fuzzy-dedup terminal stage: connected components over the exact
+    // Jaccard pair list → canonical doc + keep/drop verdict per member.
+    "dedup_clusters" -> ((s, d) => Clustering.dedupClusters(
+      Similarity.ngramJaccard(Tables.documents(s, d), 500L, 0.1))),
     // S1-S11 end-to-end: CSV landing zone roundtrip + warehouse/export.
     "etl_roundtrip" -> ((s, d) => Pipeline.etlRoundtrip(ev(s, d))),
     "warehouse_roundtrip" -> ((s, d) => Pipeline.warehouseRoundtrip(ev(s, d))),
@@ -1003,6 +1032,95 @@ object SparkEntry {
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         | count(DISTINCT source) AS n_sources
         |FROM samp GROUP BY 1""".stripMargin,
+    // Session boundary test in exact integer microseconds on both sides;
+    // per-user window order pinned by (ts, event_id).
+    "sessionize" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS t_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |        ORDER BY t_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |        AS session_idx
+        |      FROM f)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        | min(t_us) AS start_us, max(t_us) AS end_us,
+        | max(t_us) - min(t_us) AS dur_us, sum(value) AS sum_value
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    // The oracle spells the range join as the plain theta BETWEEN —
+    // DuckDB can afford it at verify scale; the Spark side's bucketed
+    // equi-join must reproduce it row-for-row.
+    "range_join" ->
+      """WITH hourly AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+        |         event_type, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT bucket, event_type,
+        |        close / lag(close) OVER (PARTITION BY event_type ORDER BY bucket) - 1 AS ret
+        |      FROM hourly),
+        |v AS (SELECT event_type AS w_type, bucket * 1000000 AS w_start,
+        |        (bucket + 7200) * 1000000 AS w_end
+        |      FROM r WHERE abs(ret) > 2.0)
+        |SELECT e.event_type, w_start, count(*) AS n_events, sum(e.value) AS sum_value
+        |FROM v JOIN events e
+        |  ON e.event_type = w_type
+        | AND epoch_us(e.ts) >= w_start AND epoch_us(e.ts) < w_end
+        |GROUP BY 1, 2""".stripMargin,
+    // Identical planting expression as the Spark fixture; counts on the
+    // pre-redaction text; 'g' flag = Spark regexp_replace's replace-all.
+    "pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+        |      || ' id 123-45-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(t,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |   '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS clean_text,
+        | CAST(len(regexp_extract_all(t,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        | CAST(len(regexp_extract_all(t,
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+        | CAST(len(regexp_extract_all(t,
+        |   '\b\d{3}-\d{2}-\d{4}\b')) AS INTEGER) AS n_ssns
+        |FROM p""".stripMargin,
+    // Transitive closure of the ngram_jaccard pair list via recursive CTE
+    // — min reachable id = the Spark side's min-label fixpoint.
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |        WHERE doc_id < 500)
+        |  WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(a.s || b.s)) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.1),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+        |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+        |SELECT doc_id, cluster_id,
+        | CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+        | doc_id = cluster_id AS keep
+        |FROM comp""".stripMargin,
     "etl_roundtrip" ->
       """SELECT event_type, count(*) AS n_buckets,
         | sum(volume) AS total_volume,

@@ -255,6 +255,72 @@ object Joins {
         col("next_open"))
   }
 
+  /** Bucketed range (interval) join: each left row whose `leftTs` falls in
+    * a right-side `[startCol, endCol)` interval of the same key, WITHOUT
+    * the naive theta-join (which Spark can only plan as a key-equi join
+    * followed by a per-key cross product — quadratic for hot keys, and a
+    * broadcast-nested-loop disaster when the key is absent).
+    *
+    * Shape: pick a bucket width ≥ the longest interval; each left row
+    * lands in exactly ONE bucket (`floor(t / W)`); each interval is
+    * exploded to the ≤ `len/W + 1` buckets it overlaps. The join becomes a
+    * plain equi-join on `(key, bucket)` — hash-partitioned, AQE-planned,
+    * skew-splittable — with the exact `start ≤ t < end` predicate applied
+    * as a post-filter. No duplicates to clean up: one bucket per probe row
+    * means each (row, interval) pair meets at most once. This is the
+    * standard scale form of interval joins (same family as the as-of
+    * union trick above); cost is |left| + Σ(interval spans) rows through
+    * one shuffle, never |left| × |right per key|.
+    *
+    * Timestamps are long microseconds so the bucket arithmetic is exact.
+    * `endCol` is exclusive; intervals shorter than W still explode to the
+    * 1–2 buckets they touch (the `(end − 1) / W` upper bound is inclusive
+    * of the bucket containing the last contained instant only).
+    */
+  def rangeJoin(left: DataFrame, leftKey: String, leftTsUs: String,
+                right: DataFrame, rightKey: String,
+                startUs: String, endUs: String,
+                bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    val l = left.withColumn("_rj_bucket", floor(col(leftTsUs) / bucketMicros))
+    val r = right.withColumn("_rj_bucket", explode(sequence(
+      floor(col(startUs) / bucketMicros),
+      floor((col(endUs) - 1) / bucketMicros))))
+    l.join(r,
+      l("_rj_bucket") === r("_rj_bucket") &&
+        l(leftKey) === r(rightKey) &&
+        l(leftTsUs) >= r(startUs) && l(leftTsUs) < r(endUs))
+      .drop("_rj_bucket")
+  }
+
+  /** Range-join showcase query: activity inside "volatile windows".
+    * Hourly bars whose close moved more than `retThreshold` vs the prior
+    * bar open a `windowHours`-hour interval; every event of the same
+    * symbol inside any such interval is range-joined in and aggregated
+    * per window. The interval side is derived (tiny vs the event log) but
+    * the join itself is the generic bucketed [[rangeJoin]] — at 100 TB
+    * the event side never sees anything but one hash shuffle on
+    * `(symbol, bucket)`.
+    */
+  def eventsInVolatileWindows(events: DataFrame,
+                              retThreshold: Double = 2.0,
+                              windowHours: Int = 2): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val windows = Resample.ohlcHourly(events)
+      .withColumn("ret", col("close") / lag(col("close"), 1).over(byType) - 1)
+      .filter(abs(col("ret")) > retThreshold)
+      .select(col("event_type").as("w_type"),
+        (col("bucket") * 1000000L).as("w_start"),
+        ((col("bucket") + windowHours * 3600L) * 1000000L).as("w_end"))
+    val evs = events.select(col("event_type"), col("value"),
+      unix_micros(col("ts")).as("t_us"))
+    rangeJoin(evs, "event_type", "t_us",
+      windows, "w_type", "w_start", "w_end",
+      bucketMicros = windowHours * 3600L * 1000000L)
+      .groupBy(col("event_type"), col("w_start"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+  }
+
   def asofJoin(events: DataFrame): DataFrame = {
     val hourly = Resample.ohlcHourlyTs(events)
     val bars = hourly.select(

@@ -11,6 +11,46 @@ import graft.ops.Joins
 class JoinsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("rangeJoin: inclusive start, exclusive end, key isolation") {
+    val left = Seq(
+      ("btc", 100L, 1L), ("btc", 150L, 2L), ("btc", 199L, 3L),
+      ("btc", 200L, 4L),             // == end: excluded
+      ("btc", 99L, 5L),              // < start: excluded
+      ("eth", 150L, 6L)              // other key: excluded
+    ).toDF("k", "t", "row_id")
+    val right = Seq(("btc", 100L, 200L, 7L)).toDF("rk", "w_start", "w_end", "w_id")
+    for (w <- Seq(50L, 100L, 1000L)) {
+      val got = graft.ops.Joins
+        .rangeJoin(left, "k", "t", right, "rk", "w_start", "w_end", w)
+        .select("row_id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == Seq(1L, 2L, 3L), s"bucket=$w")
+    }
+  }
+
+  test("rangeJoin: matches the naive theta join on random overlapping intervals") {
+    val rnd = new scala.util.Random(41)
+    val left = (0 until 2000).map(i =>
+      (if (i % 2 == 0) "a" else "b", rnd.nextLong(100000L), i.toLong))
+      .toDF("k", "t", "row_id").repartition(7)
+    val right = (0 until 80).map { j =>
+      val s = rnd.nextLong(95000L)
+      (if (j % 2 == 0) "a" else "b", s, s + 1 + rnd.nextLong(8000L), j.toLong)
+    }.toDF("rk", "w_start", "w_end", "w_id").repartition(3)
+    val naive = left.join(right,
+      left("k") === right("rk") &&
+        left("t") >= right("w_start") && left("t") < right("w_end"))
+      .select("row_id", "w_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // bucket width ≥ max interval length (8001) and a much larger one
+    for (w <- Seq(8192L, 100000L)) {
+      val got = graft.ops.Joins
+        .rangeJoin(left, "k", "t", right, "rk", "w_start", "w_end", w)
+        .select("row_id", "w_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == naive, s"bucket=$w")
+    }
+  }
+
   test("asofJoinChunked: identical to asofJoin across chunk boundaries and gaps") {
     val rnd = new scala.util.Random(23)
     // bursty series: active hours separated by multi-hour silences, so
