@@ -119,10 +119,16 @@ object Stress {
         lit(2001L)) - 1000L) / 5000.0
       (centroid + noise).cast("float")
     }
+    // cache(): the vectors are EXPRESSIONS (128 xxhash64 per row), and a
+    // non-materialized input to the IVF broadcast join re-evaluates per
+    // (vector, centroid) pair — 4G hash calls at nlist=316, measured
+    // 130× slower than assigning from a materialized table. A real corpus
+    // is a parquet scan and never hits this; the cache makes the
+    // synthetic one behave like the real thing.
     val emb = spark.range(nVec).select(
       col("id").as("vec_id"),
       concat(lit("c"), pmod(col("id"), lit(32L))).as("label"),
-      array((0 until 64).map(comp): _*).as("embedding"))
+      array((0 until 64).map(comp): _*).as("embedding")).cache()
 
     val tP0 = System.nanoTime()
     val planes = ops.Similarity.planesFor(emb)
@@ -160,6 +166,51 @@ object Stress {
       ops.Similarity.annLshBucketed(spark, layout, 0L, 10, planes))
     // exact brute-force baseline the probe must beat
     time("emb_brute_cosine")(ops.Similarity.cosineTopK(emb, 0L, 10))
+
+    // IVF twin on the same 100k-vector corpus: build (k-means train +
+    // cell-partitioned write, the one-time artifact) vs steady-state
+    // probe. nlist ~ √n per the FAISS rule; 2 Lloyd rounds move the
+    // md5-sampled seeds onto the planted structure.
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_stress_ivf_")
+      .toString + "/layout"
+    val nlist = math.max(math.sqrt(nVec.toDouble).toInt, 16)
+    val tI0 = System.nanoTime()
+    val ivfCents = ops.Ivf.writeIvfLayout(emb, ivfDir, nlist, iters = 2)
+    println(f"STRESS ivf_layout_build      ${(System.nanoTime() - tI0) / 1e9}%8.2f s  " +
+      s"($nVec vectors, nlist=$nlist)")
+    val cellDist = spark.read.parquet(ivfDir)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"), min(col("n")).as("min_n"),
+        avg(col("n")).as("avg_n"), max(col("n")).as("max_n"))
+      .head()
+    println(s"STRESS ivf_cell_dist             cells=${cellDist.getLong(0)} " +
+      f"min=${cellDist.getLong(1)} avg=${cellDist.getDouble(2)}%.1f " +
+      s"max=${cellDist.getLong(3)}")
+    for (q <- Seq(0L, 17L, 4242L))
+      time(s"ivf_probe_vec_q$q")(
+        ops.Ivf.ivfProbe(spark, ivfDir, ivfCents, qVecs(q), 10,
+          nprobe = 4, excludeId = Some(q)))
+
+    // Event-tier additions: sessionization and the bucketed range join
+    // at the full tick volume. Sessionize shuffles once on 1000 users;
+    // the range join must stay a hash equi-join (the interval side is
+    // ~1k windows) — neither may degrade super-linearly.
+    time("sessionize_5m")(ops.Sessions.sessionize(events, 1800L))
+    time("range_join_5m")(ops.Joins.eventsInVolatileWindows(events, 0.05, 2))
+
+    // Fuzzy-dedup closure at 200k edges / 300k nodes: 50k chain-of-4
+    // families plus 50k triangles (diameter forces multiple label
+    // rounds). The loop shuffles only (id, label) pairs.
+    val chains = spark.range(50000L).select(col("id"))
+      .select(explode(array(
+        struct((col("id") * 10).as("doc_a"), (col("id") * 10 + 1).as("doc_b")),
+        struct((col("id") * 10 + 1).as("doc_a"), (col("id") * 10 + 2).as("doc_b")),
+        struct((col("id") * 10 + 2).as("doc_a"), (col("id") * 10 + 3).as("doc_b")))).as("e"))
+      .select(col("e.doc_a"), col("e.doc_b"))
+    val tris = spark.range(50000L)
+      .select((col("id") * 10 + 5).as("doc_a"), (col("id") * 10 + 6).as("doc_b"))
+    time("dedup_clusters_200k")(
+      ops.Clustering.dedupClusters(chains.unionByName(tris)))
     spark.stop()
   }
 }

@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+  * counterpart to the hyperplane-LSH path in [[Similarity]]. Where LSH
+  * buckets by random projections (data-independent), IVF learns `nlist`
+  * centroids FROM the corpus and partitions by nearest centroid, which
+  * adapts to clustered embedding distributions: probes touch the `nprobe`
+  * nearest cells instead of Hamming-ball neighbors.
+  *
+  * Every stage is declarative DataFrame code over the codegen'd
+  * `graft_dot` expression — no per-row UDF anywhere:
+  *
+  *  - **assign**: nearest centroid via a BROADCAST join of the corpus
+  *    against the (nlist)-row centroid table; argmin(‖x−c‖²) =
+  *    argmin(‖c‖² − 2·x·c) needs only the dot product, so ‖x‖² is never
+  *    computed. Ties (exactly equidistant centroids) break on the lower
+  *    cid via `min(struct(score, cid))` — a deterministic total order.
+  *  - **update**: per-dimension means via `posexplode` + one hash
+  *    aggregate; only (nlist × dim) numbers ever return to the driver.
+  *  - **layout**: corpus written parquet-partitioned by cell id, one file
+  *    per cell (repartition on the key first); centroids persist as a
+  *    tiny sibling parquet — the "catalog artifact" a lake deployment
+  *    would register.
+  *  - **probe**: the query's `nprobe` nearest cells are computed
+  *    DRIVER-side from the centroid artifact (nlist rows), and the scan
+  *    filters on the partition column — directory pruning
+  *    (PartitionFilters), so a probe reads ~nprobe/nlist of the corpus.
+  *
+  * At 100 TB: training runs on a hash-sample (centroid quality needs
+  * thousands of points per cell, not the full corpus); assignment is one
+  * broadcast-join pass (the centroid table is KBs); the layout write is
+  * the same one-shuffle clustered write the LSH path uses. `nlist` scales
+  * as √n (the FAISS rule of thumb) — cells stay probe-sized while the
+  * per-probe centroid scan stays a driver-side array pass.
+  */
+object Ivf {
+
+  /** Deterministic k-means: seeds = the `nlist` vectors with the smallest
+    * `md5(vec_id)` (a uniform, engine-agnostic, order-stable sample),
+    * then `iters` Lloyd rounds. Returns (cid → centroid) as float arrays.
+    *
+    * Input contract: `embeddings` should be a MATERIALIZED source (a scan
+    * or cached frame). The assignment join replicates each input row
+    * logically nlist× — a computed/derived embedding column would be
+    * re-evaluated per (vector, centroid) pair (measured 130× at
+    * nlist=316 on an expression-generated corpus in `graft.Stress`).
+    */
+  def trainCentroids(embeddings: DataFrame, nlist: Int, iters: Int): Array[Array[Float]] = {
+    val spark = embeddings.sparkSession
+    var centroids: Array[Array[Float]] = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nlist)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(embeddings, centroids, spark)
+      val upd = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+      val byCell = upd.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { cid =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val c = new Array[Float](rows.length)
+            rows.foreach(r => c(r.getInt(1)) = r.getDouble(2).toFloat)
+            c
+          case None => centroids(cid) // empty cell keeps its seed
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment as one broadcast join + hash aggregate.
+    * Keeps every corpus column and adds `cid`.
+    *
+    * Payload discipline: the ×nlist blowup of the broadcast join carries
+    * ONLY (vec_id, score, cid) — the embedding feeds `graft_dot` and is
+    * projected away in the same select, so map-side partial aggregation
+    * shrinks the blowup back to one best-cell row per vector before
+    * anything shuffles. The payload re-attaches with one equi-join on
+    * vec_id. (The first cut carried the 64-float array through all nlist
+    * copies and the aggregate — measured 80× slower at nlist=316.)
+    */
+  private def assignCells(embeddings: DataFrame,
+                          centroids: Array[Array[Float]],
+                          spark: SparkSession): DataFrame = {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val cents = centroids.zipWithIndex
+      .map { case (c, i) => (i, c, c.map(v => v.toDouble * v).sum) }
+      .toSeq.toDF("cid", "c_emb", "c_norm2")
+    val best = embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), struct(
+        (col("c_norm2") - lit(2.0) * expr("graft_dot(embedding, c_emb)"))
+          .as("score"),
+        col("cid")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("sc")).as("best"))
+      .select(col("vec_id").as("bid"), col("best.cid").as("cid"))
+    embeddings.join(best, col("vec_id") === col("bid")).drop("bid")
+  }
+
+  /** Train + write the cell-partitioned corpus layout; the centroid table
+    * persists as a sibling parquet artifact (`<dir>_centroids`). Returns
+    * the centroids for callers that probe in the same session.
+    */
+  def writeIvfLayout(embeddings: DataFrame, layoutDir: String,
+                     nlist: Int = 16, iters: Int = 3): Array[Array[Float]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(embeddings, nlist, iters)
+    assignCells(embeddings, centroids, spark)
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(layoutDir)
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cid", "c_emb")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(centroidsDir(layoutDir))
+    centroids
+  }
+
+  def centroidsDir(layoutDir: String): String = layoutDir + "_centroids"
+
+  /** Load the centroid artifact back (nlist rows — a driver-side array). */
+  def readCentroids(spark: SparkSession, layoutDir: String): Array[Array[Float]] =
+    spark.read.parquet(centroidsDir(layoutDir))
+      .orderBy(col("cid"))
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("c_emb").toArray)
+
+  /** Steady-state probe: nearest `nprobe` cells chosen driver-side from
+    * the centroid array, then a cosine top-k over ONLY those cells'
+    * directories (the `cid IN (...)` literal is a partition predicate —
+    * PartitionFilters in the plan, proven in the spec).
+    */
+  def ivfProbe(spark: SparkSession, layoutDir: String,
+               centroids: Array[Array[Float]], qEmb: Array[Float],
+               k: Int, nprobe: Int = 2,
+               excludeId: Option[Long] = None): DataFrame = {
+    GraftFunctions.register(spark)
+    val qNorm2 = qEmb.map(v => v.toDouble * v).sum
+    val cells = centroids.zipWithIndex.map { case (c, cid) =>
+      val dot = c.zip(qEmb).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val cNorm2 = c.map(v => v.toDouble * v).sum
+      (qNorm2 - 2.0 * dot + cNorm2, cid)
+    }.sorted.take(nprobe).map(_._2)
+    val qCol = array(qEmb.toSeq.map(v => lit(v)): _*)
+    def dotF(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("graft_dot", a, b)
+    val base = spark.read.parquet(layoutDir)
+      .filter(col("cid").isin(cells.map(Integer.valueOf): _*))
+    excludeId.fold(base)(id => base.filter(col("vec_id") =!= id))
+      .select(col("vec_id"), col("label"), col("cid"),
+        (dotF(col("embedding"), qCol) /
+          (sqrt(dotF(col("embedding"), col("embedding"))) *
+            math.sqrt(qNorm2))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+}

@@ -63,4 +63,28 @@ object Sampling {
     */
   def hashSampleExact(df: DataFrame, keyCol: String, k: Int): DataFrame =
     df.orderBy(md5(col(keyCol).cast("string")), col(keyCol)).limit(k)
+
+  /** Weight-biased exactly-k sample (deterministic priority sampling):
+    * priority = hash_uniform(key) / weight, keep the k LOWEST priorities —
+    * a doubled weight halves a row's expected rank, so selection
+    * probability grows with weight, yet the draw stays content-hash
+    * reproducible (same subset every run / partitioning / engine).
+    * This is the curation move "prefer long/high-quality docs without
+    * giving up determinism".
+    *
+    * The priority is one exact IEEE division of two engine-agnostic
+    * numbers (the md5-prefix uint32 and the stored weight), so the DuckDB
+    * oracle reproduces the selected SET bit-for-bit — deliberately NOT
+    * the `u^(1/w)` / `-ln(u)/w` textbook forms, whose `pow`/`ln` are not
+    * cross-engine exact. Plans as TakeOrderedAndProject: per-partition
+    * top-k heaps, no global sort, no shuffle of non-winners.
+    */
+  def weightedSampleExact(df: DataFrame, keyCol: String, weightCol: String,
+                          k: Int): DataFrame =
+    df.filter(col(weightCol) > 0) // zero-weight rows can't divide or win
+      .withColumn("priority",
+        conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+          .cast("double") / col(weightCol).cast("double"))
+      .orderBy(col("priority").asc, col(keyCol).asc)
+      .limit(k)
 }

@@ -194,4 +194,30 @@ object Stats {
       corr(col("l_extendedprice"), col("l_tax")).as("corr_price_tax"),
       corr(col("l_discount"), col("l_tax")).as("corr_disc_tax"),
       covar_samp(col("l_quantity"), col("l_extendedprice")).as("cov_qty_price"))
+
+  /** Equi-width histogram: `nbins` equal bins across the column's actual
+    * [min, max], one output row per non-empty bin. Two passes — a 1-row
+    * min/max aggregate broadcast back over the data (the same
+    * crossJoin-a-scalar shape minMaxScale uses), then a codegen'd bin map
+    * + hash aggregate. No sort anywhere; at 100 TB both passes are
+    * map-side-combined scans. The max value lands in the LAST bin (the
+    * `least` clamp), matching every mainstream histogram convention.
+    * Bin arithmetic is the literal expression the oracle repeats, so bin
+    * ids match bit-for-bit; a degenerate column (min == max) collapses to
+    * one bin 0 rather than dividing by zero.
+    */
+  def histogram(df: DataFrame, valueCol: String, nbins: Int): DataFrame = {
+    require(nbins > 0, "nbins must be positive")
+    val v = col(valueCol)
+    val bounds = df.agg(min(v).as("mn"), max(v).as("mx"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((v - col("mn")) / ((col("mx") - col("mn")) / nbins)),
+            lit(nbins - 1L))))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(v).as("bin_min"), max(v).as("bin_max"))
+  }
 }

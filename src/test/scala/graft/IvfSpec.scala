@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ops.{Ivf, Similarity}
+
+/** IVF ANN contracts — pinned WITHOUT assuming k-means found the planted
+  * clusters (seeding is hash-deterministic but not planted-aware):
+  * assignment is exactly nearest-centroid with lower-cid tie-break, the
+  * probe prunes to the probed cells' directories, and an all-cells probe
+  * reproduces brute force exactly.
+  */
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 4 well-separated gaussian bundles (σ=0.1 around ‖c‖≈10 centers). */
+  private def planted(nClusters: Int, per: Int, dim: Int): DataFrame = {
+    val rnd = new scala.util.Random(17)
+    val centers = Array.fill(nClusters, dim)(rnd.nextGaussian().toFloat * 10f)
+    (0 until nClusters * per).map { i =>
+      val c = i % nClusters
+      (i.toLong, centers(c).map(x => x + rnd.nextGaussian().toFloat * 0.1f), c)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("ivf: cell assignment is exactly nearest-centroid (ties to lower cid)") {
+    val emb = planted(4, 50, 8)
+    val dir = Files.createTempDirectory("graft_ivf").toString + "/layout"
+    val cents = Ivf.writeIvfLayout(emb, dir, nlist = 4, iters = 3)
+    val norms = cents.map(_.map(v => v.toDouble * v).sum)
+    spark.read.parquet(dir)
+      .select("vec_id", "embedding", "cid").collect().foreach { r =>
+        val x = r.getAs[scala.collection.Seq[Float]]("embedding")
+        // same widened-double, same-order arithmetic as the engine side
+        val want = cents.indices.map { cid =>
+          var dot = 0.0
+          for (i <- x.indices) dot += x(i).toDouble * cents(cid)(i).toDouble
+          (norms(cid) - 2.0 * dot, cid)
+        }.min._2
+        assert(r.getAs[Int]("cid") == want, s"vec ${r.getLong(0)}")
+      }
+    // layout really is cell-partitioned on disk
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cid="))
+    assert(dirs.length > 1, dirs.mkString(","))
+  }
+
+  test("ivf probe: directory pruning + exact within probed cells; all-cells = brute force") {
+    val emb = planted(4, 50, 8)
+    val dir = Files.createTempDirectory("graft_ivf").toString + "/layout"
+    Ivf.writeIvfLayout(emb, dir, nlist = 4, iters = 3)
+    val cents = Ivf.readCentroids(spark, dir)
+    val q = emb.filter($"vec_id" === 0L)
+      .head.getAs[scala.collection.Seq[Float]]("embedding").toArray
+
+    // nprobe = 1: plan prunes on the partition column, and the result is
+    // exactly the brute-force top-k RESTRICTED to the probed cell
+    val one = Ivf.ivfProbe(spark, dir, cents, q, 10, nprobe = 1, excludeId = Some(0L))
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"), plan)
+    val probedCell = one.select("cid").distinct().as[Int].collect()
+    assert(probedCell.length == 1)
+    val inCell = spark.read.parquet(dir)
+      .filter($"cid" === probedCell(0) && $"vec_id" =!= 0L)
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val x = r.getAs[scala.collection.Seq[Float]]("embedding")
+        var dot = 0.0; var nx = 0.0; var nq = 0.0
+        for (i <- x.indices) {
+          dot += x(i).toDouble * q(i).toDouble
+          nx += x(i).toDouble * x(i).toDouble
+          nq += q(i).toDouble * q(i).toDouble
+        }
+        (dot / (math.sqrt(nx) * math.sqrt(nq)), r.getLong(0))
+      }
+      .sortBy { case (cos, id) => (-cos, id) }.take(10).map(_._2).toSeq
+    assert(one.select("vec_id").as[Long].collect().toSeq == inCell)
+
+    // nprobe = nlist: pruning disabled ⇒ identical to brute-force top-k
+    val all = Ivf.ivfProbe(spark, dir, cents, q, 10, nprobe = 4, excludeId = Some(0L))
+      .select("vec_id").as[Long].collect().toSet
+    val brute = Similarity.cosineTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all == brute)
+
+    // separated planted clusters: even the 1-cell probe is pure — every
+    // hit shares the query's planted cluster (vec_id ≡ 0 mod 4)
+    assert(one.select("vec_id").as[Long].collect().forall(_ % 4 == 0))
+  }
+}

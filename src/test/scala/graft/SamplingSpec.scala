@@ -54,4 +54,31 @@ class SamplingSpec extends SparkSpec {
       .orderBy($"h", $"doc_id").limit(25).select("doc_id").as[Long].collect()
     assert(got.toSeq == manual.toSeq)
   }
+
+  test("weightedSampleExact: deterministic, weight-monotone, Scala-exact") {
+    // weights follow doc_id so heavy/light rows are known; a Scala
+    // reimplementation of (uint32 md5 prefix) / weight must pick the
+    // identical set in the identical order
+    val weighted = corpus.withColumn("w", ($"doc_id" % 100 + 1).cast("long"))
+    val got = Sampling.weightedSampleExact(weighted, "doc_id", "w", 30)
+      .select("doc_id").as[Long].collect()
+    assert(got.length == 30)
+    val again = Sampling.weightedSampleExact(weighted.repartition(9), "doc_id", "w", 30)
+      .select("doc_id").as[Long].collect()
+    assert(got.toSeq == again.toSeq)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val manual = (0L until 10000L).map { id =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16).toDouble / (id % 100 + 1).toDouble, id)
+    }.sorted.take(30).map(_._2)
+    assert(got.toSeq == manual)
+    // monotonicity: zeroed weights never selected; inflating one row's
+    // weight 10^6× forces it into the sample
+    val boosted = corpus.withColumn("w",
+      when($"doc_id" === 777L, 100000000L).otherwise(1L))
+    val sel = Sampling.weightedSampleExact(boosted, "doc_id", "w", 10)
+      .select("doc_id").as[Long].collect()
+    assert(sel.contains(777L))
+  }
 }
