@@ -283,6 +283,17 @@ object SparkEntry {
         Similarity.writeCorpusKeys(docs.filter(col("doc_id") < 250), p))
       Similarity.dedupIncremental(docs.filter(col("doc_id") >= 250), keysDir)
     }),
+    // Same contract through the Bloom pre-gate: the standing key artifact
+    // folds into a fixed-size sketch (Spark's BloomFilterAggregate via
+    // graft_bloom_agg); only might_contain survivors pay the exact
+    // anti-join. Row-identical to dedup_incremental (shared oracle).
+    "dedup_incremental_bloom" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val keysDir = scratch("corpus_keys", d)(p =>
+        Similarity.writeCorpusKeys(docs.filter(col("doc_id") < 250), p))
+      Similarity.dedupIncrementalBloom(docs.filter(col("doc_id") >= 250), keysDir)
+    }),
     // Length-percentile batching buckets (boundaries via the scale-safe
     // range-sort percentiles, broadcast into a codegen bucket map).
     "length_buckets" -> ((s, d) => TextAnalysis.lengthBuckets(Tables.documents(s, d))),
@@ -386,6 +397,23 @@ object SparkEntry {
     // Jaccard pair list → canonical doc + keep/drop verdict per member.
     "dedup_clusters" -> ((s, d) => Clustering.dedupClusters(
       Similarity.ngramJaccard(Tables.documents(s, d), 500L, 0.1))),
+    // Z-order clustered layout roundtrip: events written clustered by the
+    // Morton interleave of (value, user_id), then a 2-D box query over
+    // the layout. The RESULT is layout-independent (the oracle filters
+    // the raw table); the locality — matching rows concentrated in a few
+    // files — is pinned in LayoutSpec.
+    "zorder_scan" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val layout = scratch("zorder_events", d)(p =>
+        io.Layout.writeZOrdered(
+          ev(s, d).withColumn("t_us", unix_micros(col("ts"))).drop("ts"),
+          Seq("value", "user_id"), bits = 8, nFiles = 32, dir = p))
+      s.read.parquet(layout)
+        .filter(col("value").between(95.0, 105.0) &&
+          col("user_id").between(30L, 60L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    }),
     // S1-S11 end-to-end: CSV landing zone roundtrip + warehouse/export.
     "etl_roundtrip" -> ((s, d) => Pipeline.etlRoundtrip(ev(s, d))),
     "warehouse_roundtrip" -> ((s, d) => Pipeline.warehouseRoundtrip(ev(s, d))),
@@ -1182,6 +1210,15 @@ object SparkEntry {
         | CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
         | doc_id = cluster_id AS keep
         |FROM comp""".stripMargin,
+    // Layout-independent result: the z-ordered copy must return exactly
+    // what the raw table returns under the same box predicate.
+    "zorder_scan" ->
+      """SELECT event_type, count(*) AS n,
+        | sum(value) AS sum_value
+        |FROM events
+        |WHERE value BETWEEN 95.0 AND 105.0
+        |  AND user_id BETWEEN 30 AND 60
+        |GROUP BY 1""".stripMargin,
     "etl_roundtrip" ->
       """SELECT event_type, count(*) AS n_buckets,
         | sum(volume) AS total_volume,
@@ -1210,6 +1247,7 @@ object SparkEntry {
       "range_frame_chunked" -> base("range_frame"),
       "join_asof_chunked" -> base("join_asof"),
       "join_asof_fwd_chunked" -> base("join_asof_fwd"),
+      "dedup_incremental_bloom" -> base("dedup_incremental"),
       "seq_sliding_scale" -> base("seq_sliding"),
       "seq_sliding_chunked" -> base("seq_sliding"))
   }

@@ -88,19 +88,71 @@ object GraftFunctions {
       s"graft_dot takes exactly 2 arguments, got ${other.length}")
   }
 
+  // Spark ships Bloom-filter expressions for its own runtime row-level
+  // filtering but does NOT register them as SQL functions; exposing them
+  // through the registry gives the dedup tier a standing membership
+  // sketch without writing (or maintaining) a second Bloom implementation.
+  // graft_bloom_agg(xxhash64(k), estItems, numBits) -> BINARY sketch;
+  // graft_might_contain(<binary literal>, xxhash64(k)) -> BOOLEAN
+  // (no false negatives; false positives at the sized fpp).
+  private val bloomAggInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+    "graft_bloom_agg")
+
+  private val bloomAggBuilder: Seq[Expression] => Expression = {
+    case Seq(child, items, bits) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        child, items, bits).toAggregateExpression()
+    case other => throw new IllegalArgumentException(
+      s"graft_bloom_agg takes exactly 3 arguments, got ${other.length}")
+  }
+
+  private val mightContainInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+    "graft_might_contain")
+
+  private val mightContainBuilder: Seq[Expression] => Expression = {
+    case Seq(bf, v) =>
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bf, v)
+    case other => throw new IllegalArgumentException(
+      s"graft_might_contain takes exactly 2 arguments, got ${other.length}")
+  }
+
   /** Idempotently register graft functions into an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_dot"), dotInfo, dotBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, bloomAggBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder)
+  }
 }
 
 /** `spark.sql.extensions`-style injection point:
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProductFloat(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))))
+  }
 }

@@ -115,6 +115,46 @@ object Similarity {
     newDocs.join(canonical, Seq("doc_id"), "left_semi")
   }
 
+  /** [[dedupIncremental]] with a Bloom pre-gate — the shape that wins when
+    * the standing corpus is huge and the overlap is small (the common
+    * continuous-ingest case): one scan of the key artifact folds into a
+    * fixed-size Bloom sketch (Spark's own `BloomFilterAggregate`, exposed
+    * via [[graft.functions.GraftFunctions]]), the sketch ships to every
+    * task as a literal, and only the `might_contain` survivors — true
+    * dupes plus the sized false-positive fraction — pay the exact
+    * anti-join shuffle. Definitely-new keys (no false negatives) never
+    * shuffle at all. Result is row-identical to [[dedupIncremental]]
+    * (parity spec) because every Bloom "maybe" is exactly verified.
+    *
+    * At 100 TB: persist the sketch next to the key artifact and update it
+    * incrementally instead of re-aggregating per batch; `expectedItems`
+    * sizes fpp (8 bits/key ≈ 2% — tune to taste, correctness is
+    * unaffected).
+    */
+  def dedupIncrementalBloom(newDocs: DataFrame, keysDir: String,
+                            expectedItems: Long = 1000000L): DataFrame = {
+    val spark = newDocs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val seen = spark.read.parquet(keysDir)
+    val bloomBytes = seen
+      .agg(call_function("graft_bloom_agg", xxhash64(col("k")),
+        lit(expectedItems), lit(expectedItems * 8)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val canonical = newDocs
+      .select(col("doc_id"), md5(col("text")).as("k"))
+      .groupBy(col("k")).agg(min(col("doc_id")).as("doc_id"))
+    val gated =
+      if (bloomBytes == null) canonical // empty artifact: everything is new
+      else {
+        val maybeSeen = call_function("graft_might_contain",
+          lit(bloomBytes), xxhash64(col("k")))
+        canonical.filter(!maybeSeen)
+          .unionByName(canonical.filter(maybeSeen)
+            .join(seen, Seq("k"), "left_anti"))
+      }
+    newDocs.join(gated.select(col("doc_id")), Seq("doc_id"), "left_semi")
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Shingles as ROWS via arrays_zip + slice + concat_ws — every operator

@@ -217,6 +217,31 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.dedupIncremental(batch, dir).count() == 0L)
   }
 
+  test("dedupIncrementalBloom: row-identical to the exact anti-join form") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_keys_").toString + "/keys"
+    Similarity.writeCorpusKeys(docs.filter(col("doc_id") <= 1L), dir)
+    val batch = Seq(
+      (10L, base, "en", "s9", base.length.toLong),
+      (11L, unrelated, "en", "s9", unrelated.length.toLong),
+      (12L, unrelated, "en", "s9", unrelated.length.toLong),
+      (13L, "genuinely new text never seen before", "en", "s9", 36L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val exact = Similarity.dedupIncremental(batch, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val bloom = Similarity.dedupIncrementalBloom(batch, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(bloom == exact && bloom == Seq(11L, 13L))
+    // the sketch has no false negatives: a replayed batch admits nothing
+    Similarity.dedupIncrementalBloom(batch, dir)
+      .select(md5(col("text")).as("k")).distinct()
+      .write.mode("append").parquet(dir)
+    assert(Similarity.dedupIncrementalBloom(batch, dir).count() == 0L)
+    // tiny sketch (high fpp) still gives identical RESULTS — false
+    // positives only route more keys through the exact verify join
+    val tiny = Similarity.dedupIncrementalBloom(batch, dir, expectedItems = 2L)
+    assert(tiny.count() == 0L)
+  }
+
   test("simhashNearDup: banded Hamming mining finds the exact copy, skips unrelated") {
     for (df <- Seq(docs, docs.repartition(3))) { // partition-invariant
       val pairs = Similarity.simhashNearDup(df, maxHamming = 3)
