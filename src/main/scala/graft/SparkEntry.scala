@@ -165,6 +165,19 @@ object SparkEntry {
     "join_asof" -> ((s, d) => Joins.asofJoin(ev(s, d))),
     // J4 deep-series path: per-(symbol, chunk) carry with boundary seeds.
     "join_asof_chunked" -> ((s, d) => Joins.asofJoinChunked(ev(s, d))),
+    // The schema-agnostic library form, composed back onto the flagship
+    // fixture (same oracle as join_asof — results must be identical).
+    "join_asof_generic" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val e = ev(s, d)
+      val bars = Resample.ohlcHourlyTs(e)
+        .select(col("event_type"), col("bucket_end"), col("close"))
+      Joins.asofJoinGeneric(
+        e.select(col("event_id"), col("ts"), col("event_type"), col("value")),
+        bars, Seq("event_type"), "ts", "bucket_end", Seq("close"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("close").as("bar_close"))
+    }),
     // J4 forward direction: next bar's open at-or-after each event (the
     // supervised-label lookup).
     "join_asof_fwd" -> ((s, d) => Joins.asofJoinForward(ev(s, d))),
@@ -1248,6 +1261,7 @@ object SparkEntry {
       "join_asof_chunked" -> base("join_asof"),
       "join_asof_fwd_chunked" -> base("join_asof_fwd"),
       "dedup_incremental_bloom" -> base("dedup_incremental"),
+      "join_asof_generic" -> base("join_asof"),
       "seq_sliding_scale" -> base("seq_sliding"),
       "seq_sliding_chunked" -> base("seq_sliding"))
   }

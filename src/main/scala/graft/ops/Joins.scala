@@ -321,6 +321,55 @@ object Joins {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
   }
 
+  /** Generic as-of join over arbitrary schemas — the library form of the
+    * specialized [[asofJoin]]/[[asofJoinForward]] (which remain the
+    * benched flagship compositions). Each left row picks up
+    * `payloadCols` from the LATEST right row at-or-before its timestamp
+    * (or the EARLIEST at-or-after, with `forward = true`), matched within
+    * equal `keyCols`.
+    *
+    * Same proven shape: union the tagged sides, one window per the key
+    * columns ordered by (t, right-sorts-first-at-ties), carry each
+    * payload with `last(ignoreNulls)` over the running frame, keep left
+    * rows. One shuffle on the keys, linear per key group, never a range
+    * cross-join; `forward` reverses the time order rather than using the
+    * O(n²) unbounded-FOLLOWING frame (see [[asofJoinForward]]).
+    * Timestamps are compared as the raw column values — pass epoch
+    * numbers or native timestamps, but the same type on both sides.
+    */
+  def asofJoinGeneric(left: DataFrame, right: DataFrame,
+                      keyCols: Seq[String],
+                      leftTs: String, rightTs: String,
+                      payloadCols: Seq[String],
+                      forward: Boolean = false): DataFrame = {
+    val leftRest = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == leftTs)
+    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val lTagged = left.select(
+      keyCols.map(col) ++
+        Seq(col(leftTs).as("_t"), lit(0).as("_is_r")) ++
+        payloadCols.map(c => lit(null).cast(rightTypes(c)).as(s"_p_$c")) ++
+        Seq(col(leftTs).as(leftTs)) ++
+        leftRest.map(col): _*)
+    val rTagged = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTs).as("_t"), lit(1).as("_is_r")) ++
+        payloadCols.map(c => col(c).as(s"_p_$c")) ++
+        Seq(lit(null).cast(leftTypes(leftTs)).as(leftTs)) ++
+        leftRest.map(c => lit(null).cast(leftTypes(c)).as(c)): _*)
+    val order =
+      if (forward) Seq(col("_t").desc, col("_is_r").desc)
+      else Seq(col("_t").asc, col("_is_r").desc)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(lTagged.unionByName(rTagged)) {
+      (df, c) => df.withColumn(c, last(col(s"_p_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_is_r") === 0)
+      .select((keyCols :+ leftTs) ++ leftRest ++ payloadCols map col: _*)
+  }
+
   def asofJoin(events: DataFrame): DataFrame = {
     val hourly = Resample.ohlcHourlyTs(events)
     val bars = hourly.select(

@@ -51,6 +51,48 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinGeneric: backward/forward parity with the specialized forms; multi-key isolation") {
+    val rnd = new scala.util.Random(53)
+    val rows = (0 until 3000).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 47000L),
+        if (i % 2 == 0) "btc" else "eth", 100.0 + rnd.nextGaussian())
+    }.toDF("event_id", "ts", "event_type", "value").repartition(5)
+
+    val barsB = graft.ops.Resample.ohlcHourlyTs(rows)
+      .select($"event_type", $"bucket_end", $"close")
+    val genB = Joins.asofJoinGeneric(rows, barsB,
+        Seq("event_type"), "ts", "bucket_end", Seq("close"))
+      .select($"event_id", $"close".as("bar_close"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val specB = Joins.asofJoin(rows)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(genB == specB)
+
+    val barsF = graft.ops.Resample.ohlcHourlyTs(rows)
+      .select($"event_type", $"bucket_ts", $"open")
+    val genF = Joins.asofJoinGeneric(rows, barsF,
+        Seq("event_type"), "ts", "bucket_ts", Seq("open"), forward = true)
+      .select($"event_id", $"open")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val specF = Joins.asofJoinForward(rows)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(genF == specF)
+
+    // composite keys: quotes must never leak across (sym, venue)
+    val trades = Seq(
+      (1L, 100L, "btc", "A", 1.0), (2L, 100L, "btc", "B", 2.0),
+      (3L, 300L, "eth", "A", 3.0)
+    ).toDF("trade_id", "t", "sym", "venue", "qty")
+    val quotes = Seq(
+      ("btc", "A", 90L, 10.5), ("btc", "B", 95L, 11.5),
+      ("eth", "A", 250L, 20.5), ("eth", "B", 10L, 99.9)
+    ).toDF("sym", "venue", "qt", "px")
+    val got = Joins.asofJoinGeneric(trades, quotes,
+        Seq("sym", "venue"), "t", "qt", Seq("px"))
+      .collect().map(r => r.getAs[Long]("trade_id") -> r.getAs[Double]("px")).toMap
+    assert(got == Map(1L -> 10.5, 2L -> 11.5, 3L -> 20.5))
+  }
+
   test("asofJoinChunked: identical to asofJoin across chunk boundaries and gaps") {
     val rnd = new scala.util.Random(23)
     // bursty series: active hours separated by multi-hour silences, so

@@ -1,0 +1,78 @@
+package graft
+
+/** Physical-plan regression guards: the scale properties the operators
+  * are DESIGNED around, pinned as plan-text assertions so a refactor
+  * can't silently trade them away. Runs on sf0.001 — plan shape, not
+  * data volume, is under test (AQE may re-plan at runtime, but a
+  * nested-loop or an unpartitioned window in the INITIAL plan is already
+  * the bug).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def shuffles(p: String): Int =
+    "Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
+      .findAllIn(p).length
+
+  test("range_join: equi-join on (key, bucket) — never a nested loop") {
+    val p = plan("range_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("join_star: bounded dims broadcast; fact side never shuffles for them") {
+    val p = plan("join_star")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("sessionize: both windows ride ONE user_id shuffle") {
+    val p = plan("sessionize")
+    // lag + running sum share partitioning; the aggregate reuses it too:
+    // one hash shuffle total (plus AQE bookkeeping, which adds none)
+    assert(shuffles(p) <= 2, s"shuffles=${shuffles(p)}\n$p")
+    // an unpartitioned window would surface as a single-partition exchange
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("ohlc_hourly: pure hash aggregate — no window, no sort, map-side partials") {
+    val p = plan("ohlc_hourly")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(shuffles(p) <= 1, s"shuffles=${shuffles(p)}\n$p")
+  }
+
+  test("pii_scrub and text maps: zero shuffles — pure projection pipelines") {
+    for (q <- Seq("pii_scrub", "text_stats", "token_bpe")) {
+      val p = plan(q)
+      assert(shuffles(p) == 0, s"$q shuffles=${shuffles(p)}\n$p")
+      assert(!p.contains("Join"), s"$q\n$p")
+    }
+  }
+
+  test("sample_weighted and seq_topk: TakeOrderedAndProject, never a global sort") {
+    for (q <- Seq("sample_weighted", "seq_topk")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q\n$p")
+    }
+  }
+
+  test("dedup_exact: aggregate family only — no window, no join") {
+    val p = plan("dedup_exact")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("scan pruning: projections reach the parquet reader") {
+    // token_bpe touches (doc_id, text) only — the scan must not read
+    // lang/source/n_chars
+    val p = plan("token_bpe")
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), p)
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("source"),
+      readSchema)
+  }
+}
