@@ -239,6 +239,10 @@ object SparkEntry {
     "fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     // Gopher/C4-style within-doc repetition fractions (boilerplate gate).
     "repetition_ngram" -> ((s, d) => TextAnalysis.repetitionScore(Tables.documents(s, d))),
+    // C4-style corpus-level span dedup: fixed 10-token spans, any span
+    // text occurring >1 time anywhere is dropped everywhere, docs
+    // reassemble in order. Only 16-byte hashes carry the multiplicity.
+    "dedup_spans" -> ((s, d) => TextAnalysis.dedupSpans(Tables.documents(s, d), 10)),
     // BM25 topical scoring (retrieval-style curation slice); log-free
     // Robertson idf + fixed-order term addition keep doubles engine-exact.
     "bm25_score" -> ((s, d) =>
@@ -994,6 +998,24 @@ object SparkEntry {
         |        i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])) AS g
         |      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))
         |WHERE len(w) >= 3""".stripMargin,
+    // Same span arithmetic: i-th span = tokens [i*10+1, i*10+10] (tail
+    // keeps its natural length), drop every span whose text repeats
+    // anywhere, reassemble ordered; all-dropped docs yield ''.
+    "dedup_spans" ->
+      """WITH sp AS (
+        |  SELECT doc_id, i AS ord,
+        |    array_to_string(w[(i*10+1):(i*10+10)], ' ') AS span
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |       UNNEST(generate_series(0, CAST(floor((len(w)-1)/10) AS BIGINT))) AS t(i)),
+        |occ AS (SELECT md5(span) AS h, count(*) AS occ FROM sp GROUP BY 1),
+        |v AS (SELECT sp.doc_id, sp.ord, sp.span, occ.occ
+        |      FROM sp JOIN occ ON md5(sp.span) = occ.h)
+        |SELECT doc_id,
+        | coalesce(string_agg(CASE WHEN occ = 1 THEN span END, ' ' ORDER BY ord), '')
+        |   AS clean_text,
+        | CAST(count(*) AS INTEGER) AS n_spans,
+        | CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_dropped
+        |FROM v GROUP BY 1""".stripMargin,
     "contamination" ->
       """WITH d AS (
         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 2),

@@ -281,4 +281,43 @@ object TextAnalysis {
       .join(shingleFp, Seq("doc_id"))
       .select(col("doc_id"), col("text_md5"), col("shingle_fp"), col("n_shingles"))
   }
+
+  /** Corpus-level span dedup — the C4/RefinedWeb "remove repeated
+    * boilerplate" stage: documents split into fixed `spanTokens`-token
+    * spans (the tail keeps its natural shorter length), any span whose
+    * text occurs in MORE than one place across the whole corpus is
+    * dropped from every document, and survivors reassemble in order.
+    * Returns (doc_id, clean_text, n_spans, n_dropped).
+    *
+    * Shape at 100 TB: spans EXPLODE to rows carrying (doc_id, ordinal,
+    * md5) — never the span text twice; the corpus-wide multiplicity is
+    * one hash aggregate on the 16-byte key; the verdict joins back to
+    * the spans by key (ids + hashes shuffle, payload reassembles with
+    * one `collect_list` per document — bounded by document length, the
+    * same bound the input row already carries).
+    */
+  def dedupSpans(documents: DataFrame, spanTokens: Int = 10): DataFrame = {
+    val spans = documents
+      .select(col("doc_id"), posexplode(spanArray(spanTokens)).as(Seq("ord", "span")))
+      .withColumn("h", md5(col("span")))
+    val multiplicity = spans.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+    val verdicts = spans.join(multiplicity, Seq("h"))
+    verdicts
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("occ") === 1, struct(col("ord"), col("span"))))),
+          x => x.getField("span"))).as("clean_text"),
+        count(lit(1)).cast("int").as("n_spans"),
+        sum(when(col("occ") > 1, 1).otherwise(0)).cast("int").as("n_dropped"))
+  }
+
+  /** Fixed-width token spans of the lowercased text: full `n`-token
+    * chunks plus the natural-length tail. Pure codegen'd slice/concat.
+    */
+  private def spanArray(n: Int) =
+    transform(
+      sequence(lit(0), floor((size(toks) - 1) / n).cast("int")),
+      i => concat_ws(" ", slice(toks, i * n + 1, lit(n))))
 }

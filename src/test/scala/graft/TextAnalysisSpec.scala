@@ -6,6 +6,27 @@ import graft.ops.TextAnalysis
   * degenerate (fully repeated) and clean texts.
   */
 class TextAnalysisSpec extends SparkSpec {
+
+  test("dedupSpans: repeated spans dropped everywhere, docs reassemble in order") {
+    import spark.implicits._
+    // span width 3: "a b c" repeats in docs 1 and 2 (dropped from both,
+    // wherever it sits); unique spans and the natural-length tail stay
+    val docs = Seq(
+      (1L, "a b c x y z tail1"),        // spans: [a b c][x y z][tail1]
+      (2L, "p q r a b c only"),         // spans: [p q r][a b c][only]
+      (3L, "solo words here just four") // spans: [solo words here][just four]
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.dedupSpans(docs, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("x y z tail1", 3, 1)))
+    assert(out(2L) == (("p q r only", 3, 1)))
+    assert(out(3L) == (("solo words here just four", 2, 0)))
+    // a fully-boilerplate doc collapses to the empty string, not null
+    val all = Seq((1L, "dup dup"), (2L, "dup dup")).toDF("doc_id", "text")
+    val gone = graft.ops.TextAnalysis.dedupSpans(all, 3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gone == Map(1L -> "", 2L -> ""))
+  }
   import spark.implicits._
 
   test("repetitionScore: hand-computed fractions for spammy vs clean text") {
