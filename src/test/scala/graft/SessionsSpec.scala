@@ -36,6 +36,35 @@ class SessionsSpec extends SparkSpec {
     assert(out((2L, 1L)) == ((1L, t0us + 500000L, t0us + 500000L, 0L, 16.0)))
   }
 
+  test("sessionize: agrees with Spark's native session_window on real data") {
+    import org.apache.spark.sql.functions._
+    // independent formulation cross-check: the lag/running-sum spelling
+    // must produce the same sessions as groupBy(session_window). The two
+    // differ only on gaps EXACTLY equal to the threshold (ours merges,
+    // session_window splits) — assert the corpus has none, so the
+    // comparison is exact and stays exact (fixed test data).
+    val ev = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val exactBoundary = ev
+      .withColumn("gap", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+      .filter(col("gap") === 1800L * 1000000L).count()
+    assert(exactBoundary == 0L, "corpus has an exact-threshold gap; pick another gap")
+    val ours = Sessions.sessionize(ev, 1800L)
+      .select("user_id", "n_events", "start_us", "end_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    val native = ev
+      .groupBy(session_window(col("ts"), "1800 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .select("user_id", "n_events", "start_us", "end_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    assert(ours == native)
+  }
+
   test("sessionize: same-microsecond ties break on event_id deterministically") {
     // two events at the identical instant then a far one: tie order can't
     // change session COUNTS, and output is stable across partitionings
