@@ -399,6 +399,9 @@ object SparkEntry {
     // LLM-curation golden path: quality gate → normalized dedup →
     // deterministic sample → per-lang stats, as one composed query.
     "curation_pipeline" -> ((s, d) => Pipeline.curationPipeline(Tables.documents(s, d))),
+    // The full chain with corpus-level boilerplate removal in front —
+    // quality, keys and stats all measured on the CLEANED text.
+    "curation_full" -> ((s, d) => Pipeline.curationFull(Tables.documents(s, d))),
     // Gap-based sessionization: the batch twin of the streaming session
     // window (flag + running sum per user; one shuffle on user_id).
     "sessionize" -> ((s, d) => Sessions.sessionize(ev(s, d), 1800L)),
@@ -1254,6 +1257,50 @@ object SparkEntry {
         |WHERE value BETWEEN 95.0 AND 105.0
         |  AND user_id BETWEEN 30 AND 60
         |GROUP BY 1""".stripMargin,
+    // Span-dedup CTE verbatim from dedup_spans, then the curation chain
+    // over the cleaned text (same formulas as curation_pipeline).
+    "curation_full" ->
+      """WITH sp AS (
+        |  SELECT doc_id, i AS ord,
+        |    array_to_string(w[(i*10+1):(i*10+10)], ' ') AS span
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |       UNNEST(generate_series(0, CAST(floor((len(w)-1)/10) AS BIGINT))) AS t(i)),
+        |occ AS (SELECT md5(span) AS h, count(*) AS n FROM sp GROUP BY 1),
+        |cl AS (
+        |  SELECT sp.doc_id,
+        |    string_agg(CASE WHEN occ.n = 1 THEN sp.span END, ' ' ORDER BY sp.ord) AS text
+        |  FROM sp JOIN occ ON md5(sp.span) = occ.h
+        |  GROUP BY 1),
+        |cleaned AS (
+        |  SELECT d.doc_id, d.lang, d.source, cl.text
+        |  FROM cl JOIN documents d USING (doc_id)
+        |  WHERE cl.text IS NOT NULL AND cl.text <> ''),
+        |q AS (
+        |  SELECT doc_id,
+        |    (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+        |      + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.5
+        |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality
+        |  FROM (SELECT doc_id,
+        |          CAST(len(w) AS INTEGER) AS n_tokens,
+        |          CAST(len(list_filter(w, x -> list_contains(
+        |            ['the','a','of','and','to','in','is','it'], x))) AS INTEGER) AS n_stop,
+        |          len(list_distinct(w)) AS n_uniq
+        |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM cleaned))),
+        |kept AS (
+        |  SELECT c.* FROM cleaned c
+        |  WHERE c.doc_id IN (SELECT doc_id FROM q WHERE quality >= 0.37)),
+        |canon AS (
+        |  SELECT min(doc_id) AS doc_id FROM kept
+        |  GROUP BY trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))),
+        |samp AS (
+        |  SELECT * FROM kept
+        |  WHERE doc_id IN (SELECT doc_id FROM canon)
+        |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000')
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        | count(DISTINCT source) AS n_sources
+        |FROM samp GROUP BY 1""".stripMargin,
     "etl_roundtrip" ->
       """SELECT event_type, count(*) AS n_buckets,
         | sum(volume) AS total_volume,

@@ -94,4 +94,39 @@ object Pipeline {
         sum(col("n_chars")).as("sum_chars"),
         countDistinct(col("source")).as("n_sources"))
   }
+
+  /** [[curationPipeline]] with the corpus-level boilerplate stage in
+    * front — the full clean-corpus chain as one composed, oracled query:
+    * span dedup rewrites every document (docs scrubbed empty drop out),
+    * then the quality gate, normalization-insensitive dedup and
+    * deterministic sample run over the CLEANED text, and the final stats
+    * measure what would actually ship to training. Stage order matters
+    * and is the production order: boilerplate removal changes quality
+    * scores and normalized keys, so it must run first.
+    */
+  def curationFull(documents: DataFrame,
+                   qualityThreshold: Double = 0.37,
+                   spanTokens: Int = 10): DataFrame = {
+    val cleaned = documents.select(col("doc_id"), col("lang"), col("source"))
+      .join(
+        TextAnalysis.dedupSpans(documents, spanTokens)
+          .filter(col("clean_text") =!= "")
+          .select(col("doc_id"), col("clean_text").as("text")),
+        Seq("doc_id"))
+    val kept = cleaned.join(
+      TextAnalysis.qualityScore(cleaned)
+        .filter(col("quality") >= qualityThreshold)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val canonical = kept
+      .groupBy(Similarity.normalizedKey(col("text")).as("k"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = kept.join(canonical, Seq("doc_id"), "left_semi")
+    Sampling.hashSample(deduped, "doc_id", 0.5)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"))
+  }
 }
