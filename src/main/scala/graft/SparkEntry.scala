@@ -51,6 +51,18 @@ object SparkEntry {
       path
     })
 
+  /** Drop every cached scratch artifact (and its files) so the next call
+    * rebuilds from source. Bench calls this BETWEEN repeat passes: each
+    * pass then pays the same artifact builds a single-shot run would —
+    * medians stay comparable to past single-shot rounds, and the
+    * build-vs-probe split (ann_lsh vs ann_probe) keeps its meaning.
+    */
+  private[graft] def resetScratch(): Unit = {
+    scratchDirs.values.forEach(p =>
+      rmrf(java.nio.file.Paths.get(p).getParent))
+    scratchDirs.clear()
+  }
+
   /** The synthetic documents are PII-free word salad, so the pii_scrub
     * fixture plants one email, one IPv4 and one SSN-shaped token per doc,
     * derived from doc_id — the DuckDB oracle plants the identical strings,
@@ -417,6 +429,17 @@ object SparkEntry {
     // Jaccard pair list → canonical doc + keep/drop verdict per member.
     "dedup_clusters" -> ((s, d) => Clustering.dedupClusters(
       Similarity.ngramJaccard(Tables.documents(s, d), 500L, 0.1))),
+    // PRODUCTION fuzzy-dedup compose: the closure consuming the LSH
+    // miner's pair list (persisted shingle artifact → band join → exact
+    // verify at j ≥ 0.3) instead of the bounded brute baseline above —
+    // the chain that actually runs at 100 TB, timed end-to-end by the
+    // bench. The oracle repeats the closure over DuckDB's exact all-pairs
+    // list at the same threshold: band-join recall is exact here (r=1
+    // banding, recall 1 for j ≥ threshold — pinned in SimilaritySpec), so
+    // the two miners' pair lists coincide and the verdicts hash-match.
+    "dedup_clusters_lsh" -> ((s, d) => Clustering.dedupClusters(
+      Similarity.minhashNearDupPersisted(
+        Tables.documents(s, d), cleanedTempDir("minhash_cc") + "/shingle_hashes"))),
     // Z-order clustered layout roundtrip: events written clustered by the
     // Morton interleave of (value, user_id), then a 2-D box query over
     // the layout. The RESULT is layout-independent (the oracle filters
@@ -441,9 +464,9 @@ object SparkEntry {
 
   /** DuckDB oracle SQL per query (same column aliases as the Spark side). */
   def oracleSql: Map[String, String] = {
-    // Shared hourly close-bar CTE (the ma_* family's input series; the
-    // as-of oracles key their bars differently — bucket_end / negated
-    // bstart — and stay inline).
+    // Shared hourly close-bar CTE (the ma_* family's input series and the
+    // range join's window derivation; the as-of oracles key their bars
+    // differently — bucket_end / negated bstart — and stay inline).
     val hourlyClose =
       """WITH hourly AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
@@ -1181,12 +1204,8 @@ object SparkEntry {
     // The oracle spells the range join as the plain theta BETWEEN —
     // DuckDB can afford it at verify scale; the Spark side's bucketed
     // equi-join must reproduce it row-for-row.
-    "range_join" ->
-      """WITH hourly AS (
-        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
-        |         event_type, arg_max(value, ts) AS close
-        |  FROM events GROUP BY 1, 2),
-        |r AS (SELECT bucket, event_type,
+    "range_join" -> (hourlyClose + ",\n" +
+      """r AS (SELECT bucket, event_type,
         |        close / lag(close) OVER (PARTITION BY event_type ORDER BY bucket) - 1 AS ret
         |      FROM hourly),
         |v AS (SELECT event_type AS w_type, bucket * 1000000 AS w_start,
@@ -1196,7 +1215,7 @@ object SparkEntry {
         |FROM v JOIN events e
         |  ON e.event_type = w_type
         | AND epoch_us(e.ts) >= w_start AND epoch_us(e.ts) < w_end
-        |GROUP BY 1, 2""".stripMargin,
+        |GROUP BY 1, 2""".stripMargin),
     // Identical planting expression as the Spark fixture; counts on the
     // pre-redaction text; 'g' flag = Spark regexp_replace's replace-all.
     "pii_scrub" ->
@@ -1236,6 +1255,36 @@ object SparkEntry {
         |        / len(list_distinct(a.s || b.s)) AS jaccard
         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |  WHERE jaccard >= 0.1),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+        |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+        |SELECT doc_id, cluster_id,
+        | CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+        | doc_id = cluster_id AS keep
+        |FROM comp""".stripMargin,
+    // Same closure over the UNBOUNDED exact all-pairs list at the LSH
+    // compose's threshold (0.3) — the Spark side mines pairs via
+    // banded MinHash + exact verify, which at r=1 banding has recall 1,
+    // so both pair lists (and hence the components) coincide.
+    "dedup_clusters_lsh" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(a.s || b.s)) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.3),
         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
         |nodes AS (SELECT DISTINCT a AS id FROM edges),

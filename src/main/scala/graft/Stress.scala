@@ -103,6 +103,15 @@ object Stress {
     time(s"docs_repetition")(ops.TextAnalysis.repetitionScore(docs))
     time(s"docs_contamination")(ops.Similarity.contamination(docs, 997L))
     time(s"docs_length_buckets")(ops.TextAnalysis.lengthBuckets(docs))
+    // Corpus span dedup + the full curation chain at 500k docs: the
+    // posexplode multiplies rows by spans/doc (40 tokens / 10-word spans
+    // → 4×, i.e. ~2M span rows through one 16-byte-key hash agg), and the
+    // planted every-100th-doc copies make ~1% of spans genuinely
+    // multi-occurrence. The reassembly concat_ws is bounded by doc length
+    // (40 tokens) — the first thing to bite at scale is the span-row
+    // shuffle volume, which is why only (hash, count) ever aggregates.
+    time(s"docs_dedup_spans")(ops.TextAnalysis.dedupSpans(docs))
+    time(s"docs_curation_full")(ops.Pipeline.curationFull(docs))
 
     // Embeddings-tier scale-up: 100k 64-dim float vectors (10× the sf0.1
     // embeddings table), 32 planted clusters (centroid + noise), built
@@ -174,6 +183,17 @@ object Stress {
     val ivfDir = java.nio.file.Files.createTempDirectory("graft_stress_ivf_")
       .toString + "/layout"
     val nlist = math.max(math.sqrt(nVec.toDouble).toInt, 16)
+    // Training-sample payoff: Lloyd rounds over a 10% hash-sample vs the
+    // full corpus (the layout's one full-corpus assignment is unchanged —
+    // only the iterated training passes shrink).
+    val tTf = System.nanoTime()
+    ops.Ivf.trainCentroids(emb, nlist, iters = 2)
+    println(f"STRESS ivf_train_full        ${(System.nanoTime() - tTf) / 1e9}%8.2f s  " +
+      s"($nVec vectors, nlist=$nlist)")
+    val tTs = System.nanoTime()
+    ops.Ivf.trainCentroids(emb, nlist, iters = 2, sampleRate = 0.1)
+    println(f"STRESS ivf_train_sample10    ${(System.nanoTime() - tTs) / 1e9}%8.2f s  " +
+      s"(10%% hash-sample, nlist=$nlist)")
     val tI0 = System.nanoTime()
     val ivfCents = ops.Ivf.writeIvfLayout(emb, ivfDir, nlist, iters = 2)
     println(f"STRESS ivf_layout_build      ${(System.nanoTime() - tI0) / 1e9}%8.2f s  " +

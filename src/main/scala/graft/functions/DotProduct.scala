@@ -95,6 +95,15 @@ object GraftFunctions {
   // graft_bloom_agg(xxhash64(k), estItems, numBits) -> BINARY sketch;
   // graft_might_contain(<binary literal>, xxhash64(k)) -> BOOLEAN
   // (no false negatives; false positives at the sized fpp).
+  //
+  // VERSION-COUPLING WARNING: BloomFilterAggregate/BloomFilterMightContain
+  // are Spark-INTERNAL catalyst classes (their constructors are not public
+  // API), and the aggregate silently CAPS numItems/numBits at
+  // spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits
+  // (defaults 4M items / 67108864 bits). A Spark upgrade or a conf change
+  // can alter the effective fpp with no compile-time or runtime signal —
+  // BloomRegistrySpec pins the sketch's size/no-false-negative contract so
+  // an upgrade breaks a test, not production.
   private val bloomAggInfo = new ExpressionInfo(
     classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
     "graft_bloom_agg")

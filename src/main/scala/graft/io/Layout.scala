@@ -30,6 +30,9 @@ object Layout {
     */
   def interleave(buckets: Seq[Column], bits: Int): Column = {
     val n = buckets.length
+    require(bits * n <= 63,
+      s"bits * dims = ${bits * n} exceeds 63: high bits would shift past " +
+        "the long width and silently destroy z-order locality")
     val terms = for {
       i <- 0 until bits
       (b, d) <- buckets.zipWithIndex

@@ -44,22 +44,38 @@ object Ivf {
     * `md5(vec_id)` (a uniform, engine-agnostic, order-stable sample),
     * then `iters` Lloyd rounds. Returns (cid → centroid) as float arrays.
     *
+    * `sampleRate` < 1 trains on a deterministic [[Sampling.hashSample]]
+    * of the corpus — centroid quality needs thousands of points per cell,
+    * not all of them, so at 100 TB this turns iters× full-corpus
+    * broadcast-join passes into iters× passes over the sample (the one
+    * full-corpus assignment happens exactly once, in the layout write).
+    * `sampleRate = 1.0` is bit-identical to training on everything.
+    *
     * Input contract: `embeddings` should be a MATERIALIZED source (a scan
     * or cached frame). The assignment join replicates each input row
     * logically nlist× — a computed/derived embedding column would be
     * re-evaluated per (vector, centroid) pair (measured 130× at
     * nlist=316 on an expression-generated corpus in `graft.Stress`).
     */
-  def trainCentroids(embeddings: DataFrame, nlist: Int, iters: Int): Array[Array[Float]] = {
+  def trainCentroids(embeddings: DataFrame, nlist: Int, iters: Int,
+                     sampleRate: Double = 1.0): Array[Array[Float]] = {
+    require(sampleRate > 0.0 && sampleRate <= 1.0,
+      s"sampleRate must be in (0, 1], got $sampleRate")
     val spark = embeddings.sparkSession
-    var centroids: Array[Array[Float]] = embeddings
+    val train =
+      if (sampleRate >= 1.0) embeddings
+      else Sampling.hashSample(embeddings, "vec_id", sampleRate)
+    var centroids: Array[Array[Float]] = train
       .select(col("vec_id"), col("embedding"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(nlist)
       .collect()
       .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    require(centroids.length == nlist,
+      s"training sample has only ${centroids.length} vectors for nlist=$nlist " +
+        "seeds — raise sampleRate or lower nlist")
     for (_ <- 0 until iters) {
-      val assigned = assignCells(embeddings, centroids, spark)
+      val assigned = assignCells(train, centroids, spark)
       val upd = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
@@ -115,10 +131,11 @@ object Ivf {
     * the centroids for callers that probe in the same session.
     */
   def writeIvfLayout(embeddings: DataFrame, layoutDir: String,
-                     nlist: Int = 16, iters: Int = 3): Array[Array[Float]] = {
+                     nlist: Int = 16, iters: Int = 3,
+                     trainSampleRate: Double = 1.0): Array[Array[Float]] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val centroids = trainCentroids(embeddings, nlist, iters)
+    val centroids = trainCentroids(embeddings, nlist, iters, trainSampleRate)
     assignCells(embeddings, centroids, spark)
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(layoutDir)

@@ -283,9 +283,14 @@ object Joins {
                 bucketMicros: Long): DataFrame = {
     require(bucketMicros > 0, "bucketMicros must be positive")
     val l = left.withColumn("_rj_bucket", floor(col(leftTsUs) / bucketMicros))
-    val r = right.withColumn("_rj_bucket", explode(sequence(
-      floor(col(startUs) / bucketMicros),
-      floor((col(endUs) - 1) / bucketMicros))))
+    // Empty/inverted intervals (end <= start) must be dropped BEFORE the
+    // explode: `sequence` steps DOWNWARD when its bounds invert, so one
+    // corrupt row would otherwise enumerate every bucket between the two
+    // values — an unbounded blowup the exact post-filter can't prevent.
+    val r = right.filter(col(endUs) > col(startUs))
+      .withColumn("_rj_bucket", explode(sequence(
+        floor(col(startUs) / bucketMicros),
+        floor((col(endUs) - 1) / bucketMicros))))
     l.join(r,
       l("_rj_bucket") === r("_rj_bucket") &&
         l(leftKey) === r(rightKey) &&
@@ -342,6 +347,12 @@ object Joins {
                       leftTs: String, rightTs: String,
                       payloadCols: Seq[String],
                       forward: Boolean = false): DataFrame = {
+    val missing = payloadCols.filterNot(right.columns.contains)
+    require(missing.isEmpty,
+      s"payloadCols not found in right side: ${missing.mkString(", ")}")
+    val clash = payloadCols.filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"payloadCols collide with left columns (rename before joining): ${clash.mkString(", ")}")
     val leftRest = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == leftTs)
     val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
     val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap

@@ -1,7 +1,7 @@
 package graft.stream
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, date_format, timestamp_seconds}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -30,12 +30,25 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * MERGE INTO re-expressed over plain parquet; on a Delta/Iceberg lake
   * the same `foreachBatch` body becomes the native MERGE call.
   *
-  * The `localCheckpoint(eager)` calls are load-bearing twice over: they
-  * pin the batch/existing rows so the read side is materialized BEFORE
-  * the overwrite touches the directory (classic read-modify-write on one
-  * path), and they break the lineage that would otherwise make Spark
-  * refuse to overwrite a path it is also reading from. The materialized
-  * volume is bounded by the affected partitions, not the table.
+  * Crash-window contract (write-audit-publish): the merged months are
+  * STAGED into a hidden `_graft_staging_*` directory under the table
+  * root, row-count audited, and only then PUBLISHED by per-month
+  * directory renames. Readers therefore never observe a half-rewritten
+  * month: each `month=M` directory is either entirely the old version or
+  * entirely the new one (rename is atomic per directory on HDFS-like
+  * filesystems; hidden `_`-prefixed siblings are invisible to partition
+  * discovery). What plain parquet canNOT give is cross-month atomicity —
+  * a crash between two month renames leaves month A new and month B old
+  * until the replay. The replay's recovery sweep makes even that safe:
+  * a month caught between retire and publish is restored from its
+  * retired copy (never deleted), so no committed row is ever lost; then
+  * the re-merge converges the table. On a Delta/Iceberg lake the same
+  * body becomes a single atomic MERGE commit.
+  *
+  * The `localCheckpoint(eager)` calls pin the batch/existing rows so both
+  * the staged write and the audit read them once, and keep the lineage
+  * clear of the directory being republished. The materialized volume is
+  * bounded by the affected partitions, not the table.
   */
 object StreamingSink {
 
@@ -64,10 +77,11 @@ object StreamingSink {
       .localCheckpoint(true)
     val months = b.select("month").distinct().collect().map(_.getString(0))
     if (months.isEmpty) return
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sweepOrphans(fs, root) // a prior crash's staging/retired leftovers
     val merged =
-      if (!fs.exists(new Path(path))) b
+      if (!fs.exists(root)) b
       else {
         val survivors = spark.read.parquet(path)
           .filter(col("month").isin(months.toSeq: _*)) // partition-pruned
@@ -75,12 +89,67 @@ object StreamingSink {
           .localCheckpoint(true)
         b.unionByName(survivors)
       }
-    merged.write
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .partitionBy("month")
-      .parquet(path)
+    // WRITE: stage the merged months under a hidden sibling (same
+    // filesystem, so the publish renames are metadata-only and atomic).
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new Path(root, s"_graft_staging_$token")
+    merged.write.mode("overwrite").partitionBy("month").parquet(stage.toString)
+    // AUDIT: the staged copy must hold exactly the merged row count —
+    // a partial/failed stage write never reaches publish.
+    val stagedCount = spark.read.parquet(stage.toString).count()
+    val expected = merged.count()
+    if (stagedCount != expected) {
+      fs.delete(stage, true)
+      throw new IllegalStateException(
+        s"staged write audit failed: $stagedCount staged vs $expected merged rows")
+    }
+    // PUBLISH: per-month atomic swap — retire the live directory to a
+    // hidden name, rename the staged one into place, then sweep. A crash
+    // here leaves whole months old or new (never mixed); the next merge's
+    // sweep restores any month stranded between retire and publish from
+    // its retired copy before deleting anything.
+    months.foreach { m =>
+      val live = new Path(root, s"month=$m")
+      val staged = new Path(stage, s"month=$m")
+      if (fs.exists(live)) {
+        fs.rename(live, new Path(root, s"_graft_retired_${token}_month_$m"))
+      }
+      if (fs.exists(staged)) fs.rename(staged, live)
+    }
+    sweepOrphans(fs, root)
   }
+
+  /** Recover a warehouse from a crashed or interrupted publish WITHOUT
+    * merging new data: restore any month stranded in its retired copy,
+    * sweep staging leftovers. The next merge does this implicitly; this
+    * entry point is for bringing a table back to a consistent state
+    * immediately after a hard stop.
+    */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val root = new Path(path)
+    sweepOrphans(root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+  }
+
+  /** Recover from a crashed publish, then clear hidden leftovers
+    * (invisible to readers — partition discovery skips `_`-prefixed
+    * names). A retired month whose live `month=M` directory is MISSING
+    * means the crash hit between retire and publish: the retired copy is
+    * the only full version of that month, so it is RESTORED (renamed
+    * back), never deleted. Every other leftover — retired months whose
+    * publish completed, staging dirs of any generation — is swept.
+    * Idempotent; runs before every merge reads the table.
+    */
+  private def sweepOrphans(fs: org.apache.hadoop.fs.FileSystem, root: Path): Unit =
+    if (fs.exists(root)) {
+      val entries = fs.listStatus(root).map(_.getPath)
+      entries.filter(_.getName.startsWith("_graft_retired_")).foreach { p =>
+        val month = p.getName.split("_month_", 2).last
+        val live = new Path(root, s"month=$month")
+        if (!fs.exists(live)) fs.rename(p, live) else fs.delete(p, true)
+      }
+      entries.filter(_.getName.startsWith("_graft_staging_"))
+        .foreach(fs.delete(_, true))
+    }
 
   /** The streaming warehouse sink: every micro-batch MERGEs into the
     * month-partitioned warehouse via [[upsertByMonth]]. `AvailableNow`
@@ -90,14 +159,24 @@ object StreamingSink {
     */
   def warehouseSink(stream: DataFrame, keyCol: String, tsCol: String,
                     outPath: String, checkpoint: String,
-                    availableNow: Boolean = true): StreamingQuery = {
+                    availableNow: Boolean = true,
+                    processingTime: Option[String] = None): StreamingQuery = {
     val w = stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         upsertByMonth(batch.toDF(), keyCol, tsCol, outPath)
       }
       .option("checkpointLocation", checkpoint)
-    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+    w.trigger(pickTrigger(availableNow, processingTime)).start()
   }
+
+  /** `processingTime` (e.g. "500 milliseconds") paces a CONTINUOUSLY
+    * running query's micro-batches and overrides `availableNow`; with
+    * neither, a non-availableNow query runs back-to-back batches.
+    */
+  private def pickTrigger(availableNow: Boolean,
+                          processingTime: Option[String]): Trigger =
+    processingTime.map(Trigger.ProcessingTime(_)).getOrElse(
+      if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(0L))
 
   /** The reference's ACTUAL terminal table, end-to-end: the streaming
     * hourly-OHLC aggregate ([[StreamingResample.hourlyOhlc]]-shaped,
@@ -114,7 +193,8 @@ object StreamingSink {
     */
   def ohlcWarehouseSink(bars: DataFrame, outPath: String,
                         checkpoint: String,
-                        availableNow: Boolean = true): StreamingQuery = {
+                        availableNow: Boolean = true,
+                        processingTime: Option[String] = None): StreamingQuery = {
     val w = bars.writeStream
       .outputMode("update")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
@@ -123,6 +203,6 @@ object StreamingSink {
           Seq("bucket", "event_type"), "bucket_ts", outPath)
       }
       .option("checkpointLocation", checkpoint)
-    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+    w.trigger(pickTrigger(availableNow, processingTime)).start()
   }
 }

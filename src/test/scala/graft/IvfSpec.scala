@@ -89,4 +89,30 @@ class IvfSpec extends SparkSpec {
     // hit shares the query's planted cluster (vec_id ≡ 0 mod 4)
     assert(one.select("vec_id").as[Long].collect().forall(_ % 4 == 0))
   }
+
+  test("ivf training sample: rate 1.0 is bit-identical; sampled training still separates planted clusters") {
+    val emb = planted(4, 100, 8).localCheckpoint()
+    // sampleRate = 1.0 must take the identical code path / results
+    val full = Ivf.trainCentroids(emb, nlist = 4, iters = 3)
+    val one = Ivf.trainCentroids(emb, nlist = 4, iters = 3, sampleRate = 1.0)
+    assert(full.map(_.toSeq).toSeq == one.map(_.toSeq).toSeq)
+
+    // a 30% hash-sample still has ~30 points per planted bundle — the
+    // trained cells must still assign each bundle coherently: probing the
+    // query's cell returns only same-bundle neighbors
+    val dir = Files.createTempDirectory("graft_ivf").toString + "/layout"
+    Ivf.writeIvfLayout(emb, dir, nlist = 4, iters = 3, trainSampleRate = 0.3)
+    val cents = Ivf.readCentroids(spark, dir)
+    val q = emb.filter($"vec_id" === 0L)
+      .head.getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val hits = Ivf.ivfProbe(spark, dir, cents, q, 10, nprobe = 1, excludeId = Some(0L))
+      .select("vec_id").as[Long].collect()
+    assert(hits.length == 10 && hits.forall(_ % 4 == 0), hits.mkString(","))
+
+    // an unsatisfiable sample (fewer rows than nlist seeds) fails loudly
+    val tiny = intercept[IllegalArgumentException] {
+      Ivf.trainCentroids(emb, nlist = 300, iters = 1, sampleRate = 0.001)
+    }
+    assert(tiny.getMessage.contains("sampleRate"))
+  }
 }

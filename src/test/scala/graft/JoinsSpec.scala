@@ -51,6 +51,33 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin: empty/inverted intervals produce zero rows, not a bucket blowup") {
+    val left = Seq(("btc", 150L, 1L)).toDF("k", "t", "row_id")
+    // end == start (empty) and end < start by 10^9 (inverted): without the
+    // pre-explode filter, sequence() would enumerate DOWNWARD through ~10^6
+    // buckets for the inverted row. The guard drops both before exploding.
+    val right = Seq(
+      ("btc", 100L, 100L, 7L),
+      ("btc", 1000000000L, 0L, 8L)
+    ).toDF("rk", "w_start", "w_end", "w_id")
+    val got = graft.ops.Joins
+      .rangeJoin(left, "k", "t", right, "rk", "w_start", "w_end", 1000L)
+    assert(got.count() == 0)
+  }
+
+  test("asofJoinGeneric rejects payloadCols that collide with or are missing from inputs") {
+    val left = Seq((1L, 10L, 2.0)).toDF("k", "t", "px")
+    val right = Seq((1L, 5L, 3.0)).toDF("k", "qt", "px")
+    val clash = intercept[IllegalArgumentException] {
+      Joins.asofJoinGeneric(left, right, Seq("k"), "t", "qt", Seq("px"))
+    }
+    assert(clash.getMessage.contains("collide"))
+    val missing = intercept[IllegalArgumentException] {
+      Joins.asofJoinGeneric(left, right, Seq("k"), "t", "qt", Seq("nope"))
+    }
+    assert(missing.getMessage.contains("not found"))
+  }
+
   test("asofJoinGeneric: backward/forward parity with the specialized forms; multi-key isolation") {
     val rnd = new scala.util.Random(53)
     val rows = (0 until 3000).map { i =>

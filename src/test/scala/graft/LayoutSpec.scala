@@ -27,6 +27,15 @@ class LayoutSpec extends SparkSpec {
     assert(id == 173L)
   }
 
+  test("interleave rejects bits * dims > 63 (would shift past long width)") {
+    val e = intercept[IllegalArgumentException] {
+      Layout.interleave(Seq(col("x"), col("y")), 32)
+    }
+    assert(e.getMessage.contains("63"))
+    // the boundary itself is fine: 3 dims x 21 bits = 63
+    Layout.interleave(Seq(col("x"), col("y"), col("z")), 21)
+  }
+
   test("z-ordered layout concentrates a box query; row-ordered smears it") {
     // 100k points uniform on [0,1)^2, hash-derived (deterministic)
     val pts = spark.range(100000L).select(

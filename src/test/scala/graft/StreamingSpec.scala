@@ -181,6 +181,70 @@ class StreamingSpec extends SparkSpec {
     assert(table().count() == 1101)
   }
 
+  test("warehouse publish: crash between retire and publish loses nothing; next merge restores and converges") {
+    // upsertByMonth is write-audit-publish: stage → audit → per-month
+    // rename. This pins the crash contract by reconstructing the exact
+    // on-disk states a kill can leave and running the next merge over
+    // them: (A) a month stranded in its retired copy with garbage in
+    // staging — restored, garbage swept; (B) a stale retired dir whose
+    // publish completed — swept; unaffected months' files never touched.
+    val t0 = 1704067200000L // 2024-01-01
+    val feb = t0 + 31L * 24 * 3600000L
+    def mkDf(rows: Seq[(Long, Long, String, Double)]) =
+      rows.map { case (id, ms, sym, v) => (id, new Timestamp(ms), sym, v) }
+        .toDF("event_id", "ts", "event_type", "value")
+    val jan = (0 until 200).map(i => (i.toLong, t0 + i * 60000L, "btc", 1.0 + i))
+    val febRows = (0 until 50).map(i => (1000L + i, feb + i * 60000L, "eth", 2.0 + i))
+    val dir = Files.createTempDirectory("graft_wap_").toString
+    val wh = s"$dir/wh"
+    StreamingSink.upsertByMonth(mkDf(jan ++ febRows), "event_id", "ts", wh)
+    assert(spark.read.parquet(wh).count() == 250)
+
+    def fileState(sub: String): Seq[(String, Long)] = {
+      val d = new java.io.File(s"$wh/$sub")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).sorted.toSeq
+    }
+    val febFiles = fileState("month=2024-02")
+
+    // --- crash state A: January retired, staging holds a partial write ---
+    assert(new java.io.File(s"$wh/month=2024-01").renameTo(
+      new java.io.File(s"$wh/_graft_retired_deadbeef_month_2024-01")))
+    mkDf(jan.take(3)) // garbage partial stage from the "crashed" publish
+      .withColumn("month", date_format($"ts", "yyyy-MM"))
+      .write.partitionBy("month")
+      .parquet(s"$wh/_graft_staging_deadbeef")
+    // mid-crash reads stay sane: hidden dirs invisible, February intact
+    assert(spark.read.parquet(wh).select("month").distinct()
+      .as[String].collect().toSeq == Seq("2024-02"))
+
+    // next merge (a January correction): the stranded month is restored
+    // BEFORE survivors are read, so nothing is lost
+    StreamingSink.upsertByMonth(
+      mkDf(Seq((5L, t0 + 5 * 60000L, "btc", 999.0))), "event_id", "ts", wh)
+    val table = spark.read.parquet(wh)
+    assert(table.count() == 250, "restored month must keep every row")
+    assert(table.filter($"event_id" === 5L).select("value").as[Double].head() == 999.0)
+    assert(table.filter($"event_id" === 6L).select("value").as[Double].head() == 7.0,
+      "non-batch January rows must survive the crash+merge")
+    val hidden = new java.io.File(wh).listFiles()
+      .map(_.getName).filter(n => n.startsWith("_graft_"))
+    assert(hidden.isEmpty, s"orphans not swept: ${hidden.mkString(",")}")
+    assert(fileState("month=2024-02") == febFiles,
+      "a January merge must not rewrite February's files")
+
+    // --- crash state B: stale retired copy, but its publish completed ---
+    mkDf(febRows.take(2))
+      .withColumn("month", lit("2024-02"))
+      .write.parquet(s"$wh/_graft_retired_cafe_month_2024-02")
+    StreamingSink.upsertByMonth(
+      mkDf(Seq((7L, t0 + 7 * 60000L, "btc", 777.0))), "event_id", "ts", wh)
+    assert(spark.read.parquet(wh).filter($"month" === "2024-02").count() == 50,
+      "completed-publish retired copy must be swept, not restored")
+    assert(new java.io.File(wh).listFiles().forall(f =>
+      !f.getName.startsWith("_graft_")))
+  }
+
   test("aggregated OHLC warehouse sink: update-mode bars converge to batch under late data and replay") {
     // The reference's terminal table IS the hourly aggregate
     // (duckdb_api.py:44-47 CREATE-OR-REPLACEs aggregated_financial_data).
@@ -251,6 +315,117 @@ class StreamingSpec extends SparkSpec {
     val replayed = table().orderBy("bucket", "event_type").collect()
     assert(replayed.length == 18)
     replayed.zip(batch).foreach { case (s, b) => cmp(s, b) }
+  }
+
+  test("ProcessingTime soak: paced live drops with a late revision converge to the batch oracle") {
+    // Every other streaming spec drains with AvailableNow. This runs the
+    // resample→warehouse chain CONTINUOUSLY on a ProcessingTime trigger
+    // while files land mid-flight — ≥4 micro-batches, one carrying a
+    // late-data revision inside the 2 h watermark — and asserts the
+    // warehouse converges to the batch oracle. (File drops rather than the
+    // rate source because the oracle needs a deterministic event set; the
+    // rate source's wall-clock pacing is soaked separately below.)
+    val t0 = 1704888000000L // 2024-01-10 12:00 UTC
+    def ev(is: Seq[Int], offsetMs: Long = 0L) = is.map { i =>
+      (i.toLong, new Timestamp(t0 + i * 60000L + offsetMs), "btc", 100.0 + i)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val dir = Files.createTempDirectory("graft_soak_").toString
+    val schema = ev(Seq(0)).schema
+
+    def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      var ok = cond
+      while (!ok && System.currentTimeMillis() < deadline) {
+        Thread.sleep(300); ok = cond
+      }
+      ok
+    }
+    // the warehouse dir can exist while holding only hidden staging dirs
+    // (mid-first-publish) — treat an unreadable table as empty
+    def barCount: Long =
+      try spark.read.parquet(s"$dir/wh").count()
+      catch { case _: Exception => 0L }
+    def trades(bucket: Long): Long =
+      try spark.read.parquet(s"$dir/wh").filter($"bucket" === bucket / 1000L)
+        .select("n_trades").as[Long].collect().headOption.getOrElse(0L)
+      catch { case _: Exception => 0L }
+
+    def land(df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    land(ev(0 until 60)) // hour 0
+    val q = graft.stream.StreamingSink.ohlcWarehouseSink(
+      StreamingResample.hourlyOhlc(spark, s"$dir/in", schema,
+        maxFilesPerTrigger = Some(1)),
+      s"$dir/wh", s"$dir/ckpt",
+      availableNow = false, processingTime = Some("250 milliseconds"))
+    try {
+      assert(eventually(60000)(barCount >= 1), "first paced batch never landed")
+      land(ev(60 until 150)) // hours 1–2
+      assert(eventually(60000)(barCount >= 3))
+      // late revision: 10 extra hour-0 events — watermark is only at
+      // maxTs(drop 2) − 2 h = t0+29 min, so the closed-looking bar reopens
+      land(ev(0 until 10, offsetMs = 30000L))
+      assert(eventually(60000)(trades(t0) == 70L),
+        "late revision must replace the hour-0 bar")
+      land(ev(180 until 240)) // hour 3
+      assert(eventually(60000)(barCount >= 4))
+      assert(q.isActive, "continuous query must still be running")
+      assert(q.recentProgress.length >= 4, "expected >=4 paced micro-batches")
+    } finally q.stop()
+
+    // batch parity over everything that streamed in
+    val all = ev(0 until 150).unionByName(ev(0 until 10, offsetMs = 30000L))
+      .unionByName(ev(180 until 240))
+    val batch = Resample.ohlcHourly(all).orderBy("bucket").collect()
+    val got = spark.read.parquet(s"$dir/wh")
+      .select("bucket", "event_type", "open", "high", "low", "close",
+        "volume", "n_trades")
+      .orderBy("bucket").collect()
+    assert(got.length == batch.length && got.length == 4)
+    got.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[Long]("bucket") == b.getAs[Long]("bucket"))
+      assert(s.getAs[Double]("open") == b.getAs[Double]("open"))
+      assert(s.getAs[Double]("high") == b.getAs[Double]("high"))
+      assert(s.getAs[Double]("low") == b.getAs[Double]("low"))
+      assert(s.getAs[Double]("close") == b.getAs[Double]("close"))
+      assert(approx(s.getAs[Double]("volume"), b.getAs[Double]("volume")))
+      assert(s.getAs[Long]("n_trades") == b.getAs[Long]("n_trades"))
+    }
+  }
+
+  test("rate-source soak: wall-clock paced ingest stays gapless and duplicate-free") {
+    // The genuinely continuous source: rate rows arrive on wall-clock
+    // pacing, event identity derived deterministically from `value` (the
+    // timestamps the rate source stamps are wall-clock and thus not
+    // oracle-able — the derived event set is). After ≥3 ProcessingTime
+    // batches: every delivered id present exactly once (the upsert never
+    // dropped or doubled a mid-flight batch), months consistent.
+    val dir = Files.createTempDirectory("graft_ratesoak_").toString
+    val events = spark.readStream.format("rate")
+      .option("rowsPerSecond", "400").load()
+      .select(col("value").as("event_id"),
+        timestamp_seconds(lit(1704067200L) + col("value") * 60).as("ts"),
+        when(col("value") % 2 === 0, "btc").otherwise("eth").as("event_type"),
+        (col("value") * 1.5).as("value"))
+    val q = StreamingSink.warehouseSink(events, "event_id", "ts",
+      s"$dir/wh", s"$dir/ckpt",
+      availableNow = false, processingTime = Some("300 milliseconds"))
+    val deadline = System.currentTimeMillis() + 90000
+    while (q.recentProgress.count(_.numInputRows > 0) < 3 &&
+      System.currentTimeMillis() < deadline) Thread.sleep(300)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "rate soak never reached 3 non-empty micro-batches")
+    q.stop()
+    // stop() can interrupt a publish mid-swap; recovery restores any
+    // stranded month before we grade the table
+    StreamingSink.recover(spark, s"$dir/wh")
+    val t = spark.read.parquet(s"$dir/wh")
+    val n = t.count()
+    val mx = t.agg(max("event_id")).as[Long].head()
+    assert(n == mx + 1, s"gap or loss: $n rows vs max id $mx")
+    assert(t.groupBy("event_id").count().filter($"count" > 1).isEmpty,
+      "duplicate ids after paced upserts")
   }
 
   test("incremental file discovery: later drops emit only new hours, maxFilesPerTrigger paces the backlog") {

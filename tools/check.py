@@ -17,8 +17,15 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# GRAFT_CHECK_SKIP=a,b,c — skip named queries. Local-iteration use only
+# (e.g. dedup_clusters_lsh's oracle is an all-pairs brute force DuckDB
+# can't afford at sf0.1; the driver's gate runs at sf0.01 where it can).
+skip = set(filter(None, os.environ.get("GRAFT_CHECK_SKIP", "").split(",")))
 fails = 0
 for name in sorted(oracle):
+    if name in skip:
+        print(f"SKIP {name} (GRAFT_CHECK_SKIP)")
+        continue
     qdir = f"{outdir}/{name}"
     if not os.path.isdir(qdir):
         print(f"FAIL {name}: no spark output dir")
