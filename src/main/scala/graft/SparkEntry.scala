@@ -405,6 +405,12 @@ object SparkEntry {
     // All-corpus embedding near-dup pair mining via LSH bucket self-join;
     // plane count sized from the corpus cardinality (planesFor).
     "emb_neardup" -> ((s, d) => Similarity.embNearDupAuto(Tables.embeddings(s, d), 0.4)),
+    // md5-seeded integer-exact twins of ann_lsh / emb_neardup (the L33
+    // precedent): bucket assignment is pure BIGINT arithmetic both
+    // engines reproduce bit-for-bit, so these carry full hash oracles
+    // where the xxhash64-seeded fast paths above are rows-only.
+    "ann_md5" -> ((s, d) => Similarity.annMd5(Tables.embeddings(s, d), 0L, 10)),
+    "emb_neardup_md5" -> ((s, d) => Similarity.embNearDupMd5(Tables.embeddings(s, d), 0.4)),
     // LLM tier — multimodal binary-column plumbing (stubbed decode).
     "multimodal_meta" -> ((s, d) => Multimodal.decodeMeta(Tables.documents(s, d))),
     "frame_sample" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d), 100)),
@@ -464,6 +470,16 @@ object SparkEntry {
 
   /** DuckDB oracle SQL per query (same column aliases as the Spark side). */
   def oracleSql: Map[String, String] = {
+    // md5-seeded hyperplane bucket as SQL — the exact DuckDB spelling of
+    // Similarity.md5Bucket: integer plane components from md5("p:d"),
+    // floor-quantized embeddings, BIGINT dot → sign bits. Generated for
+    // the fixed (nPlanes=6, dim=64) the registered twins use.
+    val md5BucketSql = (0 until 6).map { p =>
+      s"""CASE WHEN list_sum(list_transform(generate_series(1, 64),
+         | d -> ((('0x' || substr(md5($p || ':' || (d-1)), 1, 8))::BIGINT % 2001) - 1000)
+         |      * CAST(floor(CAST(embedding[d] AS DOUBLE) * 1048576) AS BIGINT))) >= 0
+         | THEN ${1L << p} ELSE 0 END""".stripMargin
+    }.mkString("(", "\n + ", ")")
     // Shared hourly close-bar CTE (the ma_* family's input series and the
     // range join's window derivation; the as-of oracles key their bars
     // differently — bucket_end / negated bstart — and stay inline).
@@ -1138,6 +1154,32 @@ object SparkEntry {
         |      * sqrt(list_sum(list_transform(qe, x -> x * x)))) AS cosine
         |FROM embeddings, q WHERE vec_id != 0
         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // Multi-probe LSH top-k over the md5 plane family: candidate set =
+    // buckets within Hamming 1 of the query's — engine-exact bucket
+    // arithmetic, then the same cosine/order as cosine_topk.
+    "ann_md5" ->
+      s"""WITH b AS (SELECT vec_id, label, embedding, $md5BucketSql AS bucket
+         |           FROM embeddings),
+         |q AS (SELECT bucket AS qb, embedding::DOUBLE[] AS qe FROM b WHERE vec_id = 0)
+         |SELECT vec_id, label, cosine FROM (
+         |  SELECT b.vec_id, b.label,
+         |    list_dot_product(b.embedding::DOUBLE[], qe)
+         |      / (sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x * x)))
+         |         * sqrt(list_sum(list_transform(qe, x -> x * x)))) AS cosine
+         |  FROM b, q
+         |  WHERE b.vec_id != 0 AND bit_count(xor(b.bucket, qb)) <= 1)
+         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // Same-bucket pair mining over the md5 planes + exact cosine verify.
+    "emb_neardup_md5" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $md5BucketSql AS bucket
+         |           FROM embeddings)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+         |    list_dot_product(a.embedding::DOUBLE[], b2.embedding::DOUBLE[])
+         |      / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x * x)))
+         |         * sqrt(list_sum(list_transform(b2.embedding::DOUBLE[], x -> x * x)))) AS cosine
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         |WHERE cosine >= 0.4""".stripMargin,
     // Text payloads are no known media container → fmt 'raw' + the
     // documented pseudo-dimension fallback; real PNG/JPEG/GIF header
     // parsing is spec-pinned (no image bytes in the oracle tables).

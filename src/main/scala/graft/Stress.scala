@@ -193,7 +193,7 @@ object Stress {
     val tTs = System.nanoTime()
     ops.Ivf.trainCentroids(emb, nlist, iters = 2, sampleRate = 0.1)
     println(f"STRESS ivf_train_sample10    ${(System.nanoTime() - tTs) / 1e9}%8.2f s  " +
-      s"(10%% hash-sample, nlist=$nlist)")
+      s"(10% hash-sample, nlist=$nlist)")
     val tI0 = System.nanoTime()
     val ivfCents = ops.Ivf.writeIvfLayout(emb, ivfDir, nlist, iters = 2)
     println(f"STRESS ivf_layout_build      ${(System.nanoTime() - tI0) / 1e9}%8.2f s  " +

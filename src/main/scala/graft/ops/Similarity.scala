@@ -532,6 +532,85 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  // ---------------------------------------------- md5-seeded ANN twins
+  //
+  // The L33 precedent (simhashMd5 / minhashSignaturesMd5) applied to the
+  // hyperplane tier: the fast paths above derive planes from a
+  // splitmix64-style mix no SQL engine reproduces, so ann_lsh /
+  // emb_neardup could only ever be rows-only checked. These twins make
+  // BUCKET ASSIGNMENT engine-exact:
+  //   component(p, d) = (uint32(first 8 hex of md5("p:d")) mod 2001) − 1000
+  //     — an integer in [−1000, 1000] any engine computes bit-for-bit;
+  //   embeddings quantize by floor(x · 2^20), also exact in any engine;
+  //   the plane dot is then PURE BIGINT arithmetic — order-independent,
+  //     overflow-free (≤ 64 · 10^3 · 10^7 ≪ 2^63), no float summation
+  //     that could flip a sign at the bucket boundary between engines.
+  // The xxhash64-seeded forms stay the production fast path (one hash +
+  // affine remixes beat 6 md5-seeded 64-term dots); the twins exist so
+  // the DuckDB oracle can reproduce the candidate sets hash-exactly.
+
+  private[ops] def md5PlaneComp(p: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+  }
+
+  /** Sign-pattern bucket over the md5-seeded integer plane family —
+    * exact BIGINT arithmetic end-to-end (see block comment above).
+    */
+  private[ops] def md5Bucket(embCol: String, nPlanes: Int, dim: Int): Column = {
+    val qEmb = transform(col(embCol),
+      x => floor(x.cast("double") * lit(1048576.0)))
+    (0 until nPlanes).map { p =>
+      val comps = array((0 until dim).map(d => lit(md5PlaneComp(p, d))): _*)
+      val dotI = aggregate(zip_with(qEmb, comps, (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+      when(dotI >= 0L, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** [[annLsh]]'s oracle-able twin: same in-plan multi-probe search, md5
+    * plane family. Fixed `nPlanes` (the oracle SQL inlines the same
+    * constant); radius-1 probes touch (nPlanes+1)/2^nPlanes of buckets.
+    */
+  def annMd5(embeddings: DataFrame, queryId: Long, k: Int,
+             nPlanes: Int = 6, probeRadius: Int = 1,
+             dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val bucketed = embeddings
+      .withColumn("bucket", md5Bucket("embedding", nPlanes, dim))
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+    bucketed.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .filter(bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= probeRadius)
+      .select(col("vec_id"), col("label"),
+        (dotF(col("embedding"), col("q_emb")) /
+          (l2F(col("embedding")) * l2F(col("q_emb")))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** [[embNearDup]]'s oracle-able twin: same-bucket pair mining over the
+    * md5 plane family + exact cosine verify.
+    */
+  def embNearDupMd5(embeddings: DataFrame, threshold: Double,
+                    nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val bucketed = embeddings
+      .select(col("vec_id"), col("embedding"),
+        md5Bucket("embedding", nPlanes, dim).as("bucket"))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dotF(col("a.embedding"), col("b.embedding")) /
+          (l2F(col("a.embedding")) * l2F(col("b.embedding")))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** The production LAYOUT for [[annLsh]]: the corpus written to parquet
     * partitioned by its hyperplane bucket. At 100 TB this is the whole
     * point of the LSH — a query then touches only the probe buckets'

@@ -111,6 +111,66 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("md5 ANN twins: buckets match an independent reimplementation; results = brute force over the candidate set") {
+    val rnd = new scala.util.Random(5)
+    val dim = 64
+    val center = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val cluster = (0 until 20).map { i =>
+      (i.toLong, center.map(c => c + 0.01f * rnd.nextGaussian().toFloat).toSeq, 0)
+    }
+    val noise = (20 until 220).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq, 1)
+    }
+    val emb = (cluster ++ noise).toDF("vec_id", "embedding", "label")
+
+    // independent reimplementation of the md5 plane family (MessageDigest
+    // + BigInt — deliberately not calling the library's helper)
+    def comp(p: Int, d: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"$p:$d".getBytes("UTF-8"))
+      val u = ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) |
+        ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)
+      u % 2001L - 1000L
+    }
+    def bucketRef(e: Seq[Float]): Long =
+      (0 until 6).map { p =>
+        val s = (0 until dim).map(d =>
+          comp(p, d) * math.floor(e(d).toDouble * 1048576.0).toLong).sum
+        if (s >= 0) 1L << p else 0L
+      }.sum
+    val buckets = (cluster ++ noise).map { case (id, e, _) => id -> bucketRef(e) }.toMap
+
+    // annMd5's top-10 == exact cosine top-10 restricted to the buckets
+    // within Hamming 1 of the query's (LSH is exact WITHIN its candidates)
+    val got = Similarity.annMd5(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val qb = buckets(0L)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d0 = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d0 += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d0 / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = cluster.head._2
+    val want = (cluster ++ noise).filter(_._1 != 0L)
+      .filter(v => java.lang.Long.bitCount(buckets(v._1) ^ qb) <= 1)
+      .map(v => (cos(q, v._2), v._1))
+      .sortBy { case (c, id) => (-c, id) }.take(10).map(_._2)
+    assert(got == want, s"got=$got want=$want")
+    // the tight planted cluster shares the query's bucket: recall is high
+    assert(got.count(_ < 20L) >= 9, got.mkString(","))
+
+    // embNearDupMd5: exactly the same-bucket pairs at cosine ≥ threshold
+    val pairs = Similarity.embNearDupMd5(emb, 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val wantPairs = (for {
+      a <- cluster ++ noise; b <- cluster ++ noise
+      if a._1 < b._1 && buckets(a._1) == buckets(b._1) && cos(a._2, b._2) >= 0.9
+    } yield (a._1, b._1)).toSet
+    assert(pairs == wantPairs && pairs.nonEmpty, s"${pairs.size} vs ${wantPairs.size}")
+  }
+
   test("annLshBucketed: partition-pruned probe scan returns the in-memory ANN result") {
     val rnd = new scala.util.Random(5)
     val dim = 64
