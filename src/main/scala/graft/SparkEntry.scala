@@ -326,6 +326,12 @@ object SparkEntry {
     // Length-percentile batching buckets (boundaries via the scale-safe
     // range-sort percentiles, broadcast into a codegen bucket map).
     "length_buckets" -> ((s, d) => TextAnalysis.lengthBuckets(Tables.documents(s, d))),
+    // Per-language n-gram diversity (type-token ratio over md5 shingle
+    // keys) — the repetitiveness metric behind per-language sampling.
+    "ngram_diversity" -> ((s, d) => TextAnalysis.ngramDiversity(Tables.documents(s, d))),
+    // Quality-tier data-mixing table: corpus quartiles of the quality
+    // score, broadcast-tiered, aggregated per (lang, tier).
+    "quality_tiers" -> ((s, d) => TextAnalysis.qualityTiers(Tables.documents(s, d))),
     // Per-language top-k vocabulary by document frequency.
     "top_terms" -> ((s, d) => TextAnalysis.topTerms(Tables.documents(s, d))),
     // LLM tier — near-dup (MinHash signatures + banded-LSH pairs).
@@ -993,6 +999,47 @@ object SparkEntry {
         |                  ELSE 'q4' END AS bucket, n_tokens
         |      FROM t, q)
         |GROUP BY 1""".stripMargin,
+    // Same 3-gram construction as the dedup/minhash oracles; distinct
+    // counts over md5 keys match the Spark side exactly.
+    "ngram_diversity" ->
+      """WITH sh AS (
+        |  SELECT lang, md5(concat(w[i], ' ', w[i+1], ' ', w[i+2])) AS h
+        |  FROM (SELECT lang, w FROM
+        |          (SELECT lang, string_split(lower(text), ' ') AS w FROM documents)
+        |        WHERE len(w) >= 3),
+        |       UNNEST(generate_series(1, len(w) - 2)) AS t(i))
+        |SELECT lang, CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+        | count(*) AS n_shingles,
+        | CAST(count(DISTINCT h) AS DOUBLE) / count(*) AS ttr
+        |FROM sh GROUP BY 1""".stripMargin,
+    // Quality formula verbatim from quality_score; quartile boundaries
+    // via quantile_cont (same interpolation as exactPercentilesScale —
+    // the length_buckets parity precedent).
+    "quality_tiers" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+        |      + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.5
+        |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality
+        |  FROM (SELECT doc_id,
+        |          CAST(len(w) AS INTEGER) AS n_tokens,
+        |          CAST(len(list_filter(w, x -> list_contains(
+        |            ['the','a','of','and','to','in','is','it'], x))) AS INTEGER) AS n_stop,
+        |          len(list_distinct(w)) AS n_uniq
+        |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))),
+        |b AS (SELECT quantile_cont(quality, 0.25) AS p25,
+        |             quantile_cont(quality, 0.50) AS p50,
+        |             quantile_cont(quality, 0.75) AS p75 FROM q),
+        |t AS (SELECT d.lang, d.n_chars, q.quality,
+        |        CASE WHEN q.quality <= p25 THEN 't1'
+        |             WHEN q.quality <= p50 THEN 't2'
+        |             WHEN q.quality <= p75 THEN 't3'
+        |             ELSE 't4' END AS tier
+        |      FROM documents d JOIN q USING (doc_id), b)
+        |SELECT lang, tier, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | avg(quality) AS avg_quality
+        |FROM t GROUP BY 1, 2""".stripMargin,
     "top_terms" ->
       """SELECT lang, CAST(rank AS INTEGER) AS rank, t, df FROM (
         |  SELECT lang, t, df,

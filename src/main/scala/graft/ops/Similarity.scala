@@ -160,19 +160,21 @@ object Similarity {
   /** Shingles as ROWS via arrays_zip + slice + concat_ws — every operator
     * codegen'd (the `transform` lambda above runs interpreted). Emits
     * duplicates: fine for any min/collect_set consumer, which is exactly
-    * the MinHash path.
+    * the MinHash path. `extra` columns (e.g. `lang` for the diversity
+    * rollup) ride along unchanged.
     */
-  private def shingleRows(documents: DataFrame): DataFrame =
+  private[ops] def shingleRows(documents: DataFrame,
+                               extra: Seq[String] = Nil): DataFrame =
     documents
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 3)
       .withColumn("w1", slice(col("w"), lit(2), size(col("w"))))
       .withColumn("w2", slice(col("w"), lit(3), size(col("w"))))
-      .select(col("doc_id"),
-        explode(arrays_zip(col("w"), col("w1"), col("w2"))).as("z"))
+      .select(col("doc_id") +: extra.map(col) :+
+        explode(arrays_zip(col("w"), col("w1"), col("w2"))).as("z"): _*)
       .filter(col("z.w2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("z.w"), col("z.w1"), col("z.w2")).as("s"))
+      .select(col("doc_id") +: extra.map(col) :+
+        concat_ws(" ", col("z.w"), col("z.w1"), col("z.w2")).as("s"): _*)
 
   // -------------------------------------------------------------- minhash
 

@@ -235,6 +235,56 @@ object TextAnalysis {
         max(col("n_tokens")).as("max_tokens"))
   }
 
+  /** Per-language n-gram diversity — the "how repetitive is this slice of
+    * the corpus" curation metric that drives per-language sampling
+    * weights: distinct 3-gram shingles, total shingle occurrences, and
+    * their type-token ratio (1.0 = every shingle unique; → 0 = highly
+    * repetitive / boilerplate-heavy).
+    *
+    * Scale shape: shingles explode once (codegen'd arrays_zip pipeline,
+    * shared with MinHash), and only 32-hex md5 keys enter the distinct
+    * aggregate — Spark's two-phase distinct shuffles (lang, key) pairs
+    * with map-side partial dedup; shingle TEXT never shuffles. md5 keys
+    * also make the counts engine-exact (collisions at 128 bits are
+    * ~1e-22 even at 100 TB shingle cardinalities).
+    */
+  def ngramDiversity(documents: DataFrame): DataFrame =
+    Similarity.shingleRows(documents, Seq("lang"))
+      .select(col("lang"), md5(col("s")).as("h"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("h")).as("n_distinct"),
+        count(lit(1)).as("n_shingles"))
+      .withColumn("ttr",
+        col("n_distinct").cast("double") / col("n_shingles"))
+
+  /** Quality-tier partitioning — the data-mixing table every curation
+    * pipeline ends on (how many docs / chars of each quality tier per
+    * language, e.g. to upsample t4 and cap t1): corpus-wide quality
+    * quartile boundaries via the scale-safe range-sort percentiles,
+    * broadcast into a codegen tier map, then one hash aggregate on
+    * (lang, tier). Same boundary-parity contract as [[lengthBuckets]]
+    * (identical quality doubles → identical interpolated cuts in any
+    * engine).
+    */
+  def qualityTiers(documents: DataFrame): DataFrame = {
+    val q = qualityScore(documents).select(col("doc_id"), col("quality"))
+    val docs = documents.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(q, Seq("doc_id"))
+    val bounds = Stats.exactPercentilesScale(q, "quality",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+      .select("p25", "p50", "p75")
+    docs.crossJoin(broadcast(bounds))
+      .select(col("lang"), col("n_chars"), col("quality"),
+        when(col("quality") <= col("p25"), lit("t1"))
+          .when(col("quality") <= col("p50"), lit("t2"))
+          .when(col("quality") <= col("p75"), lit("t3"))
+          .otherwise(lit("t4")).as("tier"))
+      .groupBy(col("lang"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        avg(col("quality")).as("avg_quality"))
+  }
+
   /** Per-language top-k vocabulary by document frequency — the corpus
     * top-terms staple. Two-level aggregate (token rows → per-(lang, t)
     * doc counts, map-side combined) then a per-lang top-k window over the

@@ -66,6 +66,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("Join"), p)
   }
 
+  test("emb_neardup_md5: candidate join is a hash equi-join on bucket — never a cross product") {
+    val p = plan("emb_neardup_md5")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("ann_md5: single-row query broadcast + top-k heap, no global sort") {
+    val p = plan("ann_md5")
+    // the 1-row query side broadcasts (a nested-loop join against ONE row
+    // is the correct plan — the guard is that the top-k never globally
+    // sorts the corpus)
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("scan pruning: projections reach the parquet reader") {
     // token_bpe touches (doc_id, text) only — the scan must not read
     // lang/source/n_chars

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.sum
+
 import graft.ops.TextAnalysis
 
 /** Repetition-signal contracts: hand-computed duplicate fractions on
@@ -80,5 +82,53 @@ class TextAnalysisSpec extends SparkSpec {
     // hit outscores the 5-token doc with two hits — tf saturates (k1)
     // while the short doc's length term shrinks its denominator
     assert(out(4L)._2 > out(0L)._2 && out(0L)._2 > 0.0)
+  }
+
+  test("ngramDiversity: hand-computed distinct/total; short docs excluded; all-unique lang hits ttr 1.0") {
+    import spark.implicits._
+    val docs = Seq(
+      // lang en: "a b c d" → [a b c][b c d]; "a b c x" → [a b c][b c x]
+      // distinct = {a b c, b c d, b c x} = 3, total = 4
+      (1L, "a b c d", "en"),
+      (2L, "a b c x", "en"),
+      (3L, "too short", "en"),            // < 3 tokens: no shingles
+      // lang fr: one doc, all shingles unique → ttr exactly 1.0
+      (4L, "u v w x y", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.ngramDiversity(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("en") == ((3L, 4L, 0.75)))
+    assert(out("fr") == ((3L, 3L, 1.0)))
+    assert(out.size == 2)
+  }
+
+  test("qualityTiers: tiers partition the corpus on exact quartile cuts; chars conserved") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 200).map { i =>
+      val words = (0 until 10 + rnd.nextInt(90)).map(_ => s"w${rnd.nextInt(50)}")
+      (i.toLong, words.mkString(" "), if (i % 3 == 0) "en" else "de",
+        words.mkString(" ").length.toLong)
+    }.toDF("doc_id", "text", "lang", "n_chars")
+    val out = TextAnalysis.qualityTiers(docs).collect()
+    // every (lang, tier) group non-empty is not guaranteed, but the
+    // partition must be exhaustive and exclusive: doc and char totals
+    // are conserved across tiers
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 200L)
+    val totalChars = docs.select(sum($"n_chars")).as[Long].head()
+    assert(out.map(_.getAs[Long]("sum_chars")).sum == totalChars)
+    // quartiles of 200 docs: tier populations are 50 ± interpolation ties
+    val byTier = out.groupBy(_.getAs[String]("tier"))
+      .map { case (t, rows) => t -> rows.map(_.getAs[Long]("n_docs")).sum }
+    assert(byTier.keySet == Set("t1", "t2", "t3", "t4"), byTier.toString)
+    byTier.values.foreach(n => assert(n >= 40 && n <= 60, byTier.toString))
+    // monotone: higher tiers have higher mean quality
+    val meanByTier = out.groupBy(_.getAs[String]("tier")).map { case (t, rows) =>
+      t -> rows.map(r => r.getAs[Double]("avg_quality") * r.getAs[Long]("n_docs")).sum /
+        rows.map(_.getAs[Long]("n_docs")).sum
+    }
+    assert(meanByTier("t1") < meanByTier("t2") &&
+      meanByTier("t2") < meanByTier("t3") &&
+      meanByTier("t3") < meanByTier("t4"), meanByTier.toString)
   }
 }
