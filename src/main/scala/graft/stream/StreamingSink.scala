@@ -114,10 +114,18 @@ object StreamingSink {
       if (fs.exists(live)) {
         fs.rename(live, new Path(root, s"_graft_retired_${token}_month_$m"))
       }
+      publishFault.foreach(f => f(m)) // test-only crash point (see below)
       if (fs.exists(staged)) fs.rename(staged, live)
     }
     sweepOrphans(fs, root)
   }
+
+  /** Fault-injection seam for the crash-window specs: invoked between
+    * RETIRE and PUBLISH of each month — the worst possible instant (the
+    * live directory is gone, the staged one not yet renamed). Throwing
+    * from it aborts the merge exactly there; production never sets it.
+    */
+  private[graft] var publishFault: Option[String => Unit] = None
 
   /** Recover a warehouse from a crashed or interrupted publish WITHOUT
     * merging new data: restore any month stranded in its retired copy,

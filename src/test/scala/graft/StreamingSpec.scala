@@ -233,6 +233,36 @@ class StreamingSpec extends SparkSpec {
     assert(fileState("month=2024-02") == febFiles,
       "a January merge must not rewrite February's files")
 
+    // --- live abort at the worst instant: not a reconstructed state but
+    // a REAL merge killed by fault injection between retire and publish —
+    // the live dir is gone, the staged one not yet renamed ---
+    try {
+      StreamingSink.publishFault = Some(m =>
+        if (m == "2024-01") throw new RuntimeException("injected crash"))
+      intercept[RuntimeException] {
+        StreamingSink.upsertByMonth(
+          mkDf(Seq((9999L, t0 + 9 * 60000L, "btc", 111.0))), "event_id", "ts", wh)
+      }
+    } finally StreamingSink.publishFault = None
+    // mid-crash: January is stranded in its retired copy, invisible live
+    assert(spark.read.parquet(wh).select("month").distinct()
+      .as[String].collect().toSeq == Seq("2024-02"))
+    // recovery restores it; NOTHING was lost and the aborted batch's row
+    // never half-landed (the staged copy was swept, not published)
+    StreamingSink.recover(spark, wh)
+    val recovered = spark.read.parquet(wh)
+    assert(recovered.count() == 250)
+    assert(recovered.filter($"event_id" === 9999L).isEmpty,
+      "aborted merge must not leak its batch")
+    assert(recovered.filter($"event_id" === 5L).select("value")
+      .as[Double].head() == 999.0, "prior committed state must survive")
+    // replaying the same batch now lands it exactly once
+    StreamingSink.upsertByMonth(
+      mkDf(Seq((9999L, t0 + 9 * 60000L, "btc", 111.0))), "event_id", "ts", wh)
+    assert(spark.read.parquet(wh).count() == 251)
+    assert(spark.read.parquet(wh).filter($"event_id" === 9999L)
+      .select("value").as[Double].head() == 111.0)
+
     // --- crash state B: stale retired copy, but its publish completed ---
     mkDf(febRows.take(2))
       .withColumn("month", lit("2024-02"))
