@@ -282,6 +282,17 @@ object SparkEntry {
     "sample_exact" -> ((s, d) =>
       Sampling.hashSampleExact(Tables.documents(s, d), "doc_id", 50)
         .select("doc_id", "lang")),
+    // Leakage-free group split: every order of a customer lands in the
+    // same train/val/test fold (fold = pure function of the group key's
+    // md5) — the GroupShuffleSplit hygiene step. Registered as the
+    // per-fold rollup; the fold thresholds are shared hex literals.
+    "split_by_group" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Sampling.splitByGroup(Tables.orders(s, d), "o_custkey")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("n_groups"))
+    }),
     // Weight-biased exactly-k draw (priority = hash-uniform / weight):
     // longer docs more likely selected, still hash-deterministic; the
     // oracle reproduces the exact selected set (single IEEE division —
@@ -329,6 +340,12 @@ object SparkEntry {
     // Per-language n-gram diversity (type-token ratio over md5 shingle
     // keys) — the repetitiveness metric behind per-language sampling.
     "ngram_diversity" -> ((s, d) => TextAnalysis.ngramDiversity(Tables.documents(s, d))),
+    // Unigram-LM perplexity proxy (CCNet-style): per-doc mean token
+    // -log2 p under the corpus's own unigram distribution.
+    "unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(Tables.documents(s, d))),
+    // Per-source KL drift from the corpus token distribution — the
+    // off-distribution monitoring metric.
+    "kl_drift" -> ((s, d) => TextAnalysis.klDrift(Tables.documents(s, d))),
     // Quality-tier data-mixing table: corpus quartiles of the quality
     // score, broadcast-tiered, aggregated per (lang, tier).
     "quality_tiers" -> ((s, d) => TextAnalysis.qualityTiers(Tables.documents(s, d))),
@@ -355,6 +372,9 @@ object SparkEntry {
     // SimHash banded Hamming pair mining (pigeonhole-exact at radius 3);
     // signatures are xxhash64-seeded, so rows-only + planted-pair spec.
     "simhash_neardup" -> ((s, d) => Similarity.simhashNearDup(Tables.documents(s, d))),
+    // Its oracle-able twin over the md5 32-bit signature: same banded
+    // mining, every number integer-exact in any engine — full hash check.
+    "simhash_neardup_md5" -> ((s, d) => Similarity.simhashNearDupMd5(Tables.documents(s, d))),
     // LLM tier — embeddings / similarity search.
     "emb_stats" -> ((s, d) => Similarity.embeddingStats(Tables.embeddings(s, d))),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d), 0L, 10)),
@@ -933,6 +953,22 @@ object SparkEntry {
     "sample_exact" ->
       """SELECT doc_id, lang FROM documents
         |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 50""".stripMargin,
+    // Fold thresholds are the SAME hex literals splitByGroup compares
+    // against (exposed via Sampling.splitThresholds) — integer-exact
+    // fold assignment, no float boundary to disagree on.
+    "split_by_group" -> {
+      val (trainHex, valHex) = Sampling.splitThresholds(0.1, 0.1)
+      s"""SELECT split, count(*) AS n_rows,
+         | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_groups
+         |FROM (SELECT o_custkey,
+         |        CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
+         |               < '$trainHex' THEN 'train'
+         |             WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
+         |               < '$valHex' THEN 'val'
+         |             ELSE 'test' END AS split
+         |      FROM orders)
+         |GROUP BY 1""".stripMargin
+    },
     // Same single IEEE division both sides: uint32 md5 prefix over the
     // stored weight. Both operands cast to DOUBLE explicitly.
     "sample_weighted" ->
@@ -1012,6 +1048,38 @@ object SparkEntry {
         | count(*) AS n_shingles,
         | CAST(count(DISTINCT h) AS DOUBLE) / count(*) AS ttr
         |FROM sh GROUP BY 1""".stripMargin,
+    // Same (doc, token) count pipeline as the Spark side; −log2 p as
+    // log2(N) − log2(cnt) so the per-term doubles match term-for-term.
+    "unigram_logprob" ->
+      """WITH dt AS (
+        |  SELECT doc_id, t, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |v AS (SELECT t, sum(c) AS cnt FROM dt GROUP BY 1),
+        |n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM v)
+        |SELECT dt.doc_id, CAST(sum(dt.c) AS BIGINT) AS n_tokens,
+        | sum(dt.c * (log2(n_total) - log2(CAST(cnt AS DOUBLE)))) AS sum_nll,
+        | sum(dt.c * (log2(n_total) - log2(CAST(cnt AS DOUBLE))))
+        |   / sum(dt.c) AS bits_per_token
+        |FROM dt JOIN v USING (t), n
+        |GROUP BY 1""".stripMargin,
+    // KL(slice ‖ corpus) with q and p as explicit double divisions, the
+    // ratio inside log2 computed the same way on both sides.
+    "kl_drift" ->
+      """WITH st AS (
+        |  SELECT source, t, count(*) AS c
+        |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |v AS (SELECT t, sum(c) AS cnt FROM st GROUP BY 1),
+        |s AS (SELECT source, sum(c) AS n_slice FROM st GROUP BY 1),
+        |g AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM v)
+        |SELECT st.source, CAST(sum(st.c) AS BIGINT) AS n_tokens,
+        | sum((st.c / CAST(n_slice AS DOUBLE))
+        |     * log2((st.c / CAST(n_slice AS DOUBLE)) / (cnt / n_total))) AS kl_bits
+        |FROM st JOIN v USING (t) JOIN s USING (source), g
+        |GROUP BY 1""".stripMargin,
     // Quality formula verbatim from quality_score; quartile boundaries
     // via quantile_cont (same interpolation as exactPercentilesScale —
     // the length_buckets parity precedent).
@@ -1176,6 +1244,29 @@ object SparkEntry {
          |        FROM documents)),
          |v AS (SELECT doc_id, $votes FROM t GROUP BY 1)
          |SELECT doc_id, $sig AS simhash32 FROM v""".stripMargin
+    },
+    // Same signature CTE as simhash_md5, then the 4×8-bit band self-join
+    // and XOR-popcount verify — integer-exact in both engines.
+    "simhash_neardup_md5" -> {
+      val votes = (0 until 32)
+        .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b")
+        .mkString(", ")
+      val sig = (0 until 32)
+        .map(b => s"CASE WHEN v_$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+         |        FROM documents)),
+         |v AS (SELECT doc_id, $votes FROM t GROUP BY 1),
+         |s AS (SELECT doc_id, $sig AS sig FROM v),
+         |bands AS (SELECT doc_id, sig, b, (sig >> (b * 8)) & 255 AS key
+         |          FROM s, UNNEST(generate_series(0, 3)) AS tb(b))
+         |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sig, b2.sig)) AS INTEGER) AS hamming
+         |FROM bands a JOIN bands b2
+         |  ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id
+         |WHERE bit_count(xor(a.sig, b2.sig)) <= 3""".stripMargin
     },
     "minhash_md5" -> {
       val cols = (0 until 8)

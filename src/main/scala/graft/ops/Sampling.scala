@@ -56,6 +56,33 @@ object Sampling {
     df.filter(hashBucket(keyCol) < threshold)
   }
 
+  /** Leakage-free train/val/test split (the GroupShuffleSplit shape): the
+    * fold is a pure function of the GROUP key's hash, so every row of a
+    * group (all orders of a customer, all chunks of a document, all pages
+    * of a domain) lands in the same fold — the split hygiene that keeps
+    * near-duplicates of a training row out of the eval set. Pure map (one
+    * codegen'd md5 + two hex compares), no shuffle, deterministic per key
+    * across runs, partitionings, and engines — the same threshold idiom
+    * as [[hashSample]], so the fold assignment is fully oracle-able.
+    */
+  def splitByGroup(df: DataFrame, groupCol: String,
+                   valFrac: Double = 0.1, testFrac: Double = 0.1): DataFrame = {
+    require(valFrac >= 0.0 && testFrac >= 0.0 && valFrac + testFrac < 1.0,
+      s"fractions val=$valFrac test=$testFrac must be ≥ 0 and sum below 1")
+    val b = hashBucket(groupCol)
+    df.withColumn("split",
+      when(b < lit(hexThreshold(1.0 - valFrac - testFrac)), lit("train"))
+        .when(b < lit(hexThreshold(1.0 - testFrac)), lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** The hex fold thresholds [[splitByGroup]] compares against — exposed
+    * so the oracle SQL can inline the identical literals.
+    */
+  def splitThresholds(valFrac: Double = 0.1,
+                      testFrac: Double = 0.1): (String, String) =
+    (hexThreshold(1.0 - valFrac - testFrac), hexThreshold(1.0 - testFrac))
+
   /** Exactly-k deterministic sample: the k smallest hash values — uniform
     * without replacement, reproducible, and planned as
     * TakeOrderedAndProject (per-partition heaps + driver merge of k, no

@@ -408,6 +408,34 @@ object Similarity {
       .distinct() // a pair can collide in several bands
   }
 
+  /** [[simhashNearDup]]'s oracle-able twin: the same banded pair mining
+    * over the engine-agnostic 32-bit [[simhashMd5]] signature — 4 bands
+    * of 8 bits (pigeonhole: Hamming ≤ 3 ⇒ one clean band, recall exact
+    * at the default radius), XOR-popcount verify. Every number on the
+    * path — per-token hash, bit votes, band keys, Hamming — is integer
+    * arithmetic any engine reproduces, so unlike the xxhash64-seeded
+    * fast path the full pair list is DuckDB-checkable. Same scale shape:
+    * only (band, key, id, sig) longs enter the join, payloads never
+    * shuffle, candidate volume tracks signature collisions, never n².
+    */
+  def simhashNearDupMd5(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashMd5(documents)
+    val bands = sigs.select(col("doc_id"), col("simhash32"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash32"), b * 8).bitwiseAND(lit(0xFFL)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash32"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash32").bitwiseXOR(col("b.simhash32"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair can collide in several bands
+  }
+
   /** Benchmark-contamination detection against an EXPLICIT benchmark
     * table (the production shape: the eval set is its own corpus, not a
     * predicate over the training one): training docs sharing ≥

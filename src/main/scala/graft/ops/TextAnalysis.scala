@@ -285,6 +285,73 @@ object TextAnalysis {
         avg(col("quality")).as("avg_quality"))
   }
 
+  /** Unigram-LM perplexity proxy (the CCNet-style quality signal): score
+    * every document by its mean token negative-log-likelihood under the
+    * corpus's OWN unigram distribution — junk (rare-token soup, mangled
+    * encodings) scores high, repetitive boilerplate scores low, typical
+    * prose sits in the middle band a curation pipeline keeps.
+    *
+    * Scale shape: one token explode feeds a (doc_id, token) hash
+    * aggregate (map-side combined — duplicates die before the shuffle);
+    * the corpus vocabulary re-aggregates THOSE rows (never the raw
+    * explode) to token counts; the corpus total is one broadcast row.
+    * The per-doc score joins doc-token rows to the vocabulary on token —
+    * a plain equi-join AQE splits if a head word skews a partition — so
+    * nothing wider than (doc_id, token, count) ever shuffles. At 100 TB
+    * the vocabulary table is the natural persist/broadcast candidate
+    * (hundreds of millions of rows vs the corpus's trillions of tokens).
+    *
+    * −log2 p(t) = log2(N) − log2(cnt t): per-TERM doubles are correctly
+    * rounded; per-doc summation rides float tolerance like every avg in
+    * this library.
+    */
+  def unigramLogProb(documents: DataFrame): DataFrame = {
+    val docTok = documents
+      .select(col("doc_id"), explode(toks).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = docTok.groupBy(col("t")).agg(sum(col("c")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast("double").as("n_total"))
+    docTok.join(vocab, Seq("t"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        sum(col("c").cast("double") *
+          (log2(col("n_total")) - log2(col("cnt").cast("double")))).as("sum_nll"))
+      .withColumn("bits_per_token", col("sum_nll") / col("n_tokens"))
+  }
+
+  /** Per-slice corpus drift: KL divergence (bits) of each slice's token
+    * distribution from the corpus-wide one — the monitoring metric that
+    * catches a source going off-distribution (scraper broke, new domain
+    * mix, language shift) before it poisons a training run. KL(q‖p) =
+    * Σ_t q(t)·log2(q(t)/p(t)) over the slice's tokens; p > 0 wherever
+    * q > 0 because the corpus distribution includes every slice.
+    *
+    * Scale shape mirrors [[unigramLogProb]]: one explode → (slice, token)
+    * hash aggregate (map-side combined), vocabulary re-aggregated from
+    * those rows, per-slice totals and the grand total broadcast; the only
+    * real shuffle joins slice-token rows to the vocabulary on token.
+    */
+  def klDrift(documents: DataFrame, sliceCol: String = "source"): DataFrame = {
+    val st = documents
+      .select(col(sliceCol), explode(toks).as("t"))
+      .groupBy(col(sliceCol), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = st.groupBy(col("t")).agg(sum(col("c")).as("cnt"))
+    val totals = st.groupBy(col(sliceCol)).agg(sum(col("c")).as("n_slice"))
+    val grand = vocab.agg(sum(col("cnt")).cast("double").as("n_total"))
+    val q = col("c").cast("double") / col("n_slice").cast("double")
+    val p = col("cnt").cast("double") / col("n_total")
+    st.join(vocab, Seq("t"))
+      .join(broadcast(totals), Seq(sliceCol))
+      .crossJoin(broadcast(grand))
+      .groupBy(col(sliceCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(q * log2(q / p)).as("kl_bits"))
+  }
+
   /** Per-language top-k vocabulary by document frequency — the corpus
     * top-terms staple. Two-level aggregate (token rows → per-(lang, t)
     * doc counts, map-side combined) then a per-lang top-k window over the

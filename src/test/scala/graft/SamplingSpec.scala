@@ -81,4 +81,31 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect()
     assert(sel.contains(777L))
   }
+
+  test("splitByGroup: a group never straddles folds; fractions and determinism hold") {
+    // 2000 groups × 5 rows each — every row of a group must share its fold
+    val rows = (0 until 10000).map(i => (i.toLong, (i % 2000).toLong))
+      .toDF("row_id", "grp")
+    val out = Sampling.splitByGroup(rows, "grp")
+    // leakage check: each group maps to exactly one fold
+    assert(out.groupBy("grp")
+      .agg(countDistinct($"split").as("n"))
+      .filter($"n" =!= 1L).isEmpty)
+    // fold sizes: binomial(2000, f) on GROUPS — 5 sd tolerance
+    val byFold = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byFold.keySet == Set("train", "val", "test"))
+    assert(math.abs(byFold("train") - 8000L) < 450, byFold.toString)
+    assert(math.abs(byFold("val") - 1000L) < 350, byFold.toString)
+    assert(math.abs(byFold("test") - 1000L) < 350, byFold.toString)
+    // deterministic under repartitioning
+    val a = out.select("row_id", "split").as[(Long, String)].collect().toSet
+    val b = Sampling.splitByGroup(rows.repartition(17), "grp")
+      .select("row_id", "split").as[(Long, String)].collect().toSet
+    assert(a == b)
+    // degenerate fractions rejected
+    intercept[IllegalArgumentException] {
+      Sampling.splitByGroup(rows, "grp", valFrac = 0.6, testFrac = 0.5)
+    }
+  }
 }

@@ -314,6 +314,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("simhashNearDupMd5: pair list equals brute-force Hamming over md5 signatures") {
+    // pigeonhole-exact recall at radius 3: the banded miner must produce
+    // EXACTLY the pairs a brute-force popcount over all signature pairs
+    // yields — not a superset (verify step) and not a subset (recall)
+    val sigs = Similarity.simhashMd5(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    for (df <- Seq(docs, docs.repartition(3))) { // partition-invariant
+      val mined = Similarity.simhashNearDupMd5(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+      assert(mined == brute, s"mined=$mined brute=$brute")
+      assert(mined.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0L))
+    }
+  }
+
   test("simhashMd5 / minhashSignaturesMd5: identical texts collide, engine-portable keys") {
     val sm = Similarity.simhashMd5(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -102,6 +102,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.size == 2)
   }
 
+  test("unigramLogProb: hand-computed bits against the corpus unigram distribution") {
+    // corpus: a×2, b×2, c×1 → N=5; p(a)=p(b)=0.4, p(c)=0.2
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    val bits = (p: Double) => -math.log(p) / math.log(2.0)
+    // doc 1: three tokens each at p=0.4; doc 2: one at 0.4, one at 0.2
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - bits(0.4)) < 1e-12)
+    assert(math.abs(out(2L)._2 - (bits(0.4) + bits(0.2)) / 2.0) < 1e-12)
+    // rare-token soup scores strictly higher than common-token text
+    assert(out(2L)._2 > out(1L)._2)
+  }
+
+  test("klDrift: identical slices diverge zero; a skewed slice diverges positive") {
+    // two sources with the SAME distribution → KL = 0 for both
+    val same = Seq((1L, "a b", "s1"), (2L, "a b", "s2"))
+      .toDF("doc_id", "text", "source")
+    TextAnalysis.klDrift(same).collect()
+      .foreach(r => assert(math.abs(r.getDouble(2)) < 1e-12, r.toString))
+    // s2 is pure-c while the corpus is mostly a/b → strictly positive KL,
+    // and larger than the majority slice's
+    val skew = Seq((1L, "a b a b", "s1"), (2L, "a b a b", "s1"), (3L, "c c", "s2"))
+      .toDF("doc_id", "text", "source")
+    val kl = TextAnalysis.klDrift(skew).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(kl("s2") > kl("s1") && kl("s2") > 1.0) // -log2 p(c)=log2(10/2)≈2.32
+    // hand check: KL(s2‖corpus) = 1·log2(1 / (2/10)) = log2 5
+    assert(math.abs(kl("s2") - math.log(5.0) / math.log(2.0)) < 1e-12)
+  }
+
   test("qualityTiers: tiers partition the corpus on exact quartile cuts; chars conserved") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
