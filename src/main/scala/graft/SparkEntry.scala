@@ -437,6 +437,10 @@ object SparkEntry {
     // where the xxhash64-seeded fast paths above are rows-only.
     "ann_md5" -> ((s, d) => Similarity.annMd5(Tables.embeddings(s, d), 0L, 10)),
     "emb_neardup_md5" -> ((s, d) => Similarity.embNearDupMd5(Tables.embeddings(s, d), 0.4)),
+    // The IVF counterpart: md5-picked seed centroids (no Lloyd rounds —
+    // float means aren't cross-engine exact), integer-quantized distance
+    // assignment, nprobe-cell probe — cell membership fully oracle-able.
+    "ann_ivf_md5" -> ((s, d) => Ivf.annIvfMd5(Tables.embeddings(s, d), 0L, 10)),
     // LLM tier — multimodal binary-column plumbing (stubbed decode).
     "multimodal_meta" -> ((s, d) => Multimodal.decodeMeta(Tables.documents(s, d))),
     "frame_sample" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d), 100)),
@@ -1318,6 +1322,33 @@ object SparkEntry {
          |         * sqrt(list_sum(list_transform(b2.embedding::DOUBLE[], x -> x * x)))) AS cosine
          |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
          |WHERE cosine >= 0.4""".stripMargin,
+    // IVF twin: md5-picked seeds, 2^20-quantized BIGINT distance, argmin
+    // encoded as min(d2*8+cid) — cell membership integer-exact; the
+    // final cosine is the same double formula as ann_md5.
+    "ann_ivf_md5" ->
+      """WITH q AS (SELECT vec_id, label, embedding,
+        |             list_transform(embedding,
+        |               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qe
+        |           FROM embeddings),
+        |c AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+        |             qe AS ce
+        |      FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |a AS (SELECT vec_id,
+        |        min(CAST(list_sum(list_transform(generate_series(1, len(qe)),
+        |              i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT) * 8 + cid) AS m
+        |      FROM q, c GROUP BY 1),
+        |qv AS (SELECT qe AS q_qe, embedding::DOUBLE[] AS q_emb FROM q WHERE vec_id = 0),
+        |pc AS (SELECT cid FROM c, qv
+        |       ORDER BY CAST(list_sum(list_transform(generate_series(1, len(q_qe)),
+        |                 i -> (q_qe[i] - ce[i]) * (q_qe[i] - ce[i]))) AS BIGINT), cid
+        |       LIMIT 2)
+        |SELECT q.vec_id, q.label,
+        | list_dot_product(q.embedding::DOUBLE[], q_emb)
+        |   / (sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x * x)))
+        |      * sqrt(list_sum(list_transform(q_emb, x -> x * x)))) AS cosine
+        |FROM q JOIN a USING (vec_id) JOIN pc ON (a.m % 8) = pc.cid, qv
+        |WHERE q.vec_id != 0
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
     // Text payloads are no known media container → fmt 'raw' + the
     // documented pseudo-dimension fallback; real PNG/JPEG/GIF header
     // parsing is spec-pinned (no image bytes in the oracle tables).

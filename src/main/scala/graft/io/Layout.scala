@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton) clustered layouts: multi-dimensional data locality
@@ -70,5 +71,65 @@ object Layout {
       .sortWithinPartitions(col("_z"))
       .drop((dims.map(d => s"_mn_$d") ++ dims.map(d => s"_mx_$d") :+ "_z"): _*)
       .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Small-file compaction — the lake-maintenance pass every streaming
+    * or per-batch sink eventually owes: micro-batch appends and
+    * per-partition MERGEs leave directories of KB-scale files, and at
+    * 100 TB readers pay a task launch + footer read PER FILE, so scan
+    * cost detaches from data size. Rewrites `dir` into
+    * ceil(totalBytes / targetFileBytes) files (one round-robin
+    * repartition — the shuffle is the price of admission and is
+    * proportional to the data compacted, not the table), staged in a
+    * sibling directory and swapped live via two renames. Same
+    * plain-parquet contract as the streaming warehouse sink: the swap is
+    * convergent but not transactional — a reader racing the two renames
+    * can see the directory missing; pair with a table format for
+    * concurrent-reader isolation.
+    *
+    * Returns (files before, files after).
+    */
+  def compact(spark: SparkSession, dir: String,
+              targetFileBytes: Long): (Int, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val live = new Path(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(live)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut =
+      math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val staged = new Path(dir + "_graft_compact_staged")
+    val retired = new Path(dir + "_graft_compact_retired")
+    fs.delete(staged, true)
+    spark.read.parquet(dir).repartition(nOut)
+      .write.mode("overwrite").parquet(staged.toString)
+    fs.delete(retired, true)
+    fs.rename(live, retired)
+    fs.rename(staged, live)
+    fs.delete(retired, true)
+    (dataFiles.length, nOut)
+  }
+
+  /** [[compact]] over a Hive-partitioned layout: each `key=value`
+    * sub-directory compacts independently (bounded by the partition's
+    * own bytes — the same per-partition maintenance unit lakehouse
+    * OPTIMIZE jobs use), so a huge table compacts incrementally and a
+    * failure affects one partition, not the table. Files inside a
+    * partition directory don't store the partition column, so the
+    * in-place rewrite preserves read-back schema exactly.
+    *
+    * Returns partition → (files before, files after).
+    */
+  def compactPartitioned(spark: SparkSession, root: String,
+                         targetFileBytes: Long): Map[String, (Int, Int)] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(rootPath)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map { s =>
+        s.getPath.getName ->
+          compact(spark, s.getPath.toString, targetFileBytes)
+      }.toMap
   }
 }

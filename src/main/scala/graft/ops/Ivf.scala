@@ -155,6 +155,65 @@ object Ivf {
       .collect()
       .map(_.getAs[scala.collection.Seq[Float]]("c_emb").toArray)
 
+  /** Oracle-able IVF twin (the md5-twin precedent applied to the coarse
+    * quantizer): centroids are the `nlist` vectors with the smallest
+    * `md5(vec_id)` — the SAME seed rule [[trainCentroids]] starts from,
+    * minus the Lloyd rounds whose float means no two engines reproduce
+    * bit-for-bit — embeddings floor-quantized by 2^20, and cell
+    * assignment the argmin of the INTEGER squared distance, encoded as
+    * one `min(d2·nlist + cid)` so the lower-cid tie-break is part of the
+    * same exact arithmetic. The probe selects the `nprobe` cells nearest
+    * the query by the same integer metric and ranks candidates by exact
+    * cosine. Everything before the final cosine is BIGINT arithmetic any
+    * engine reproduces, so cell membership — and hence the candidate
+    * set — is hash-checkable where [[ivfProbe]] over trained centroids
+    * can only be rows-only checked.
+    *
+    * Fully in-plan (no layout write, no driver collect): the centroid
+    * frame and the query row ride as broadcasts; the ×nlist assignment
+    * blowup carries only (vec_id, m) per the payload discipline above.
+    */
+  def annIvfMd5(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
+                nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Column
+    val quant = embeddings.select(col("vec_id"), col("embedding"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1048576.0)).cast("long")).as("qe"))
+    val w = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val cents = quant
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nlist)
+      .withColumn("cid", row_number().over(w).cast("long") - 1L)
+      .select(col("cid"), col("qe").as("ce"))
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    val assigned = quant.select(col("vec_id"), col("qe"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        (d2(col("qe"), col("ce")) * nlist + col("cid")).as("m"))
+      .groupBy(col("vec_id")).agg(min(col("m")).as("m"))
+      .select(col("vec_id").as("aid"), pmod(col("m"), lit(nlist.toLong)).as("cid"))
+    val qrow = quant.filter(col("vec_id") === queryId)
+      .select(col("qe").as("q_qe"), col("embedding").as("q_emb"))
+    val qcells = cents.crossJoin(broadcast(qrow))
+      .orderBy(d2(col("q_qe"), col("ce")), col("cid"))
+      .limit(nprobe)
+      .select(col("cid"))
+    def dotF(a: Column, b: Column) = call_function("graft_dot", a, b)
+    embeddings.filter(col("vec_id") =!= queryId)
+      .join(assigned, col("vec_id") === col("aid"))
+      .join(broadcast(qcells), Seq("cid"))
+      .crossJoin(broadcast(qrow))
+      .select(col("vec_id"), col("label"),
+        (dotF(col("embedding"), col("q_emb")) /
+          (sqrt(dotF(col("embedding"), col("embedding"))) *
+            sqrt(dotF(col("q_emb"), col("q_emb"))))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Steady-state probe: nearest `nprobe` cells chosen driver-side from
     * the centroid array, then a cosine top-k over ONLY those cells'
     * directories (the `cid IN (...)` literal is a partition predicate —

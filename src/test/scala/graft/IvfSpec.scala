@@ -115,4 +115,44 @@ class IvfSpec extends SparkSpec {
     }
     assert(tiny.getMessage.contains("sampleRate"))
   }
+
+  test("annIvfMd5: equals an independent sequential reimplementation") {
+    val emb = planted(4, 50, 8)
+    val got = Ivf.annIvfMd5(emb, queryId = 0L, k = 10, nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // sequential reimplementation: quantize, md5-seed 8 centroids,
+    // integer argmin with lower-cid ties, 2 nearest cells to the query,
+    // exact cosine over candidates
+    val rows = emb.collect().map(r => (r.getLong(0),
+      r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val quant = rows.map { case (id, e) =>
+      id -> e.map(x => math.floor(x.toDouble * 1048576.0).toLong) }.toMap
+    val seeds = rows.map(_._1).sortBy(id => (h(id), id)).take(8)
+      .map(quant).zipWithIndex
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cellOf = quant.map { case (id, qe) =>
+      id -> seeds.map { case (ce, cid) => (d2(qe, ce), cid) }.min._2 }
+    val probeCells = seeds.map { case (ce, cid) => (d2(quant(0L), ce), cid) }
+      .sorted.take(2).map(_._2).toSet
+    val qEmb = rows.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = rows.filter(r => r._1 != 0L && probeCells(cellOf(r._1)))
+      .map { case (id, e) => (id, cos(e, qEmb)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq,
+      s"got=${got.toSeq} want=${want.toSeq}")
+    got.zip(want).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-12) }
+    // the probe is genuinely partial: candidates exclude some corpus cells
+    assert(cellOf.values.toSet.diff(probeCells).nonEmpty)
+  }
 }

@@ -69,4 +69,42 @@ class LayoutSpec extends SparkSpec {
       s"control should smear: touched $rTouched of $rTotal")
     assert(zTouched < rTouched)
   }
+
+  test("compact: shrinks a small-file directory to the byte-target count, data identical") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = (0 until 10000).map(i => (i.toLong, s"row_$i")).toDF("id", "s")
+    df.repartition(64).write.parquet(dir)
+    def parquetFiles(d: String) = new java.io.File(d).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(parquetFiles(dir) == 64)
+    val totalBytes = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+    // quarter-of-total target → exactly 4 output files
+    val (before, after) = Layout.compact(spark, dir, (totalBytes + 3) / 4)
+    assert(before == 64 && after == 4, s"$before -> $after")
+    assert(parquetFiles(dir) == 4)
+    // rows survive byte-identically and no staging/retired leftovers remain
+    val back = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(back == (0 until 10000).map(i => (i.toLong, s"row_$i")).toSet)
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(_.contains("_graft_compact")), parent.mkString(","))
+    // a target larger than the table collapses to one file
+    val (_, one) = Layout.compact(spark, dir, Long.MaxValue)
+    assert(one == 1 && parquetFiles(dir) == 1)
+  }
+
+  test("compactPartitioned: each key=value directory compacts in place; table unchanged") {
+    val root = Files.createTempDirectory("graft_compactp").toString + "/t"
+    val df = (0 until 8000)
+      .map(i => (i.toLong, if (i % 2 == 0) "2024-01" else "2024-02"))
+      .toDF("id", "month")
+    df.repartition(32).write.partitionBy("month").parquet(root)
+    val stats = Layout.compactPartitioned(spark, root, Long.MaxValue)
+    assert(stats.keySet == Set("month=2024-01", "month=2024-02"), stats.toString)
+    stats.values.foreach { case (b, a) => assert(b == 32 && a == 1, stats.toString) }
+    // partition column still reads back (it lives in the dir name)
+    val back = spark.read.parquet(root).as[(Long, String)].collect().toSet
+    assert(back == (0 until 8000)
+      .map(i => (i.toLong, if (i % 2 == 0) "2024-01" else "2024-02")).toSet)
+  }
 }
