@@ -122,6 +122,17 @@ object SparkEntry {
     "metrics_long" -> ((s, d) => Rolling.metricsLong(ev(s, d))),
     // A4: summary statistics incl. exact quartiles.
     "summary_stats" -> ((s, d) => Stats.summaryStats(li(s, d))),
+    // Incremental-aggregation pattern: per-shard mergeable state rows
+    // (n, sum, sumsq, min, max) folded into the corpus summary — equal to
+    // the direct single-pass stats by the textbook identities, without
+    // rescanning anything but the state rows. Sharded here by a hash of
+    // the key to prove split-independence against the direct oracle.
+    "stats_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Stats.mergeSummary(
+        Stats.summaryShards(li(s, d), "l_extendedprice",
+          pmod(col("l_orderkey"), lit(7L))))
+    }),
     // Sketch quantiles: registered with the EXACT comparison columns
     // (n + exact percentiles — DuckDB-comparable), computed by the
     // range-sort exactPercentilesScale — NOT the built-in percentile()
@@ -312,6 +323,26 @@ object SparkEntry {
     "dedup_rows" -> ((s, d) => Similarity.exactDedup(Tables.documents(s, d))),
     // Normalization-insensitive dedup survey (canonical text key).
     "dedup_normalized" -> ((s, d) => Similarity.normalizedDedupStats(Tables.documents(s, d))),
+    // Keep-best dedup: among normalization-equal copies the survivor is
+    // the highest-quality one (score ties → lowest doc_id), not the
+    // first-crawled — the curation-grade representative choice.
+    "dedup_keep_best" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      // plant normalization-equal punctuation-doctored copies of every
+      // 20th doc: the synthetic corpus is duplicate-free, so without
+      // them the survivor choice would never actually run
+      val doctored = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" !!! ??? !!!")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val corpus = docs.unionByName(doctored)
+      val scored = corpus.join(
+        TextAnalysis.qualityScore(corpus).select(col("doc_id"), col("quality")),
+        Seq("doc_id"))
+      Similarity.dedupKeepBest(scored, "quality")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
     // Incremental-ingest dedup: the batch (doc_id >= 250) deduped within
     // itself AND against the persisted corpus key artifact (doc_id < 250)
     // — only md5 keys shuffle; the artifact is the standing seen-set of
@@ -654,6 +685,23 @@ object SparkEntry {
         | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
         | avg(l_discount) AS avg_disc, min(l_discount) AS min_disc,
         | max(l_discount) AS max_disc
+        |FROM lineitem""".stripMargin,
+    // The direct one-pass stats with the SAME derived identities the
+    // merge uses (sum/n, (sumsq − sum²/n)/(n−1)): any shard split must
+    // land on these numbers.
+    "stats_incremental" ->
+      """SELECT count(*) AS n,
+        | sum(l_extendedprice) AS sum_v,
+        | min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
+        | sum(l_extendedprice) / count(*) AS mean_v,
+        | CASE WHEN count(*) > 1 THEN
+        |   (sum(l_extendedprice * l_extendedprice)
+        |     - sum(l_extendedprice) * sum(l_extendedprice) / count(*))
+        |   / (count(*) - 1) END AS var_v,
+        | sqrt(CASE WHEN count(*) > 1 THEN
+        |   (sum(l_extendedprice * l_extendedprice)
+        |     - sum(l_extendedprice) * sum(l_extendedprice) / count(*))
+        |   / (count(*) - 1) END) AS std_v
         |FROM lineitem""".stripMargin,
     "summary_approx" ->
       """SELECT count(l_extendedprice) AS n,
@@ -1024,6 +1072,34 @@ object SparkEntry {
         |                 WHERE doc_id >= 250 GROUP BY md5(text))
         |  AND md5(text) NOT IN (SELECT md5(text) FROM documents
         |                        WHERE doc_id < 250)""".stripMargin,
+    // Quality formula verbatim from quality_score / quality_tiers; the
+    // winner per normalized key is row 1 under (quality DESC, doc_id ASC)
+    // — the same total order as Spark's max(struct(score, -doc_id)).
+    "dedup_keep_best" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' !!! ??? !!!', lang, source, n_chars
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |q AS (
+        |  SELECT doc_id,
+        |    (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+        |      + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.5
+        |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality
+        |  FROM (SELECT doc_id,
+        |          CAST(len(w) AS INTEGER) AS n_tokens,
+        |          CAST(len(list_filter(w, x -> list_contains(
+        |            ['the','a','of','and','to','in','is','it'], x))) AS INTEGER) AS n_stop,
+        |          len(list_distinct(w)) AS n_uniq
+        |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM corpus))),
+        |d AS (SELECT doc_id, lang, source, n_chars,
+        |        md5(trim(regexp_replace(regexp_replace(lower(text),
+        |          '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))) AS k
+        |      FROM corpus),
+        |r AS (SELECT d.*, row_number() OVER (
+        |        PARTITION BY k ORDER BY quality DESC, doc_id ASC) AS rn
+        |      FROM d JOIN q USING (doc_id))
+        |SELECT doc_id, lang, source, n_chars FROM r WHERE rn = 1""".stripMargin,
     "length_buckets" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n_tokens

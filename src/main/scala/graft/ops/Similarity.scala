@@ -87,6 +87,23 @@ object Similarity {
     documents.join(canonical, Seq("doc_id"), "left_semi")
   }
 
+  /** [[exactDedup]] with a QUALITY winner instead of the first-id winner —
+    * the production curation shape: among normalization-equal copies keep
+    * the highest-scoring one (cleanest formatting, fullest text), not
+    * whichever happened to crawl first. Winner = max (score, −doc_id) per
+    * normalized content key, so exact score ties break to the LOWEST
+    * doc_id deterministically. Same payload discipline as [[exactDedup]]:
+    * the aggregate carries (key, score, doc_id) — never text — and the
+    * surviving rows rejoin by a doc_id semi-join.
+    */
+  def dedupKeepBest(documents: DataFrame, scoreCol: String): DataFrame = {
+    val winners = documents
+      .groupBy(md5(normalizedKey(col("text"))).as("k"))
+      .agg(max(struct(col(scoreCol).as("s"), (-col("doc_id")).as("nid"))).as("w"))
+      .select((-col("w.nid")).as("doc_id"))
+    documents.join(winners, Seq("doc_id"), "left_semi")
+  }
+
   /** Write the corpus content-key artifact for [[dedupIncremental]]: one
     * md5 per distinct text, as parquet. At 100 TB this is the standing
     * "seen set" of a continuous ingest — tiny relative to the corpus

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Summary statistics + correlation matrix — the notebook's descriptive
@@ -180,6 +180,42 @@ object Stats {
       .pivot("lang", langs)
       .agg(count(lit(1)))
       .na.fill(0L, langs)
+
+  /** Mergeable summary shards — the incremental-aggregation pattern: at
+    * 100 TB you never rescan the corpus to refresh its stats. Each shard
+    * (ingest batch, date partition, source slice) contributes one tiny
+    * state row (n, sum, sum of squares, min, max); all five components
+    * merge by plain addition / min / max, so yesterday's persisted state
+    * folds with today's batch in O(shards), not O(corpus), and merge
+    * order is irrelevant. The sumsq form trades a little numerical
+    * headroom for an algebra ANY engine reproduces — values here are
+    * O(1e5) prices, far from the cancellation regime; switch to Welford
+    * merges only if values reach ~1e8 at trillion-row counts.
+    */
+  def summaryShards(df: DataFrame, valueCol: String,
+                    shardCol: Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.groupBy(shardCol.as("shard"))
+      .agg(count(lit(1)).as("n"), sum(v).as("s"), sum(v * v).as("s2"),
+        min(v).as("mn"), max(v).as("mx"))
+  }
+
+  /** Fold shard state rows into the corpus-wide summary: count, sum,
+    * min, max, mean, sample variance, sample stddev — derived from the
+    * merged components with the textbook identities, so a summary built
+    * from ANY shard split equals the direct single-pass one.
+    */
+  def mergeSummary(shards: DataFrame): DataFrame =
+    shards
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+        sum(col("s2")).as("s2"), min(col("mn")).as("min_v"),
+        max(col("mx")).as("max_v"))
+      .select(col("n"), col("s").as("sum_v"), col("min_v"), col("max_v"),
+        (col("s") / col("n")).as("mean_v"),
+        when(col("n") > 1L,
+          (col("s2") - col("s") * col("s") / col("n")) / (col("n") - 1L))
+          .as("var_v"))
+      .withColumn("std_v", sqrt(col("var_v")))
 
   /** Pairwise Pearson correlation matrix over lineitem measures, one row —
     * the notebook's `corr()` (cell 15). Pairs are flat columns so the

@@ -314,6 +314,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dedupKeepBest: highest-quality copy survives; ties break to lowest id; uniques untouched") {
+    // 30/31 are normalization-equal (punctuation-only difference) but the
+    // clean copy 31 scores higher (its stopwords match the stoplist, the
+    // punctuated tokens "the,"/"a." don't) — quality must beat crawl
+    // order, so the HIGHER id wins here. 50/51 are byte-identical (exact
+    // quality tie) → lowest id. 40 has no duplicate.
+    val fixture = Seq(
+      (30L, "the, a. of? good! words; here:", "en", "s", 30L),
+      (31L, "the a of good words here", "en", "s", 24L),
+      (40L, "solo unique document content", "en", "s", 28L),
+      (50L, "twin twin twin", "en", "s", 14L),
+      (51L, "twin twin twin", "en", "s", 14L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    def scored(df: org.apache.spark.sql.DataFrame) = df.join(
+      graft.ops.TextAnalysis.qualityScore(df).select($"doc_id", $"quality"),
+      Seq("doc_id"))
+    val kept = Similarity.dedupKeepBest(scored(fixture), "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(31L, 40L, 50L))
+    // partition-invariant
+    val kept2 = Similarity.dedupKeepBest(scored(fixture.repartition(5)), "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == kept)
+  }
+
   test("simhashNearDupMd5: pair list equals brute-force Hamming over md5 signatures") {
     // pigeonhole-exact recall at radius 3: the banded miner must produce
     // EXACTLY the pairs a brute-force popcount over all signature pairs

@@ -26,4 +26,37 @@ class StatsSpec extends SparkSpec {
     assert(got.length == 1)
     assert(got(0).getLong(0) == 0L && got(0).getLong(1) == 7L)
   }
+
+  test("summaryShards/mergeSummary: any shard split folds to the direct stats") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 5000).map(i => (i.toLong, rnd.nextDouble() * 1000.0))
+      .toDF("id", "v")
+    // direct single-pass reference via Spark's own aggregates
+    val ref = df.agg(count(lit(1)), sum($"v"), min($"v"), max($"v"),
+      avg($"v"), var_samp($"v"), stddev_samp($"v")).head()
+    // three very different shardings must all land on the same summary
+    for (shard <- Seq(pmod($"id", lit(7L)), pmod($"id", lit(113L)), lit(0L))) {
+      val m = Stats.mergeSummary(Stats.summaryShards(df, "v", shard)).head()
+      assert(m.getLong(0) == ref.getLong(0))
+      assert(math.abs(m.getDouble(1) - ref.getDouble(1)) < 1e-6)
+      assert(m.getDouble(2) == ref.getDouble(2)) // min exact
+      assert(m.getDouble(3) == ref.getDouble(3)) // max exact
+      assert(math.abs(m.getDouble(4) - ref.getDouble(4)) < 1e-9)
+      assert(math.abs(m.getDouble(5) - ref.getDouble(5)) < 1e-6)
+      assert(math.abs(m.getDouble(6) - ref.getDouble(6)) < 1e-9)
+    }
+    // the whole point: merging yesterday's state with today's batch
+    // equals recomputing over the union
+    val yesterday = Stats.summaryShards(df.filter($"id" < 3000L), "v", lit("y"))
+    val today = Stats.summaryShards(df.filter($"id" >= 3000L), "v", lit("t"))
+    val merged = Stats.mergeSummary(yesterday.unionByName(today)).head()
+    assert(merged.getLong(0) == ref.getLong(0))
+    assert(math.abs(merged.getDouble(5) - ref.getDouble(5)) < 1e-6)
+    // n = 1 shard: variance is null, not a division error
+    val one = Stats.mergeSummary(
+      Stats.summaryShards(df.limit(1), "v", lit(0L))).head()
+    assert(one.getLong(0) == 1L && one.isNullAt(5))
+  }
 }
