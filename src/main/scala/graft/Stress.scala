@@ -112,6 +112,13 @@ object Stress {
     // shuffle volume, which is why only (hash, count) ever aggregates.
     time(s"docs_dedup_spans")(ops.TextAnalysis.dedupSpans(docs))
     time(s"docs_curation_full")(ops.Pipeline.curationFull(docs))
+    // Unigram-LM scoring + KL drift at the same 500k docs: the token
+    // explode is ~20M rows, but the (doc, token) partial aggregate
+    // collapses repeats map-side and the vocabulary join carries only
+    // (doc_id, token, count) — the numbers to watch are the two-phase
+    // aggregate's shuffle volume and the skew AQE absorbs on head words.
+    time(s"docs_unigram_logprob")(ops.TextAnalysis.unigramLogProb(docs))
+    time(s"docs_kl_drift")(ops.TextAnalysis.klDrift(docs))
 
     // Embeddings-tier scale-up: 100k 64-dim float vectors (10× the sf0.1
     // embeddings table), 32 planted clusters (centroid + noise), built

@@ -335,7 +335,12 @@ object TextAnalysis {
     * real shuffle joins slice-token rows to the vocabulary on token.
     */
   def klDrift(documents: DataFrame, sliceCol: String = "source"): DataFrame = {
+    // explicit null filter BEFORE the aggregate: the totals join would
+    // add isnotnull(slice) to only one branch, making the three st
+    // consumers canonically different — with it up front they all ride
+    // ONE ReusedExchange and the corpus explodes exactly once
     val st = documents
+      .filter(col(sliceCol).isNotNull)
       .select(col(sliceCol), explode(toks).as("t"))
       .groupBy(col(sliceCol), col("t"))
       .agg(count(lit(1)).as("c"))

@@ -91,4 +91,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!readSchema.contains("n_chars") && !readSchema.contains("source"),
       readSchema)
   }
+
+  test("unigram_logprob / kl_drift: the corpus explodes ONCE — every other consumer rides ReusedExchange") {
+    // three consumers each (doc/slice side, vocabulary, totals) — without
+    // exchange reuse these are 2–3 redundant full-corpus token explodes
+    // at 100 TB. Reuse is a RUNTIME property: check the AQE-final plan.
+    for (name <- Seq("unigram_logprob", "kl_drift")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val executed = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert("Generate explode".r.findAllIn(executed).length == 1,
+        s"$name explodes the corpus more than once:\n$executed")
+      assert(executed.contains("ReusedExchange"), s"$name:\n$executed")
+    }
+  }
+
+  test("split_by_group: fold assignment is a pure map — only the rollup aggregate shuffles") {
+    val p = plan("split_by_group")
+    assert(!p.contains("Join"), p) // no lookup table, no shuffle to assign folds
+    // the two exchanges are the count-distinct aggregate pair, nothing more
+    assert(shuffles(p) <= 2, s"shuffles=${shuffles(p)}\n$p")
+  }
+
+  test("dedup_keep_best: payload branch never reads text; survivors via semi join") {
+    val p = plan("dedup_keep_best")
+    // payload discipline: the outer scan reads only the 4 output columns —
+    // text is read once, in the key/score branch
+    assert(p.contains(
+      "ReadSchema: struct<doc_id:bigint,lang:string,source:string,n_chars:bigint>"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
 }
