@@ -304,6 +304,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("o_custkey")).as("n_groups"))
     }),
+    // Source-balancing cap: at most 15 docs per source, best quality
+    // first (ties → lowest doc_id) — "no single domain dominates".
+    "cap_per_source" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val scored = docs.join(
+        TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality")),
+        Seq("doc_id"))
+      Sampling.capPerStratum(scored, "source", "quality", "doc_id", 15)
+        .select(col("doc_id"), col("source"), col("quality"))
+    }),
     // Weight-biased exactly-k draw (priority = hash-uniform / weight):
     // longer docs more likely selected, still hash-deterministic; the
     // oracle reproduces the exact selected set (single IEEE division —
@@ -1005,6 +1016,25 @@ object SparkEntry {
     "sample_exact" ->
       """SELECT doc_id, lang FROM documents
         |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 50""".stripMargin,
+    // Same quality formula, same (quality DESC, doc_id ASC) order.
+    "cap_per_source" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+        |      + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.5
+        |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality
+        |  FROM (SELECT doc_id,
+        |          CAST(len(w) AS INTEGER) AS n_tokens,
+        |          CAST(len(list_filter(w, x -> list_contains(
+        |            ['the','a','of','and','to','in','is','it'], x))) AS INTEGER) AS n_stop,
+        |          len(list_distinct(w)) AS n_uniq
+        |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)))
+        |SELECT doc_id, source, quality FROM (
+        |  SELECT d.doc_id, d.source, q.quality,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY q.quality DESC, d.doc_id ASC) AS rn
+        |  FROM documents d JOIN q USING (doc_id))
+        |WHERE rn <= 15""".stripMargin,
     // Fold thresholds are the SAME hex literals splitByGroup compares
     // against (exposed via Sampling.splitThresholds) — integer-exact
     // fold assignment, no float boundary to disagree on.

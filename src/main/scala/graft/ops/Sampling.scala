@@ -83,6 +83,26 @@ object Sampling {
                       testFrac: Double = 0.1): (String, String) =
     (hexThreshold(1.0 - valFrac - testFrac), hexThreshold(1.0 - testFrac))
 
+  /** Per-stratum cap, best first — the source-balancing curation step
+    * ("no single domain dominates the mix"): keep at most `k` rows per
+    * stratum, highest score first, exact ties to the lowest id. One
+    * shuffle on the stratum key; each window partition holds one
+    * stratum's rows, so the sort is bounded by the largest stratum — if
+    * one stratum is a large fraction of the corpus, cap it in two stages
+    * (hash-prefilter to ~k·oversample, then this exact pass) rather than
+    * sorting the giant partition.
+    */
+  def capPerStratum(df: DataFrame, stratumCol: String, scoreCol: String,
+                    idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** Exactly-k deterministic sample: the k smallest hash values — uniform
     * without replacement, reproducible, and planned as
     * TakeOrderedAndProject (per-partition heaps + driver merge of k, no

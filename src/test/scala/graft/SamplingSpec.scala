@@ -82,6 +82,27 @@ class SamplingSpec extends SparkSpec {
     assert(sel.contains(777L))
   }
 
+  test("capPerStratum: top-k by score per stratum, ties to lowest id, k beyond size keeps all") {
+    val df = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.8), (3L, "a", 0.8), (4L, "a", 0.1),
+      (5L, "b", 0.5)
+    ).toDF("doc_id", "source", "score")
+    val kept = Sampling.capPerStratum(df, "source", "score", "doc_id", 2)
+      .select("doc_id").as[Long].collect().toSet
+    // a: 0.9 wins, then the 0.8 tie goes to id 2 (not 3); b keeps its one
+    assert(kept == Set(1L, 2L, 5L))
+    // deterministic under repartitioning
+    val again = Sampling.capPerStratum(df.repartition(4), "source", "score",
+      "doc_id", 2).select("doc_id").as[Long].collect().toSet
+    assert(again == kept)
+    // k ≥ stratum size keeps everything
+    assert(Sampling.capPerStratum(df, "source", "score", "doc_id", 10)
+      .count() == 5L)
+    intercept[IllegalArgumentException] {
+      Sampling.capPerStratum(df, "source", "score", "doc_id", 0)
+    }
+  }
+
   test("splitByGroup: a group never straddles folds; fractions and determinism hold") {
     // 2000 groups × 5 rows each — every row of a group must share its fold
     val rows = (0 until 10000).map(i => (i.toLong, (i % 2000).toLong))
