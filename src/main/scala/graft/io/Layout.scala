@@ -94,8 +94,16 @@ object Layout {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val live = new Path(dir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(live)
+    val entries = fs.listStatus(live)
+    val dataFiles = entries
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    // a partitioned root has key=value subdirs and no data files of its
+    // own — flat-compacting it would rewrite the table WITHOUT its
+    // directory layout (partition values demoted to a data column)
+    require(dataFiles.nonEmpty ||
+      !entries.exists(e => e.isDirectory && e.getPath.getName.contains("=")),
+      s"$dir is a partitioned root — use compactPartitioned, which keeps " +
+        "the key=value directory layout")
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut =
       math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt

@@ -106,5 +106,11 @@ class LayoutSpec extends SparkSpec {
     val back = spark.read.parquet(root).as[(Long, String)].collect().toSet
     assert(back == (0 until 8000)
       .map(i => (i.toLong, if (i % 2 == 0) "2024-01" else "2024-02")).toSet)
+    // flat compact on a partitioned root is refused — it would demote the
+    // partition column into the files and destroy the directory layout
+    val e = intercept[IllegalArgumentException] {
+      Layout.compact(spark, root, Long.MaxValue)
+    }
+    assert(e.getMessage.contains("compactPartitioned"))
   }
 }
