@@ -382,6 +382,9 @@ object SparkEntry {
     // Per-language n-gram diversity (type-token ratio over md5 shingle
     // keys) — the repetitiveness metric behind per-language sampling.
     "ngram_diversity" -> ((s, d) => TextAnalysis.ngramDiversity(Tables.documents(s, d))),
+    // Context-window chunking: 32-token windows, 8-token overlap, natural
+    // tail — the embedding-pipeline preparation step. Pure flatMap.
+    "chunk_overlap" -> ((s, d) => TextAnalysis.chunkOverlap(Tables.documents(s, d), 32, 8)),
     // Unigram-LM perplexity proxy (CCNet-style): per-doc mean token
     // -log2 p under the corpus's own unigram distribution.
     "unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(Tables.documents(s, d))),
@@ -1158,6 +1161,17 @@ object SparkEntry {
         | count(*) AS n_shingles,
         | CAST(count(DISTINCT h) AS DOUBLE) / count(*) AS ttr
         |FROM sh GROUP BY 1""".stripMargin,
+    // Same start-offset arithmetic (stop at n − overlap, stride 24),
+    // same 1-based slice; chunk_idx = start/stride.
+    "chunk_overlap" ->
+      """SELECT doc_id, CAST(s / 24 AS INTEGER) AS chunk_idx,
+        | CAST(least(32, n - s) AS INTEGER) AS n_chunk_tokens,
+        | array_to_string(w[s + 1 : s + 32], ' ') AS chunk
+        |FROM (SELECT doc_id, w, len(w) AS n,
+        |        unnest(generate_series(0, greatest(len(w) - 8 - 1, 0), 24)) AS s
+        |      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |            FROM documents)
+        |      WHERE len(w) > 0)""".stripMargin,
     // Same (doc, token) count pipeline as the Spark side; −log2 p as
     // log2(N) − log2(cnt) so the per-term doubles match term-for-term.
     "unigram_logprob" ->

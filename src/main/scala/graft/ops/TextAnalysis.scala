@@ -357,6 +357,39 @@ object TextAnalysis {
         sum(q * log2(q / p)).as("kl_bits"))
   }
 
+  /** Fixed-width token chunking with overlap — the context-window
+    * preparation step of an embedding/retrieval pipeline: windows of
+    * `width` tokens advancing by `width − overlap`, the last window
+    * keeping its natural (shorter) tail. Start offsets stop once
+    * coverage reaches the end (`start < n − overlap`), so no chunk is
+    * fully contained in its predecessor.
+    *
+    * Scale shape: starts come from one codegen'd `sequence()` explode
+    * (chunk_idx = start/stride — no positional window needed), the
+    * slice+concat runs per output row, and nothing shuffles at all —
+    * chunking is a pure flatMap over document partitions; the output is
+    * `docs × chunks/doc` rows of bounded width.
+    */
+  def chunkOverlap(documents: DataFrame, width: Int, overlap: Int): DataFrame = {
+    require(width > 0 && overlap >= 0 && overlap < width,
+      s"need 0 <= overlap < width, got width=$width overlap=$overlap")
+    val stride = width - overlap
+    documents
+      .select(col("doc_id"), toks.as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(0),
+          greatest(col("n") - overlap - 1, lit(0)), lit(stride))).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_idx"),
+        least(lit(width), col("n") - col("start")).cast("int")
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("w"), col("start") + 1, lit(width)))
+          .as("chunk"))
+  }
+
   /** Per-language top-k vocabulary by document frequency — the corpus
     * top-terms staple. Two-level aggregate (token rows → per-(lang, t)
     * doc counts, map-side combined) then a per-lang top-k window over the

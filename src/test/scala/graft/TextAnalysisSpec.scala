@@ -102,6 +102,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.size == 2)
   }
 
+  test("chunkOverlap: hand-computed windows, natural tail, no fully-contained chunk") {
+    // doc 1: 10 tokens, width 8, overlap 4, stride 4 → starts 0, 4
+    //   (start 8 would add nothing: coverage stops at n - overlap = 6)
+    // doc 2: 3 tokens < width → one natural chunk
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (2L, "a b c")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkOverlap(docs, 8, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getString(3))))
+      .toMap
+    assert(out.size == 3)
+    assert(out((1L, 0)) == ((8, "t0 t1 t2 t3 t4 t5 t6 t7")))
+    assert(out((1L, 1)) == ((6, "t4 t5 t6 t7 t8 t9")))
+    assert(out((2L, 0)) == ((3, "a b c")))
+    // every token is covered by some chunk (no gaps at any length)
+    for (n <- 1 to 30) {
+      val doc = Seq((9L, (0 until n).map(i => s"x$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val chunks = TextAnalysis.chunkOverlap(doc, 8, 4).collect()
+        .map(_.getString(3)).flatMap(_.split(" ")).toSet
+      assert(chunks == (0 until n).map(i => s"x$i").toSet, s"n=$n")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkOverlap(docs, 8, 8)
+    }
+  }
+
   test("unigramLogProb: hand-computed bits against the corpus unigram distribution") {
     // corpus: a×2, b×2, c×1 → N=5; p(a)=p(b)=0.4, p(c)=0.2
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
