@@ -382,6 +382,9 @@ object SparkEntry {
     // Per-language n-gram diversity (type-token ratio over md5 shingle
     // keys) — the repetitiveness metric behind per-language sampling.
     "ngram_diversity" -> ((s, d) => TextAnalysis.ngramDiversity(Tables.documents(s, d))),
+    // Per-language distinctive terms (log-free keyness odds ratio —
+    // engine-exact, unlike log-weighted tf-idf): top-5 per language.
+    "distinctive_terms" -> ((s, d) => TextAnalysis.distinctiveTerms(Tables.documents(s, d))),
     // Context-window chunking: 32-token windows, 8-token overlap, natural
     // tail — the embedding-pipeline preparation step. Pure flatMap.
     "chunk_overlap" -> ((s, d) => TextAnalysis.chunkOverlap(Tables.documents(s, d), 32, 8)),
@@ -1161,6 +1164,28 @@ object SparkEntry {
         | count(*) AS n_shingles,
         | CAST(count(DISTINCT h) AS DOUBLE) / count(*) AS ttr
         |FROM sh GROUP BY 1""".stripMargin,
+    // Same integer counts, same three divisions in the same order; the
+    // (keyness DESC, t ASC) window matches bit-exact doubles.
+    "distinctive_terms" ->
+      """WITH lt AS (
+        |  SELECT lang, t, count(*) AS c
+        |  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents WHERE lang IS NOT NULL)
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT t, sum(c) AS ct FROM lt GROUP BY 1),
+        |nl AS (SELECT lang, sum(c) AS nl FROM lt GROUP BY 1),
+        |g AS (SELECT CAST(sum(ct) AS DOUBLE) AS n_all FROM tot)
+        |SELECT lang, CAST(rank AS INTEGER) AS rank, t, keyness FROM (
+        |  SELECT lt.lang, lt.t,
+        |    (CAST(c AS DOUBLE) / CAST(nl.nl AS DOUBLE))
+        |      / (CAST(ct - c + 1 AS DOUBLE) / (n_all - CAST(nl.nl AS DOUBLE) + 1))
+        |      AS keyness,
+        |    row_number() OVER (PARTITION BY lt.lang
+        |      ORDER BY (CAST(c AS DOUBLE) / CAST(nl.nl AS DOUBLE))
+        |        / (CAST(ct - c + 1 AS DOUBLE) / (n_all - CAST(nl.nl AS DOUBLE) + 1))
+        |        DESC, lt.t ASC) AS rank
+        |  FROM lt JOIN tot USING (t) JOIN nl USING (lang), g)
+        |WHERE rank <= 5""".stripMargin,
     // Same start-offset arithmetic (stop at n − overlap, stride 24),
     // same 1-based slice; chunk_idx = start/stride.
     "chunk_overlap" ->

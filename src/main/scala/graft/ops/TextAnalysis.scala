@@ -357,6 +357,46 @@ object TextAnalysis {
         sum(q * log2(q / p)).as("kl_bits"))
   }
 
+  /** Per-language distinctive terms — "what characterizes this slice":
+    * for each (lang, term), keyness = share of the term inside the
+    * language over its (add-one-smoothed) share in the REST of the
+    * corpus; top-k terms per language by (keyness DESC, term ASC). The
+    * tf-idf idea with a log-free odds-ratio score, so every number is a
+    * product/quotient of exact integer counts — cross-engine exact where
+    * `log`-weighted tf-idf is not.
+    *
+    * Scale shape is the [[klDrift]] template: one token explode into a
+    * (lang, term) hash aggregate; term totals and per-language totals
+    * re-aggregate THOSE rows (all three consumers ride one
+    * ReusedExchange — the explicit null filter keeps the subtrees
+    * canonically identical); the final top-k is a window over (lang,
+    * term) score rows, never over token rows.
+    */
+  def distinctiveTerms(documents: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lt = documents
+      .filter(col("lang").isNotNull)
+      .select(col("lang"), explode(toks).as("t"))
+      .groupBy(col("lang"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val tot = lt.groupBy(col("t")).agg(sum(col("c")).as("ct"))
+    val nl = lt.groupBy(col("lang")).agg(sum(col("c")).as("nl"))
+    val grand = tot.agg(sum(col("ct")).cast("double").as("n_all"))
+    val keyness =
+      (col("c").cast("double") / col("nl").cast("double")) /
+        ((col("ct") - col("c") + 1).cast("double") /
+          (col("n_all") - col("nl").cast("double") + 1))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("keyness").desc, col("t").asc)
+    lt.join(tot, Seq("t"))
+      .join(broadcast(nl), Seq("lang"))
+      .crossJoin(broadcast(grand))
+      .select(col("lang"), col("t"), keyness.as("keyness"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("t"), col("keyness"))
+  }
+
   /** Fixed-width token chunking with overlap — the context-window
     * preparation step of an embedding/retrieval pipeline: windows of
     * `width` tokens advancing by `width − overlap`, the last window

@@ -96,7 +96,7 @@ class PlanShapeSpec extends SparkSpec {
     // three consumers each (doc/slice side, vocabulary, totals) — without
     // exchange reuse these are 2–3 redundant full-corpus token explodes
     // at 100 TB. Reuse is a RUNTIME property: check the AQE-final plan.
-    for (name <- Seq("unigram_logprob", "kl_drift")) {
+    for (name <- Seq("unigram_logprob", "kl_drift", "distinctive_terms")) {
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect()
       val executed = df.queryExecution.executedPlan.toString

@@ -102,6 +102,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.size == 2)
   }
 
+  test("distinctiveTerms: hand-computed keyness; exclusive terms beat shared ones") {
+    // corpus: en = "apple apple banana" (nl=3), fr = "banana cherry"
+    // (nl=2), totals apple=2 banana=2 cherry=1, N=5
+    //   en apple:  (2/3) / ((2-2+1)/(5-3+1)) = (2/3)/(1/3) = 2.0
+    //   en banana: (1/3) / ((2-1+1)/3)       = 0.5
+    //   fr cherry: (1/2) / ((1-1+1)/4)       = 2.0
+    //   fr banana: (1/2) / ((2-1+1)/4)       = 1.0
+    val docs = Seq(
+      (1L, "apple apple banana", "en"),
+      (2L, "banana cherry", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.distinctiveTerms(docs, 2).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getString(2), r.getDouble(3))))
+      .toMap
+    assert(out(("en", 1)) == (("apple", 2.0)))
+    assert(out(("en", 2)) == (("banana", 0.5)))
+    assert(out(("fr", 1)) == (("cherry", 2.0)))
+    assert(out(("fr", 2)) == (("banana", 1.0)))
+    assert(out.size == 4)
+  }
+
   test("chunkOverlap: hand-computed windows, natural tail, no fully-contained chunk") {
     // doc 1: 10 tokens, width 8, overlap 4, stride 4 → starts 0, 4
     //   (start 8 would add nothing: coverage stops at n - overlap = 6)
