@@ -322,6 +322,32 @@ object SparkEntry {
     "sample_weighted" -> ((s, d) =>
       Sampling.weightedSampleExact(Tables.documents(s, d), "doc_id", "n_chars", 50)
         .select("doc_id", "lang", "n_chars", "priority")),
+    // Token-budget mixture sampling (the data-mixing weights step): fill
+    // each source's token budget with a deterministic hash-order prefix.
+    "mix_token_budget" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(lower(col("text")), " ")))
+      Sampling.budgetPerStratum(docs, "source", "doc_id", "n_tokens",
+        Map("src0" -> 1000L, "src1" -> 500L), 700L)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+    }),
+    // Deterministic shuffle-and-shard: the training-data writer's layout
+    // (shard = hash mod 8, 0-based stable position within the shard).
+    "shuffle_shard" -> ((s, d) =>
+      Sampling.shuffleShard(Tables.documents(s, d), "doc_id", 8)
+        .select("doc_id", "shard", "pos")),
+    // Proportional quality filter: top 30% per language by quality score
+    // (fixed-k caps over-prune big strata; the cut scales with n).
+    "quality_top_fraction" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val scored = docs.join(
+        TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality")),
+        Seq("doc_id"))
+      Sampling.topFractionPerStratum(scored, "lang", "quality", "doc_id", 0.3)
+        .select(col("doc_id"), col("lang"), col("quality"))
+    }),
     // LLM tier — concat-and-chunk sequence packing (sharded by hash
     // nibble; every doc's (shard, chunk, offset) assignment verified).
     "pack_chunks" -> ((s, d) => Packing.packDocs(Tables.documents(s, d), 512)),
@@ -1066,6 +1092,54 @@ object SparkEntry {
         |FROM documents
         |WHERE n_chars > 0
         |ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+    // Same hash order (md5 hex, then key), same rows-frame running sum,
+    // same per-source budget literals; cum <= budget cuts the identical
+    // prefix.
+    "mix_token_budget" ->
+      """SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM (SELECT doc_id, source,
+        |          CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens
+        |        FROM documents))
+        |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 1000
+        |                                WHEN 'src1' THEN 500 ELSE 700 END""".stripMargin,
+    // shard = uint32(md5 prefix) mod 8, pos = 0-based (hash, key) rank
+    // within the shard — both pure functions of doc_id, engine-exact.
+    "shuffle_shard" ->
+      """SELECT doc_id,
+        | CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |   AS BIGINT) % 8 AS INTEGER) AS shard,
+        | CAST(row_number() OVER (
+        |     PARTITION BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |       AS BIGINT) % 8
+        |     ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+        |   - 1 AS INTEGER) AS pos
+        |FROM documents""".stripMargin,
+    // Same quality formula as cap_per_source; the cut is integer rank vs
+    // ceil(n * 0.3) — one IEEE multiply, same boundary row both engines.
+    "quality_top_fraction" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+        |      + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.5
+        |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality
+        |  FROM (SELECT doc_id,
+        |          CAST(len(w) AS INTEGER) AS n_tokens,
+        |          CAST(len(list_filter(w, x -> list_contains(
+        |            ['the','a','of','and','to','in','is','it'], x))) AS INTEGER) AS n_stop,
+        |          len(list_distinct(w)) AS n_uniq
+        |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)))
+        |SELECT doc_id, lang, quality FROM (
+        |  SELECT d.doc_id, d.lang, q.quality,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY q.quality DESC, d.doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY d.lang) AS n
+        |  FROM documents d JOIN q USING (doc_id))
+        |WHERE rn <= ceil(CAST(n AS DOUBLE) * 0.3)""".stripMargin,
     // Identical bin expression (same ops, same order) — bin ids match
     // bit-for-bit; max value clamps into the last bin.
     "histogram_price" ->

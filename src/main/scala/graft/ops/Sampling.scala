@@ -134,4 +134,87 @@ object Sampling {
           .cast("double") / col(weightCol).cast("double"))
       .orderBy(col("priority").asc, col(keyCol).asc)
       .limit(k)
+
+  /** Token-budget mixture sampling — the data-MIXING step of a training
+    * corpus ("this much of each source"): per stratum, take docs in
+    * md5(key) order until the cumulative weight (token count) fills that
+    * stratum's budget. Because the running sum is monotone (weights must
+    * be non-negative), `cum <= budget` selects a deterministic PREFIX of
+    * the hash order — the same docs every run, partitioning, and engine,
+    * and adding documents to the corpus never evicts an already-selected
+    * one that still fits (hash-order stability).
+    *
+    * Scale shape: one shuffle on the stratum key; the running sum is a
+    * rows-frame window bounded by the largest stratum. The output carries
+    * `cum_tokens` so the budget arithmetic itself is part of the oracle
+    * contract, not just the selected set.
+    */
+  def budgetPerStratum(df: DataFrame, stratumCol: String, keyCol: String,
+                       weightCol: String, budgets: Map[String, Long],
+                       defaultBudget: Long = 0L): DataFrame = {
+    require(budgets.values.forall(_ >= 0L) && defaultBudget >= 0L,
+      "budgets must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (stratum, b)) =>
+        when(col(stratumCol) === stratum, lit(b)).otherwise(acc)
+    }
+    df.filter(col(weightCol) >= 0) // a negative weight would break the prefix
+      .withColumn("cum_tokens", sum(col(weightCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Deterministic shuffle-and-shard — the training-data WRITER's layout:
+    * a global hash shuffle of the corpus into `nShards` shards with a
+    * stable position inside each shard, so every run (and every engine)
+    * writes byte-identical training order. shard = uint32(md5 prefix) mod
+    * nShards; pos = 0-based rank by (hash, key) within the shard.
+    *
+    * Scale shape: the shard id is a pure codegen'd map; the only shuffle
+    * is the per-shard window, and each sort is bounded by ~N/nShards rows
+    * — pick nShards ≥ executor count and no single task sees more than
+    * one shard's slice. No global total order is ever materialized.
+    */
+  def shuffleShard(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val hashed = df
+      .withColumn("_h", substring(md5(col(keyCol).cast("string")), 1, 8))
+      .withColumn("shard",
+        (conv(col("_h"), 16, 10).cast("long") % nShards).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(keyCol))
+    hashed
+      .withColumn("pos", (row_number().over(w) - 1).cast("int"))
+      .drop("_h")
+  }
+
+  /** Proportional quality filter — keep the top `fraction` of each
+    * stratum by score (ties to the lowest id): the "top 30% per
+    * language" curation knob, where [[capPerStratum]]'s fixed k would
+    * over-prune big strata and under-prune small ones. The cut is
+    * `rank <= ceil(n_stratum * fraction)` — integer rank against one
+    * IEEE multiply, so every engine draws the line on the same row.
+    *
+    * Scale shape: one shuffle on the stratum key; rank and the stratum
+    * count ride the SAME window partition (no second aggregate-and-join
+    * pass over the corpus). Sort bounded by the largest stratum — same
+    * giant-stratum guidance as [[capPerStratum]].
+    */
+  def topFractionPerStratum(df: DataFrame, stratumCol: String,
+                            scoreCol: String, idCol: String,
+                            fraction: Double): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction $fraction outside (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val byScore = Window.partitionBy(col(stratumCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val whole = Window.partitionBy(col(stratumCol))
+    df.withColumn("_rn", row_number().over(byScore))
+      .withColumn("_n", count(lit(1)).over(whole))
+      .filter(col("_rn") <= ceil(col("_n") * lit(fraction)))
+      .drop("_rn", "_n")
+  }
 }

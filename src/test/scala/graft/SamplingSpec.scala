@@ -103,6 +103,90 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("budgetPerStratum: hash-order prefix per stratum until the budget fills") {
+    // Scala reimplementation of the selection: per stratum, docs in
+    // (md5 hex, id) order, keep while the running weight stays <= budget
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(id: Long) = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val weighted = corpus.withColumn("w", ($"doc_id" % 50 + 1).cast("int"))
+    val budgets = Map("en" -> 500L, "de" -> 200L)
+    val got = Sampling.budgetPerStratum(weighted, "lang", "doc_id", "w",
+        budgets, defaultBudget = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    val manual = (0 until 10000).map(_.toLong).groupBy { id =>
+      if (id % 10 < 6) "en" else if (id % 10 < 9) "de" else "fr"
+    }.flatMap { case (lang, ids) =>
+      val budget = budgets.getOrElse(lang, 100L)
+      var cum = 0L
+      ids.sortBy(id => (hex(id), id)).takeWhile { id =>
+        cum += id % 50 + 1; cum <= budget
+      }
+    }.toSet
+    assert(got == manual && got.nonEmpty)
+    // deterministic under repartitioning; selection is a prefix: growing
+    // the corpus never evicts a selected doc that still fits
+    val again = Sampling.budgetPerStratum(weighted.repartition(11), "lang",
+        "doc_id", "w", budgets, 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == got)
+    // zero budget (the default here) selects nothing from unknown strata
+    assert(Sampling.budgetPerStratum(weighted, "lang", "doc_id", "w",
+      Map("en" -> 500L)).filter($"lang" =!= "en").count() == 0L)
+    intercept[IllegalArgumentException] {
+      Sampling.budgetPerStratum(weighted, "lang", "doc_id", "w",
+        Map("en" -> -1L))
+    }
+  }
+
+  test("shuffleShard: stable shard/pos layout, dense 0-based positions") {
+    val out = Sampling.shuffleShard(corpus, "doc_id", 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(out.length == 10000)
+    // shard is the uint32 md5 prefix mod 8
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(id: Long) = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    out.foreach { case (id, shard, _) =>
+      assert(shard == (java.lang.Long.parseLong(hex(id), 16) % 8).toInt)
+    }
+    // positions within each shard are dense 0..n-1 in (hash, id) order
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0 until rows.length))
+      val byPos = rows.sortBy(_._3).map(_._1).toSeq
+      assert(byPos == rows.map(_._1).sortBy(id => (hex(id), id)).toSeq)
+    }
+    // deterministic under repartitioning
+    val again = Sampling.shuffleShard(corpus.repartition(7), "doc_id", 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(again.toSet == out.toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.shuffleShard(corpus, "doc_id", 0)
+    }
+  }
+
+  test("topFractionPerStratum: ceil(n*f) best rows per stratum, ties to lowest id") {
+    // stratum a: 5 rows, f=0.3 → ceil(1.5)=2 kept; b: 1 row → ceil(0.3)=1
+    val df = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.8), (3L, "a", 0.8), (4L, "a", 0.1),
+      (5L, "a", 0.05), (6L, "b", 0.5)
+    ).toDF("doc_id", "lang", "score")
+    val kept = Sampling.topFractionPerStratum(df, "lang", "score", "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    // a keeps 0.9 and the 0.8 tie at lowest id (2); b keeps its only row
+    assert(kept == Set(1L, 2L, 6L))
+    // f=1.0 keeps everything; fraction bounds enforced
+    assert(Sampling.topFractionPerStratum(df, "lang", "score", "doc_id", 1.0)
+      .count() == 6L)
+    intercept[IllegalArgumentException] {
+      Sampling.topFractionPerStratum(df, "lang", "score", "doc_id", 0.0)
+    }
+    // deterministic under repartitioning
+    val again = Sampling.topFractionPerStratum(df.repartition(5), "lang",
+      "score", "doc_id", 0.3).select("doc_id").as[Long].collect().toSet
+    assert(again == kept)
+  }
+
   test("splitByGroup: a group never straddles folds; fractions and determinism hold") {
     // 2000 groups × 5 rows each — every row of a group must share its fold
     val rows = (0 until 10000).map(i => (i.toLong, (i % 2000).toLong))
