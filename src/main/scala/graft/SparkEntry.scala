@@ -147,6 +147,18 @@ object SparkEntry {
     "exact_quantiles" -> ((s, d) => Stats.exactPercentilesScale(
       li(s, d), "l_extendedprice",
       Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))),
+    // Winsorization: clamp prices into their exact [p05, p95] band —
+    // outlier capping off the scale-safe range-sort quantile path.
+    "winsorize_price" -> ((s, d) =>
+      Stats.winsorize(li(s, d), "l_extendedprice", 0.05, 0.95)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice",
+          "q_lo", "q_hi", "winsorized")),
+    // Robust scaling: (v − median) / IQR — the outlier-insensitive
+    // sibling of minmax_scale (quartiles don't move with one wild value).
+    "robust_scale" -> ((s, d) =>
+      Stats.robustScale(li(s, d), "l_extendedprice")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice",
+          "med", "iqr", "scaled")),
     // A5: pairwise Pearson correlation matrix.
     "corr_matrix" -> ((s, d) => Stats.corrMatrix(li(s, d))),
     // Grouping sets: rollup subtotals + grand total.
@@ -757,6 +769,25 @@ object SparkEntry {
         | quantile_cont(l_extendedprice, 0.90) AS p90,
         | quantile_cont(l_extendedprice, 0.99) AS p99
         |FROM lineitem""".stripMargin,
+    // quantile_cont interpolates exactly like the range-sort path (the
+    // exact_quantiles precedent); clamp = same least(greatest(...)).
+    "winsorize_price" ->
+      """WITH q AS (SELECT quantile_cont(l_extendedprice, 0.05) AS q_lo,
+        |                  quantile_cont(l_extendedprice, 0.95) AS q_hi
+        |            FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice, q_lo, q_hi,
+        | least(greatest(l_extendedprice, q_lo), q_hi) AS winsorized
+        |FROM lineitem, q""".stripMargin,
+    // Same med and single p75−p25 subtraction, same guarded division.
+    "robust_scale" ->
+      """WITH q AS (SELECT quantile_cont(l_extendedprice, 0.5) AS med,
+        |   quantile_cont(l_extendedprice, 0.75)
+        |     - quantile_cont(l_extendedprice, 0.25) AS iqr
+        | FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice, med, iqr,
+        | CASE WHEN iqr = 0 THEN 0.0
+        |      ELSE (l_extendedprice - med) / iqr END AS scaled
+        |FROM lineitem, q""".stripMargin,
     "corr_matrix" ->
       """SELECT
         | corr(l_quantity, l_extendedprice) AS corr_qty_price,

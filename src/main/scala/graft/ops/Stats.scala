@@ -104,6 +104,46 @@ object Stats {
           }))
   }
 
+  /** Winsorization — clamp a numeric column into its own exact
+    * [lo, hi] quantile band, the outlier-capping preprocessing step that
+    * keeps heavy tails from dominating scalers and losses. The bounds
+    * come from [[exactPercentilesScale]] (range-sort percentiles — no
+    * value→count memory bomb at scale) and ride a broadcast 1-row cross
+    * join into a pure codegen `least(greatest(...))` projection — the
+    * same broadcast-bounds template as [[histogram]]. Nulls stay null
+    * (Spark's `greatest` would otherwise swallow them). The bound
+    * columns are exported so the clamp arithmetic itself is oracled.
+    */
+  def winsorize(df: DataFrame, valueCol: String,
+                lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0.0 && lo < hi && hi <= 1.0,
+      s"need 0 <= lo < hi <= 1, got lo=$lo hi=$hi")
+    val bounds = exactPercentilesScale(df, valueCol,
+      Seq("q_lo" -> lo, "q_hi" -> hi)).select("q_lo", "q_hi")
+    df.crossJoin(broadcast(bounds))
+      .withColumn("winsorized",
+        when(col(valueCol).isNotNull,
+          least(greatest(col(valueCol).cast("double"), col("q_lo")),
+            col("q_hi"))))
+  }
+
+  /** Robust scaling — (v − median) / IQR, the outlier-insensitive
+    * sibling of min-max scaling (a single wild value shifts min/max but
+    * not the quartiles). Same scale shape as [[winsorize]]: exact
+    * quartiles from the range-sort path, one broadcast 1-row cross join,
+    * codegen projection; a degenerate IQR of 0 (over half the values
+    * identical) scales to 0.0 rather than dividing by zero.
+    */
+  def robustScale(df: DataFrame, valueCol: String): DataFrame = {
+    val q = exactPercentilesScale(df, valueCol,
+        Seq("p25" -> 0.25, "med" -> 0.5, "p75" -> 0.75))
+      .select(col("med"), (col("p75") - col("p25")).as("iqr"))
+    df.crossJoin(broadcast(q))
+      .withColumn("scaled",
+        when(col("iqr") === 0.0, lit(0.0))
+          .otherwise((col(valueCol).cast("double") - col("med")) / col("iqr")))
+  }
+
   /** Hierarchical rollup over returnflag/linestatus — subtotals + grand
     * total in one pass (grouping-sets surface, SURVEY §7.5).
     */

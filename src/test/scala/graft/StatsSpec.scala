@@ -59,4 +59,30 @@ class StatsSpec extends SparkSpec {
       Stats.summaryShards(df.limit(1), "v", lit(0L))).head()
     assert(one.getLong(0) == 1L && one.isNullAt(5))
   }
+
+  test("winsorize: hand-computed clamp at exact quantiles; nulls stay null") {
+    // values 0..10: p25 = 2.5, p75 = 7.5 → 0,1,2 clamp up; 8,9,10 clamp down
+    val df = ((0 to 10).map(i => Some(i.toDouble)) :+ None)
+      .toDF("v")
+    val out = Stats.winsorize(df, "v", 0.25, 0.75)
+      .select("v", "winsorized").collect()
+      .map(r => Option(r.get(0)) -> Option(r.get(1))).toMap
+    assert(out(Some(0.0)) == Some(2.5) && out(Some(2.0)) == Some(2.5))
+    assert(out(Some(5.0)) == Some(5.0))
+    assert(out(Some(9.0)) == Some(7.5) && out(Some(10.0)) == Some(7.5))
+    assert(out(None).isEmpty) // greatest() must not swallow the null
+    intercept[IllegalArgumentException] { Stats.winsorize(df, "v", 0.9, 0.1) }
+  }
+
+  test("robustScale: (v - median)/IQR hand-computed; constant column scales to 0") {
+    // 1,2,3,4,5: med = 3, IQR = 4 - 2 = 2 → scaled = -1, -0.5, 0, 0.5, 1
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("v")
+    val out = Stats.robustScale(df, "v").select("v", "scaled").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1.0 -> -1.0, 2.0 -> -0.5, 3.0 -> 0.0, 4.0 -> 0.5, 5.0 -> 1.0))
+    // degenerate: all values equal → IQR 0 → scaled 0.0, no ANSI div-by-zero
+    val const = Seq(7.0, 7.0, 7.0).toDF("v")
+    assert(Stats.robustScale(const, "v").select("scaled")
+      .as[Double].collect().toSeq == Seq(0.0, 0.0, 0.0))
+  }
 }
