@@ -79,6 +79,9 @@ object Stress {
     time("pctl_highcard_rangesort")(
       ops.Stats.exactPercentilesScale(highCard, "v",
         Seq("p50" -> 0.5, "p99" -> 0.99)))
+    // Winsorization at full volume: the cost IS the quantile pass above
+    // plus one codegen clamp scan — confirms the clamp adds ~nothing.
+    time("winsorize_highcard")(ops.Stats.winsorize(highCard, "v", 0.05, 0.95))
 
     // Text-tier scale-up: 500k synthetic docs (100× the sf0.1 documents
     // table), ~40 tokens each from a 10k-word vocabulary, with every
@@ -119,6 +122,14 @@ object Stress {
     // aggregate's shuffle volume and the skew AQE absorbs on head words.
     time(s"docs_unigram_logprob")(ops.TextAnalysis.unigramLogProb(docs))
     time(s"docs_kl_drift")(ops.TextAnalysis.klDrift(docs))
+    // Writer-layout + mixing at 500k docs: shuffle-shard's only shuffle
+    // is the per-shard window (32 shards → ~docRows/32 rows per sort);
+    // the token-budget prefix is one running-sum window per source
+    // (7 sources here — the giant-stratum case by construction).
+    time(s"docs_shuffle_shard")(ops.Sampling.shuffleShard(docs, "doc_id", 32))
+    time(s"docs_mix_budget")(ops.Sampling.budgetPerStratum(
+      docs.withColumn("n_tokens", size(split(col("text"), " "))),
+      "source", "doc_id", "n_tokens", Map.empty[String, Long], 1000000L))
 
     // Embeddings-tier scale-up: 100k 64-dim float vectors (10× the sf0.1
     // embeddings table), 32 planted clusters (centroid + noise), built

@@ -122,4 +122,23 @@ class PlanShapeSpec extends SparkSpec {
       "ReadSchema: struct<doc_id:bigint,lang:string,source:string,n_chars:bigint>"), p)
     assert(p.contains("LeftSemi"), p)
   }
+
+  test("winsorize / robust_scale: 1-row bounds broadcast — the corpus never reshuffles for the clamp") {
+    for (q <- Seq("winsorize_price", "robust_scale")) {
+      val p = plan(q)
+      // the quantile row arrives by broadcast; a hash/range exchange here
+      // would mean the full fact table shuffles just to apply the bounds
+      assert(p.contains("Broadcast"), s"$q:\n$p")
+      assert(shuffles(p) == 0, s"$q shuffles=${shuffles(p)}\n$p")
+    }
+  }
+
+  test("shuffle_shard / mix_token_budget: exactly one shuffle — the per-stratum window") {
+    for (q <- Seq("shuffle_shard", "mix_token_budget")) {
+      val p = plan(q)
+      assert(shuffles(p) == 1, s"$q shuffles=${shuffles(p)}\n$p")
+      // the window must be stratum-partitioned, never a global sort
+      assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
+    }
+  }
 }
