@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.agg.CumProd
+import graft.agg.{CumProd, Ewma}
 
 /** The notebook analytics surface: rolling statistics, returns, equity
   * curves, scaling, forecast metrics, ordered splits.
@@ -121,6 +121,20 @@ object Rolling {
       .withColumn("equity", CumProd.product(col("factor")).over(wGrow))
       .select(col("event_id"), col("event_type"), col("value"),
         col("factor"), col("equity"))
+  }
+
+  /** Exponentially-weighted mean per series — pandas `ewm(alpha).mean()`
+    * (the default adjust=True form). The order-dependent recursion rides
+    * [[graft.agg.EwmaAgg]]'s associative (num, den, decay) affine buffer
+    * over the growing per-symbol frame — the same evaluation shape as
+    * [[cumprodEquity]]: one state update per row, no re-scan, and no
+    * `pow(1−α, −t)` overflow closed form.
+    */
+  def ewma(events: DataFrame, alpha: Double): DataFrame = {
+    val wGrow = byTypeTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("ema", Ewma.ewma(col("value"), alpha).over(wGrow))
+      .select(col("event_id"), col("event_type"), col("value"), col("ema"))
   }
 
   /** [[cumprodEquity]] for the deep-single-symbol regime: identical

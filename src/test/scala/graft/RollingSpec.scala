@@ -117,6 +117,46 @@ class RollingSpec extends SparkSpec {
     assert(scaled.forall(_ == 0.0))
   }
 
+  test("ewma: pandas ewm(adjust=True) parity; nulls carry forward; merge is order-faithful") {
+    // sequential reimplementation: num_t = k·num + v, den_t = k·den + 1
+    def seq(vs: Seq[Double], alpha: Double): Seq[Double] = {
+      val k = 1.0 - alpha
+      var (num, den) = (0.0, 0.0)
+      vs.map { v => num = k * num + v; den = k * den + 1.0; num / den }
+    }
+    val expect = seq(prices, 0.5)
+    // alpha=0.5 on 10000, 10050: e1 = 10000, e2 = (0.5·10000+10050)/1.5
+    assert(approx(expect(0), 10000.0))
+    assert(approx(expect(1), (0.5 * 10000.0 + 10050.0) / 1.5))
+    val out = Rolling.ewma(events, 0.5).orderBy("event_id")
+      .select("ema").as[Double].collect()
+    assert(out.length == 5)
+    out.zip(expect).foreach { case (got, want) => assert(approx(got, want)) }
+    // null skip: EMA carries the pre-null state forward (pandas skips)
+    val withNull = Seq(
+      (0L, new Timestamp(1704067200000L), "btc", Some(10.0)),
+      (1L, new Timestamp(1704067201000L), "btc", None: Option[Double]),
+      (2L, new Timestamp(1704067202000L), "btc", Some(20.0))
+    ).toDF("event_id", "ts", "event_type", "value")
+    val n = Rolling.ewma(withNull, 0.5).orderBy("event_id")
+      .select("ema").as[Double].collect()
+    assert(approx(n(0), 10.0) && approx(n(1), 10.0))
+    assert(approx(n(2), (0.5 * 10.0 + 20.0) / 1.5))
+    // the affine buffer is lawful: any split point merges to the
+    // sequential answer (the property that makes grouped partials safe)
+    val agg = new graft.agg.EwmaAgg(0.3)
+    val vals = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0).map(Double.box)
+    val whole = vals.foldLeft(agg.zero)(agg.reduce)
+    for (cut <- 0 to vals.length) {
+      val (l, r) = vals.splitAt(cut)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(math.abs(agg.finish(merged) - agg.finish(whole)) < 1e-12,
+        s"cut=$cut")
+    }
+    intercept[IllegalArgumentException] { new graft.agg.EwmaAgg(0.0) }
+  }
+
   test("CumProd aggregator: exact for zeros/negatives, skips nulls") {
     val vals = Seq(Some(2.0), Some(-3.0), None, Some(0.5)).toDF("x")
     val p = vals.agg(CumProd.product(col("x"))).as[Double].head()
