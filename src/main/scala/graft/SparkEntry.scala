@@ -111,6 +111,9 @@ object SparkEntry {
     // Exponentially-weighted mean (pandas ewm default): the order-
     // dependent recursion as an associative (num, den, decay) Aggregator.
     "ewma_price" -> ((s, d) => Rolling.ewma(ev(s, d), 0.1)),
+    // Deep-series EMA: chunked two-pass (within-chunk state + merged
+    // cross-chunk carry), no unbounded per-symbol window. Same oracle.
+    "ewma_price_chunked" -> ((s, d) => Rolling.ewmaChunked(ev(s, d), 0.1)),
     // P8+W3-W7: MA-crossover backtest as one composed query.
     "ma_crossover" -> ((s, d) => Rolling.maCrossoverBacktest(Resample.ohlcHourly(ev(s, d)))),
     // A6/J1: min-max scaling via broadcast grouped-stats join.
@@ -599,6 +602,44 @@ object SparkEntry {
          |      * CAST(floor(CAST(embedding[d] AS DOUBLE) * 1048576) AS BIGINT))) >= 0
          | THEN ${1L << p} ELSE 0 END""".stripMargin
     }.mkString("(", "\n + ", ")")
+    // EMA oracle, chunk-carry form (serves ewma_price and its chunked
+    // twin — one 500-row-block decomposition, bounded exponents, a
+    // ~40-iteration block-level recursion for the cross-block carry).
+    val ewmaOracle =
+      """WITH RECURSIVE base AS (
+        |  SELECT event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS rn
+        |  FROM events),
+        |rws AS (
+        |  SELECT *, CAST(floor(rn / 500) AS INTEGER) AS blk, rn % 500 AS o
+        |  FROM base),
+        |pre AS (
+        |  SELECT *,
+        |    sum(pow(1.0/0.9, o) * value) OVER wb AS pnum,
+        |    sum(pow(1.0/0.9, o))         OVER wb AS pden
+        |  FROM rws
+        |  WINDOW wb AS (PARTITION BY event_type, blk ORDER BY o
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |blocks AS (
+        |  SELECT event_type, blk,
+        |    sum(pow(0.9, 499 - o) * value) AS wnum,
+        |    sum(pow(0.9, 499 - o))         AS wden
+        |  FROM rws GROUP BY 1, 2),
+        |carry AS (
+        |  SELECT event_type, blk, wnum AS rnum, wden AS rden
+        |  FROM blocks WHERE blk = 0
+        |  UNION ALL
+        |  SELECT b.event_type, b.blk,
+        |    pow(0.9, 500) * c.rnum + b.wnum,
+        |    pow(0.9, 500) * c.rden + b.wden
+        |  FROM blocks b JOIN carry c
+        |    ON b.event_type = c.event_type AND b.blk = c.blk + 1)
+        |SELECT p.event_id, p.event_type, p.value,
+        |  (pow(0.9, p.o + 1) * coalesce(c.rnum, 0) + pow(0.9, p.o) * p.pnum)
+        |  / (pow(0.9, p.o + 1) * coalesce(c.rden, 0) + pow(0.9, p.o) * p.pden)
+        |    AS ema
+        |FROM pre p LEFT JOIN carry c
+        |  ON p.event_type = c.event_type AND c.blk = p.blk - 1""".stripMargin
     // Shared hourly close-bar CTE (the ma_* family's input series and the
     // range join's window derivation; the as-of oracles key their bars
     // differently — bucket_end / negated bstart — and stay inline).
@@ -668,41 +709,10 @@ object SparkEntry {
     // k^o·prefix_t) / (same with v=1). Float divergence from the exact
     // recursion is ~1e-15, inside the compare tolerance (the cumprod
     // precedent).
-    "ewma_price" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT event_id, event_type, value,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS rn
-        |  FROM events),
-        |rws AS (
-        |  SELECT *, CAST(floor(rn / 500) AS INTEGER) AS blk, rn % 500 AS o
-        |  FROM base),
-        |pre AS (
-        |  SELECT *,
-        |    sum(pow(1.0/0.9, o) * value) OVER wb AS pnum,
-        |    sum(pow(1.0/0.9, o))         OVER wb AS pden
-        |  FROM rws
-        |  WINDOW wb AS (PARTITION BY event_type, blk ORDER BY o
-        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |blocks AS (
-        |  SELECT event_type, blk,
-        |    sum(pow(0.9, 499 - o) * value) AS wnum,
-        |    sum(pow(0.9, 499 - o))         AS wden
-        |  FROM rws GROUP BY 1, 2),
-        |carry AS (
-        |  SELECT event_type, blk, wnum AS rnum, wden AS rden
-        |  FROM blocks WHERE blk = 0
-        |  UNION ALL
-        |  SELECT b.event_type, b.blk,
-        |    pow(0.9, 500) * c.rnum + b.wnum,
-        |    pow(0.9, 500) * c.rden + b.wden
-        |  FROM blocks b JOIN carry c
-        |    ON b.event_type = c.event_type AND b.blk = c.blk + 1)
-        |SELECT p.event_id, p.event_type, p.value,
-        |  (pow(0.9, p.o + 1) * coalesce(c.rnum, 0) + pow(0.9, p.o) * p.pnum)
-        |  / (pow(0.9, p.o + 1) * coalesce(c.rden, 0) + pow(0.9, p.o) * p.pden)
-        |    AS ema
-        |FROM pre p LEFT JOIN carry c
-        |  ON p.event_type = c.event_type AND c.blk = p.blk - 1""".stripMargin,
+    "ewma_price" -> ewmaOracle,
+    // The chunked twin computes the SAME series (parity spec pins it);
+    // one oracle serves both registrations.
+    "ewma_price_chunked" -> ewmaOracle,
     "ma_crossover" -> (hourlyClose + ",\n" +
       """m AS (
         |  SELECT bucket, event_type, close,

@@ -40,6 +40,48 @@ class EwmaAgg(alpha: Double) extends Aggregator[java.lang.Double, (Double, Doubl
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 
+/** [[EwmaAgg]] with the raw (num, den, decay) buffer as the OUTPUT — the
+  * chunked twin needs the components (to merge a cross-chunk carry into
+  * each row's within-chunk state), not the finished ratio.
+  */
+class EwmaStateAgg(alpha: Double) extends Aggregator[java.lang.Double, (Double, Double, Double), (Double, Double, Double)] {
+  private val inner = new EwmaAgg(alpha)
+  override def zero: (Double, Double, Double) = inner.zero
+  override def reduce(b: (Double, Double, Double),
+                      a: java.lang.Double): (Double, Double, Double) =
+    inner.reduce(b, a)
+  override def merge(l: (Double, Double, Double),
+                     r: (Double, Double, Double)): (Double, Double, Double) =
+    inner.merge(l, r)
+  override def finish(s: (Double, Double, Double)): (Double, Double, Double) = s
+  override def bufferEncoder: Encoder[(Double, Double, Double)] =
+    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble,
+      Encoders.scalaDouble)
+  override def outputEncoder: Encoder[(Double, Double, Double)] =
+    bufferEncoder
+}
+
+/** Order-faithful running merge of EMA states — the cross-chunk prefix
+  * aggregate of the chunked twin (reduce IS [[EwmaAgg]]'s merge). Over an
+  * empty exclusive frame it yields the identity map (0, 0, 1): "no prior
+  * chunks".
+  */
+object EwmaMergeAgg extends Aggregator[(Double, Double, Double), (Double, Double, Double), (Double, Double, Double)] {
+  override def zero: (Double, Double, Double) = (0.0, 0.0, 1.0)
+  override def reduce(b: (Double, Double, Double),
+                      a: (Double, Double, Double)): (Double, Double, Double) =
+    (a._3 * b._1 + a._1, a._3 * b._2 + a._2, a._3 * b._3)
+  override def merge(l: (Double, Double, Double),
+                     r: (Double, Double, Double)): (Double, Double, Double) =
+    reduce(l, r)
+  override def finish(s: (Double, Double, Double)): (Double, Double, Double) = s
+  override def bufferEncoder: Encoder[(Double, Double, Double)] =
+    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble,
+      Encoders.scalaDouble)
+  override def outputEncoder: Encoder[(Double, Double, Double)] =
+    bufferEncoder
+}
+
 object Ewma {
   /** `ewma(c)` as a Column (windowed over a growing frame for the
     * per-row series, or grouped — then the result is the series-final
@@ -47,4 +89,16 @@ object Ewma {
     */
   def ewma(c: Column, alpha: Double): Column =
     udaf(new EwmaAgg(alpha), Encoders.DOUBLE)(c)
+
+  /** Running (num, den, decay) state as a struct column. */
+  def state(c: Column, alpha: Double): Column =
+    udaf(new EwmaStateAgg(alpha), Encoders.DOUBLE)(c)
+
+  /** Running order-faithful merge of (num, den, decay) states — call
+    * with the three component columns.
+    */
+  def mergeStates(num: Column, den: Column, decay: Column): Column =
+    udaf(EwmaMergeAgg,
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble,
+        Encoders.scalaDouble))(num, den, decay)
 }

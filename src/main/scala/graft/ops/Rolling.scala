@@ -137,6 +137,51 @@ object Rolling {
       .select(col("event_id"), col("event_type"), col("value"), col("ema"))
   }
 
+  /** [[ewma]] for the deep-single-symbol regime: identical output, but
+    * NO unbounded per-symbol window — the [[cumprodEquityChunked]]
+    * factoring applied to the EMA's affine state:
+    *
+    *   1. within-chunk running (num, den, decay) state over a
+    *      `(event_type, chunk)` window — sort + state bounded by chunk
+    *      span, parallel across chunks of the SAME symbol;
+    *   2. a per-chunk state summary (the chunk-final state via `max_by`,
+    *      one row per chunk);
+    *   3. an exclusive order-faithful state merge over the summary table
+    *      ([[graft.agg.EwmaMergeAgg]]) — the only per-symbol sequential
+    *      step, sized #chunks not #rows;
+    *   4. a broadcast join back; per row,
+    *      ema = merge(carry, within) = (A_w·num_c + num_w) /
+    *      (A_w·den_c + den_w).
+    *
+    * Results match [[ewma]] up to float re-association (parity spec pins
+    * ≤ 1e-12 relative).
+    */
+  def ewmaChunked(events: DataFrame, alpha: Double,
+                  chunkMicros: Long = 3600L * 1000000L): DataFrame = {
+    val wChunk = Window.partitionBy(col("event_type"), col("chunk"))
+      .orderBy(col("ts"), col("event_id"))
+    val wChunkGrow = wChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bySymbolChunk = Window.partitionBy(col("event_type")).orderBy(col("chunk"))
+    val ord = struct(col("ts"), col("event_id"))
+    val pass1 = events
+      .withColumn("chunk", floor(unix_micros(col("ts")) / lit(chunkMicros)))
+      .withColumn("st", Ewma.state(col("value"), alpha).over(wChunkGrow))
+    val prefixes = pass1.groupBy(col("event_type"), col("chunk"))
+      .agg(max_by(col("st"), ord).as("total"))
+      .withColumn("carry", Ewma.mergeStates(
+        col("total._1"), col("total._2"), col("total._3")).over(
+          bySymbolChunk.rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("event_type"), col("chunk"),
+        // first chunk: empty exclusive frame → NULL carry → identity map
+        coalesce(col("carry._1"), lit(0.0)).as("cnum"),
+        coalesce(col("carry._2"), lit(0.0)).as("cden"))
+    pass1
+      .join(broadcast(prefixes), Seq("event_type", "chunk"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        ((col("st._3") * col("cnum") + col("st._1"))
+          / (col("st._3") * col("cden") + col("st._2"))).as("ema"))
+  }
+
   /** [[cumprodEquity]] for the deep-single-symbol regime: identical
     * output, but NO unbounded per-symbol window. Rows are chunked by
     * coarse time (`floor(epoch_µs / chunkMicros)` — a pure map, so chunk

@@ -157,6 +157,32 @@ class RollingSpec extends SparkSpec {
     intercept[IllegalArgumentException] { new graft.agg.EwmaAgg(0.0) }
   }
 
+  test("ewmaChunked: matches the unbounded-window form across chunk boundaries") {
+    // 200 rows, one symbol, 10 s apart → hourly chunks hold 360 rows;
+    // use a 60 s chunk so the series crosses ~33 chunk boundaries
+    val many = (0 until 200).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 10000L), "btc",
+        100.0 + (i * 37 % 11) - 5.0)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val plain = Rolling.ewma(many, 0.2).orderBy("event_id")
+      .select("ema").as[Double].collect()
+    val chunked = Rolling.ewmaChunked(many, 0.2, 60L * 1000000L)
+      .orderBy("event_id").select("ema").as[Double].collect()
+    assert(plain.length == 200 && chunked.length == 200)
+    plain.zip(chunked).zipWithIndex.foreach { case ((p, c), i) =>
+      assert(math.abs(p - c) <= 1e-12 * math.abs(p), s"row $i: $p vs $c")
+    }
+    // multi-symbol: carries never leak across event_type
+    val two = many.union(many.withColumn("event_type", lit("eth"))
+      .withColumn("value", col("value") * 2))
+    val out = Rolling.ewmaChunked(two, 0.2, 60L * 1000000L)
+      .filter($"event_type" === "btc").orderBy("event_id")
+      .select("ema").as[Double].collect()
+    out.zip(plain).foreach { case (got, want) =>
+      assert(math.abs(got - want) <= 1e-12 * math.abs(want))
+    }
+  }
+
   test("CumProd aggregator: exact for zeros/negatives, skips nulls") {
     val vals = Seq(Some(2.0), Some(-3.0), None, Some(0.5)).toDF("x")
     val p = vals.agg(CumProd.product(col("x"))).as[Double].head()
