@@ -65,6 +65,12 @@ object Stress {
     time("asof_1sym_window")(ops.Joins.asofJoin(oneSymbol))
     time("asof_1sym_chunked")(
       ops.Joins.asofJoinChunked(oneSymbol, 86400L * 1000000L))
+    // EMA: 20-symbol windowed form, then the single-symbol anti-baseline
+    // (one unbounded window = one task) vs the chunked two-pass twin.
+    time("ewma_20sym")(ops.Rolling.ewma(events, 0.1))
+    time("ewma_1sym_window")(ops.Rolling.ewma(oneSymbol, 0.1))
+    time("ewma_1sym_chunked")(
+      ops.Rolling.ewmaChunked(oneSymbol, 0.1, 86400L * 1000000L))
 
     // Exact percentiles on a HIGH-CARDINALITY double (~every row distinct
     // at 5M rows): the built-in percentile() accumulates a value→count
