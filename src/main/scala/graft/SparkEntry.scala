@@ -114,6 +114,16 @@ object SparkEntry {
     // Deep-series EMA: chunked two-pass (within-chunk state + merged
     // cross-chunk carry), no unbounded per-symbol window. Same oracle.
     "ewma_price_chunked" -> ((s, d) => Rolling.ewmaChunked(ev(s, d), 0.1)),
+    // MACD 12/26/9: fast/slow EMAs in one window pass + signal EMA over
+    // the derived macd line (same sort, no extra shuffle).
+    "macd" -> ((s, d) => Rolling.macd(ev(s, d))),
+    // RSI-14: ewm-smoothed gains vs losses, both EMAs in one window pass.
+    "rsi" -> ((s, d) => Rolling.rsi(ev(s, d))),
+    // ATR-14 over hourly bars: true range + Wilder-style ewm smoothing;
+    // the indicator chain runs on the RESAMPLED series (#bars, not #ticks).
+    "atr" -> ((s, d) => Rolling.atr(Resample.ohlcHourly(ev(s, d)))),
+    // Stochastic %K/%D over hourly bars: trailing extrema + short MA.
+    "stochastic" -> ((s, d) => Rolling.stochastic(Resample.ohlcHourly(ev(s, d)))),
     // P8+W3-W7: MA-crossover backtest as one composed query.
     "ma_crossover" -> ((s, d) => Rolling.maCrossoverBacktest(Resample.ohlcHourly(ev(s, d)))),
     // A6/J1: min-max scaling via broadcast grouped-stats join.
@@ -640,6 +650,200 @@ object SparkEntry {
         |    AS ema
         |FROM pre p LEFT JOIN carry c
         |  ON p.event_type = c.event_type AND c.blk = p.blk - 1""".stripMargin
+    // MACD oracle: the same chunk-carry decomposition instantiated three
+    // times — fast/slow EMAs over value (shared base/rws, one pre scan
+    // carrying both alphas, two independent block recursions), then the
+    // signal EMA over the DERIVED macd column (a second-stage template
+    // reusing the same blk/o positions, since macd is defined at every
+    // row). Decay constants are Scala-computed doubles (shortest-
+    // roundtrip literals; compare tolerance is rtol 1e-6 anyway).
+    val (kF, kS, kG) = (1.0 - 2.0 / 13.0, 1.0 - 2.0 / 27.0, 1.0 - 2.0 / 10.0)
+    val macdOracle =
+      s"""WITH RECURSIVE base AS (
+         |  SELECT event_id, event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS rn
+         |  FROM events),
+         |rws AS (
+         |  SELECT *, CAST(floor(rn / 500) AS INTEGER) AS blk, rn % 500 AS o
+         |  FROM base),
+         |pre AS (
+         |  SELECT *,
+         |    sum(pow(1.0/$kF, o) * value) OVER wb AS pnum_f,
+         |    sum(pow(1.0/$kF, o))         OVER wb AS pden_f,
+         |    sum(pow(1.0/$kS, o) * value) OVER wb AS pnum_s,
+         |    sum(pow(1.0/$kS, o))         OVER wb AS pden_s
+         |  FROM rws
+         |  WINDOW wb AS (PARTITION BY event_type, blk ORDER BY o
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |blocks AS (
+         |  SELECT event_type, blk,
+         |    sum(pow($kF, 499 - o) * value) AS wnum_f,
+         |    sum(pow($kF, 499 - o))         AS wden_f,
+         |    sum(pow($kS, 499 - o) * value) AS wnum_s,
+         |    sum(pow($kS, 499 - o))         AS wden_s
+         |  FROM rws GROUP BY 1, 2),
+         |carry_f AS (
+         |  SELECT event_type, blk, wnum_f AS rnum, wden_f AS rden
+         |  FROM blocks WHERE blk = 0
+         |  UNION ALL
+         |  SELECT b.event_type, b.blk,
+         |    pow($kF, 500) * c.rnum + b.wnum_f,
+         |    pow($kF, 500) * c.rden + b.wden_f
+         |  FROM blocks b JOIN carry_f c
+         |    ON b.event_type = c.event_type AND b.blk = c.blk + 1),
+         |carry_s AS (
+         |  SELECT event_type, blk, wnum_s AS rnum, wden_s AS rden
+         |  FROM blocks WHERE blk = 0
+         |  UNION ALL
+         |  SELECT b.event_type, b.blk,
+         |    pow($kS, 500) * c.rnum + b.wnum_s,
+         |    pow($kS, 500) * c.rden + b.wden_s
+         |  FROM blocks b JOIN carry_s c
+         |    ON b.event_type = c.event_type AND b.blk = c.blk + 1),
+         |m AS (
+         |  SELECT p.event_id, p.event_type, p.value, p.blk, p.o,
+         |    (pow($kF, p.o + 1) * coalesce(cf.rnum, 0) + pow($kF, p.o) * p.pnum_f)
+         |    / (pow($kF, p.o + 1) * coalesce(cf.rden, 0) + pow($kF, p.o) * p.pden_f)
+         |    - (pow($kS, p.o + 1) * coalesce(cs.rnum, 0) + pow($kS, p.o) * p.pnum_s)
+         |    / (pow($kS, p.o + 1) * coalesce(cs.rden, 0) + pow($kS, p.o) * p.pden_s)
+         |      AS macd
+         |  FROM pre p
+         |  LEFT JOIN carry_f cf ON p.event_type = cf.event_type AND cf.blk = p.blk - 1
+         |  LEFT JOIN carry_s cs ON p.event_type = cs.event_type AND cs.blk = p.blk - 1),
+         |pre2 AS (
+         |  SELECT *,
+         |    sum(pow(1.0/$kG, o) * macd) OVER wb2 AS pnum_g,
+         |    sum(pow(1.0/$kG, o))        OVER wb2 AS pden_g
+         |  FROM m
+         |  WINDOW wb2 AS (PARTITION BY event_type, blk ORDER BY o
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |blocks2 AS (
+         |  SELECT event_type, blk,
+         |    sum(pow($kG, 499 - o) * macd) AS wnum,
+         |    sum(pow($kG, 499 - o))        AS wden
+         |  FROM m GROUP BY 1, 2),
+         |carry_g AS (
+         |  SELECT event_type, blk, wnum AS rnum, wden AS rden
+         |  FROM blocks2 WHERE blk = 0
+         |  UNION ALL
+         |  SELECT b.event_type, b.blk,
+         |    pow($kG, 500) * c.rnum + b.wnum,
+         |    pow($kG, 500) * c.rden + b.wden
+         |  FROM blocks2 b JOIN carry_g c
+         |    ON b.event_type = c.event_type AND b.blk = c.blk + 1),
+         |sig AS (
+         |  SELECT p.event_id, p.event_type, p.value, p.macd,
+         |    (pow($kG, p.o + 1) * coalesce(c.rnum, 0) + pow($kG, p.o) * p.pnum_g)
+         |    / (pow($kG, p.o + 1) * coalesce(c.rden, 0) + pow($kG, p.o) * p.pden_g)
+         |      AS signal
+         |  FROM pre2 p LEFT JOIN carry_g c
+         |    ON p.event_type = c.event_type AND c.blk = p.blk - 1)
+         |SELECT event_id, event_type, value, macd, signal,
+         |  macd - signal AS hist
+         |FROM sig""".stripMargin
+    // RSI oracle: deltas via lag, the first (delta-less) row of each
+    // series excluded from the smoothing and re-joined with NULLs (the
+    // engine's NaN→NULL mapping); ONE chunk-carry instantiation carries
+    // both gain and loss numerators (identical weights ⇒ shared den).
+    val kR = 1.0 - 1.0 / 14.0
+    val rsiOracle =
+      s"""WITH RECURSIVE base AS (
+         |  SELECT event_id, event_type, value, ts,
+         |    value - lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS delta
+         |  FROM events),
+         |g AS (
+         |  SELECT event_id, event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS rn,
+         |    greatest(delta, 0) AS gain,
+         |    greatest(-delta, 0) AS loss
+         |  FROM base WHERE delta IS NOT NULL),
+         |rws AS (
+         |  SELECT *, CAST(floor(rn / 500) AS INTEGER) AS blk, rn % 500 AS o
+         |  FROM g),
+         |pre AS (
+         |  SELECT *,
+         |    sum(pow(1.0/$kR, o) * gain) OVER wb AS pnum_g,
+         |    sum(pow(1.0/$kR, o) * loss) OVER wb AS pnum_l,
+         |    sum(pow(1.0/$kR, o))        OVER wb AS pden
+         |  FROM rws
+         |  WINDOW wb AS (PARTITION BY event_type, blk ORDER BY o
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |blocks AS (
+         |  SELECT event_type, blk,
+         |    sum(pow($kR, 499 - o) * gain) AS wnum_g,
+         |    sum(pow($kR, 499 - o) * loss) AS wnum_l,
+         |    sum(pow($kR, 499 - o))        AS wden
+         |  FROM rws GROUP BY 1, 2),
+         |carry AS (
+         |  SELECT event_type, blk, wnum_g AS rng, wnum_l AS rnl, wden AS rden
+         |  FROM blocks WHERE blk = 0
+         |  UNION ALL
+         |  SELECT b.event_type, b.blk,
+         |    pow($kR, 500) * c.rng + b.wnum_g,
+         |    pow($kR, 500) * c.rnl + b.wnum_l,
+         |    pow($kR, 500) * c.rden + b.wden
+         |  FROM blocks b JOIN carry c
+         |    ON b.event_type = c.event_type AND b.blk = c.blk + 1),
+         |res AS (
+         |  SELECT p.event_id,
+         |    (pow($kR, p.o + 1) * coalesce(c.rng, 0) + pow($kR, p.o) * p.pnum_g)
+         |    / (pow($kR, p.o + 1) * coalesce(c.rden, 0) + pow($kR, p.o) * p.pden)
+         |      AS avg_gain,
+         |    (pow($kR, p.o + 1) * coalesce(c.rnl, 0) + pow($kR, p.o) * p.pnum_l)
+         |    / (pow($kR, p.o + 1) * coalesce(c.rden, 0) + pow($kR, p.o) * p.pden)
+         |      AS avg_loss
+         |  FROM pre p LEFT JOIN carry c
+         |    ON p.event_type = c.event_type AND c.blk = p.blk - 1)
+         |SELECT b.event_id, b.event_type, b.value, r.avg_gain, r.avg_loss,
+         |  100.0 * r.avg_gain / nullif(r.avg_gain + r.avg_loss, 0) AS rsi
+         |FROM base b LEFT JOIN res r ON b.event_id = r.event_id""".stripMargin
+    // ATR oracle: hourly bars → true range (greatest skips the null
+    // prev-close legs on first bars — Postgres semantics in both
+    // engines) → the same chunk-carry EMA template over tr. TR is
+    // non-null at every bar, so no re-indexing stage is needed.
+    val atrOracle =
+      s"""WITH RECURSIVE hourly AS (
+         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
+         |    max(value) AS high, min(value) AS low, arg_max(value, ts) AS close
+         |  FROM events GROUP BY 1, 2),
+         |base AS (
+         |  SELECT bucket, event_type,
+         |    greatest(high - low,
+         |             abs(high - lag(close) OVER w),
+         |             abs(low  - lag(close) OVER w)) AS tr,
+         |    row_number() OVER w - 1 AS rn
+         |  FROM hourly
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+         |rws AS (
+         |  SELECT *, CAST(floor(rn / 500) AS INTEGER) AS blk, rn % 500 AS o
+         |  FROM base),
+         |pre AS (
+         |  SELECT *,
+         |    sum(pow(1.0/$kR, o) * tr) OVER wb AS pnum,
+         |    sum(pow(1.0/$kR, o))      OVER wb AS pden
+         |  FROM rws
+         |  WINDOW wb AS (PARTITION BY event_type, blk ORDER BY o
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |blocks AS (
+         |  SELECT event_type, blk,
+         |    sum(pow($kR, 499 - o) * tr) AS wnum,
+         |    sum(pow($kR, 499 - o))      AS wden
+         |  FROM rws GROUP BY 1, 2),
+         |carry AS (
+         |  SELECT event_type, blk, wnum AS rnum, wden AS rden
+         |  FROM blocks WHERE blk = 0
+         |  UNION ALL
+         |  SELECT b.event_type, b.blk,
+         |    pow($kR, 500) * c.rnum + b.wnum,
+         |    pow($kR, 500) * c.rden + b.wden
+         |  FROM blocks b JOIN carry c
+         |    ON b.event_type = c.event_type AND b.blk = c.blk + 1)
+         |SELECT p.bucket, p.event_type, p.tr,
+         |  (pow($kR, p.o + 1) * coalesce(c.rnum, 0) + pow($kR, p.o) * p.pnum)
+         |  / (pow($kR, p.o + 1) * coalesce(c.rden, 0) + pow($kR, p.o) * p.pden)
+         |    AS atr
+         |FROM pre p LEFT JOIN carry c
+         |  ON p.event_type = c.event_type AND c.blk = p.blk - 1""".stripMargin
     // Shared hourly close-bar CTE (the ma_* family's input series and the
     // range join's window derivation; the as-of oracles key their bars
     // differently — bucket_end / negated bstart — and stay inline).
@@ -713,6 +917,25 @@ object SparkEntry {
     // The chunked twin computes the SAME series (parity spec pins it);
     // one oracle serves both registrations.
     "ewma_price_chunked" -> ewmaOracle,
+    "macd" -> macdOracle,
+    "rsi" -> rsiOracle,
+    "atr" -> atrOracle,
+    "stochastic" ->
+      """WITH hourly AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
+        |    max(value) AS high, min(value) AS low, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |k AS (
+        |  SELECT bucket, event_type, close,
+        |    100.0 * (close - min(low) OVER wk)
+        |      / nullif(max(high) OVER wk - min(low) OVER wk, 0) AS pct_k
+        |  FROM hourly
+        |  WINDOW wk AS (PARTITION BY event_type ORDER BY bucket
+        |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT bucket, event_type, close, pct_k,
+        |  avg(pct_k) OVER (PARTITION BY event_type ORDER BY bucket
+        |                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS pct_d
+        |FROM k""".stripMargin,
     "ma_crossover" -> (hourlyClose + ",\n" +
       """m AS (
         |  SELECT bucket, event_type, close,

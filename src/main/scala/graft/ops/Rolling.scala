@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.agg.{CumProd, Ewma}
@@ -180,6 +180,112 @@ object Rolling {
       .select(col("event_id"), col("event_type"), col("value"),
         ((col("st._3") * col("cnum") + col("st._1"))
           / (col("st._3") * col("cden") + col("st._2"))).as("ema"))
+  }
+
+  /** MACD (moving-average convergence/divergence) per symbol — the
+    * classic 12/26/9 indicator over the tick series, built entirely from
+    * [[graft.agg.EwmaAgg]] (pandas `ewm(span=n)` ⇒ α = 2/(n+1),
+    * adjust=True): `macd = EMA_fast − EMA_slow`, `signal = EMA` of the
+    * macd line, `hist = macd − signal`.
+    *
+    * Scale shape: the fast and slow EMAs evaluate in ONE window pass
+    * (two aggregators over the same growing frame); the signal EMA is a
+    * second window over the derived macd column with the SAME
+    * partitioning/ordering, so Catalyst plans it over the already-sorted
+    * stream — one shuffle + one sort per symbol partition total, one
+    * state update per row, no re-scan. The deep-single-symbol regime
+    * composes via the [[ewmaChunked]] factoring if ever needed.
+    */
+  def macd(events: DataFrame, fast: Int = 12, slow: Int = 26,
+           signalSpan: Int = 9): DataFrame = {
+    require(fast < slow, s"fast span $fast must be < slow span $slow")
+    val wGrow = byTypeTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def span(n: Int) = 2.0 / (n + 1)
+    events
+      .withColumn("ema_fast", Ewma.ewma(col("value"), span(fast)).over(wGrow))
+      .withColumn("ema_slow", Ewma.ewma(col("value"), span(slow)).over(wGrow))
+      .withColumn("macd", col("ema_fast") - col("ema_slow"))
+      .withColumn("signal", Ewma.ewma(col("macd"), span(signalSpan)).over(wGrow))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("macd"), col("signal"), (col("macd") - col("signal")).as("hist"))
+  }
+
+  /** RSI (relative strength index) per symbol — ewm-smoothed average
+    * gain vs average loss (the `ewm(alpha=1/length, adjust=True)`
+    * variant; classic Wilder smoothing is the adjust=False limit of the
+    * same recursion): `rsi = 100·avg_gain / (avg_gain + avg_loss)`.
+    *
+    * The first row of each series has no delta — pandas emits NaN there;
+    * here the EMA's empty state (den = 0 → NaN) is mapped to NULL so the
+    * output is oracle-comparable, and a flat prefix (all deltas zero)
+    * yields NULL too (0/0). Nulls in `delta` are the Aggregator's
+    * identity, so the smoothing simply carries across them.
+    *
+    * Scale shape: one lag window + one window pass carrying BOTH EMAs
+    * (same frame), per-symbol partitions, no extra shuffle.
+    */
+  def rsi(events: DataFrame, length: Int = 14): DataFrame = {
+    require(length >= 1, s"length $length must be >= 1")
+    val wGrow = byTypeTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val noNan = (c: Column) => when(!isnan(c), c)
+    events
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(byTypeTime))
+      // greatest() would swallow a null delta to 0 — keep it null so the
+      // EMA skips the first row instead of decaying on it
+      .withColumn("gain",
+        when(col("delta").isNotNull, greatest(col("delta"), lit(0.0))))
+      .withColumn("loss",
+        when(col("delta").isNotNull, greatest(-col("delta"), lit(0.0))))
+      .withColumn("avg_gain", noNan(Ewma.ewma(col("gain"), 1.0 / length).over(wGrow)))
+      .withColumn("avg_loss", noNan(Ewma.ewma(col("loss"), 1.0 / length).over(wGrow)))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("avg_gain"), col("avg_loss"),
+        (lit(100.0) * try_divide(col("avg_gain"),
+          col("avg_gain") + col("avg_loss"))).as("rsi"))
+  }
+
+  /** ATR (average true range) over resampled OHLC bars — true range
+    * `max(high−low, |high−prev_close|, |low−prev_close|)` smoothed by
+    * the same `ewm(alpha=1/length, adjust=True)` recursion as [[rsi]].
+    * The first bar of each series has no previous close; `greatest`
+    * skips the two null legs (both engines share Postgres semantics),
+    * so its TR is the plain high−low — the classic convention.
+    *
+    * Input is any bar frame with (bucket, event_type, high, low, close),
+    * e.g. [[Resample.ohlcHourly]] — indicator chains compose on the
+    * RESAMPLED series, so the window sorts #bars, not #ticks.
+    */
+  def atr(bars: DataFrame, length: Int = 14): DataFrame = {
+    val byTypeBucket = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wGrow = byTypeBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bars
+      .withColumn("prev_close", lag(col("close"), 1).over(byTypeBucket))
+      .withColumn("tr", greatest(col("high") - col("low"),
+        abs(col("high") - col("prev_close")),
+        abs(col("low") - col("prev_close"))))
+      .withColumn("atr", Ewma.ewma(col("tr"), 1.0 / length).over(wGrow))
+      .select(col("bucket"), col("event_type"), col("tr"), col("atr"))
+  }
+
+  /** Stochastic oscillator %K/%D over resampled OHLC bars:
+    * `%K = 100·(close − min(low)) / (max(high) − min(low))` over a
+    * trailing `kLen`-bar window (partial windows at series start use the
+    * available bars — min_periods=1 style, like [[maVolatility]]'s
+    * default), `%D` = `dLen`-bar moving average of %K. A flat window
+    * (high = low throughout) makes %K NULL (0/0), and %D averages over
+    * the defined values only — both engines' `avg` skip nulls.
+    */
+  def stochastic(bars: DataFrame, kLen: Int = 14, dLen: Int = 3): DataFrame = {
+    val byTypeBucket = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wK = byTypeBucket.rowsBetween(-(kLen - 1), 0)
+    val low = min(col("low")).over(wK)
+    bars
+      .withColumn("pct_k", lit(100.0) *
+        try_divide(col("close") - low, max(col("high")).over(wK) - low))
+      .withColumn("pct_d",
+        avg(col("pct_k")).over(byTypeBucket.rowsBetween(-(dLen - 1), 0)))
+      .select(col("bucket"), col("event_type"), col("close"),
+        col("pct_k"), col("pct_d"))
   }
 
   /** [[cumprodEquity]] for the deep-single-symbol regime: identical

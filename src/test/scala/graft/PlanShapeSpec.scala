@@ -141,4 +141,27 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
     }
   }
+
+  test("atr / stochastic: bar-level indicators — the OHLC aggregate plus one symbol-partitioned window") {
+    for (q <- Seq("atr", "stochastic")) {
+      val p = plan(q)
+      // shuffle 1: the hourly groupBy; shuffle 2: repartition to the
+      // symbol axis for the bar windows — never a single-task window
+      assert(shuffles(p) <= 2, s"$q shuffles=${shuffles(p)}\n$p")
+      assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
+    }
+  }
+
+  test("macd / rsi: all EMAs ride ONE symbol shuffle and ONE sort") {
+    // macd chains a second Window (signal over the derived macd line) and
+    // rsi a lag + EMA pair — same partitioning/ordering throughout, so
+    // Catalyst must plan one hash exchange and one sort total; a second
+    // Sort would mean the derived-column window re-sorted the stream
+    for (q <- Seq("macd", "rsi")) {
+      val p = plan(q)
+      assert(shuffles(p) == 1, s"$q shuffles=${shuffles(p)}\n$p")
+      assert("Sort \\[".r.findAllIn(p).length == 1, s"$q sorts:\n$p")
+      assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
+    }
+  }
 }

@@ -183,6 +183,111 @@ class RollingSpec extends SparkSpec {
     }
   }
 
+  // sequential adjust=True EWM reimplementation shared by the indicator
+  // parity tests: num_t = k·num + v, den_t = k·den + 1 (None = skip)
+  private def seqEwm(vs: Seq[Option[Double]], alpha: Double): Seq[Option[Double]] = {
+    val k = 1.0 - alpha
+    var (num, den) = (0.0, 0.0)
+    vs.map {
+      case Some(v) => num = k * num + v; den = k * den + 1.0; Some(num / den)
+      case None    => if (den == 0.0) None else Some(num / den)
+    }
+  }
+
+  test("macd: matches the direct 12/26/9 ewm recursion; signal chains over the macd line") {
+    val vs = (0 until 80).map(i => 100.0 + (i * 53 % 17) - 8.0)
+    val df = vs.zipWithIndex.map { case (v, i) =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L), "btc", v)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val fast = seqEwm(vs.map(Some(_)), 2.0 / 13.0).map(_.get)
+    val slow = seqEwm(vs.map(Some(_)), 2.0 / 27.0).map(_.get)
+    val macdLine = fast.zip(slow).map { case (f, s) => f - s }
+    val signal = seqEwm(macdLine.map(Some(_)), 2.0 / 10.0).map(_.get)
+    val out = Rolling.macd(df).orderBy("event_id")
+      .select("macd", "signal", "hist").collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(math.abs(r.getDouble(0) - macdLine(i)) <= 1e-9, s"macd @ $i")
+      assert(math.abs(r.getDouble(1) - signal(i)) <= 1e-9, s"signal @ $i")
+      assert(math.abs(r.getDouble(2) - (macdLine(i) - signal(i))) <= 1e-9,
+        s"hist @ $i")
+    }
+    // first row: both EMAs equal v1, so macd = hist = 0 exactly
+    assert(out(0).getDouble(0) == 0.0 && out(0).getDouble(2) == 0.0)
+    intercept[IllegalArgumentException] { Rolling.macd(events, 26, 12) }
+  }
+
+  test("rsi: matches the direct gain/loss ewm recursion; first row and flat prefix are NULL") {
+    val vs = (0 until 60).map(i => 100.0 + (i * 31 % 13) - 6.0)
+    val df = vs.zipWithIndex.map { case (v, i) =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L), "btc", v)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val deltas = None +: vs.sliding(2).map(p => Some(p(1) - p(0))).toSeq
+    val ag = seqEwm(deltas.map(_.map(d => math.max(d, 0.0))), 1.0 / 14.0)
+    val al = seqEwm(deltas.map(_.map(d => math.max(-d, 0.0))), 1.0 / 14.0)
+    val out = Rolling.rsi(df).orderBy("event_id")
+      .select("avg_gain", "avg_loss", "rsi").collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1) && out(0).isNullAt(2))
+    (1 until vs.length).foreach { i =>
+      val (g, l) = (ag(i).get, al(i).get)
+      assert(math.abs(out(i).getDouble(0) - g) <= 1e-9, s"gain @ $i")
+      assert(math.abs(out(i).getDouble(1) - l) <= 1e-9, s"loss @ $i")
+      assert(math.abs(out(i).getDouble(2) - 100.0 * g / (g + l)) <= 1e-9,
+        s"rsi @ $i")
+    }
+    // monotone series: rsi pins to 100; flat series: 0/0 → NULL rsi with
+    // zero average gain AND loss (pandas NaN)
+    val mono = Rolling.rsi(events).orderBy("event_id")
+      .select("rsi").as[Option[Double]].collect()
+    assert(mono.head.isEmpty && mono.tail.forall(r => approx(r.get, 100.0)))
+    val flat = Seq.fill(5)(42.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L), "btc", v)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val f = Rolling.rsi(flat).orderBy("event_id").collect()
+    assert(f.tail.forall(r => r.getAs[Double]("avg_gain") == 0.0 &&
+      r.getAs[Double]("avg_loss") == 0.0 && r.isNullAt(5)))
+  }
+
+  private def bars = Seq(
+    (0L, "btc", 105.0, 95.0, 100.0),
+    (1L, "btc", 112.0, 101.0, 110.0),
+    (2L, "btc", 111.0, 98.0, 99.0),
+    (3L, "btc", 130.0, 100.0, 120.0)
+  ).toDF("bucket", "event_type", "high", "low", "close")
+
+  test("atr: true-range recursion parity; first bar TR is plain high − low") {
+    // TR by hand: 10 (no prev close), max(11,12,1)=12, max(13,1,12)=13,
+    // max(30,31,1)=31
+    val trs = Seq(10.0, 12.0, 13.0, 31.0)
+    val expect = seqEwm(trs.map(Some(_)), 1.0 / 14.0).map(_.get)
+    val out = Rolling.atr(bars).orderBy("bucket")
+      .select("tr", "atr").collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getDouble(0) == trs(i), s"tr @ $i")
+      assert(math.abs(r.getDouble(1) - expect(i)) <= 1e-12, s"atr @ $i")
+    }
+  }
+
+  test("stochastic: trailing-extrema %K and %D by hand; flat window → NULL") {
+    val out = Rolling.stochastic(bars, kLen = 2, dLen = 2).orderBy("bucket")
+      .select("pct_k", "pct_d").collect()
+    val k = Seq(
+      100.0 * 5 / 10,          // b0 alone: (100−95)/(105−95)
+      100.0 * 15 / 17,         // b0..b1: (110−95)/(112−95)
+      100.0 * 1 / 14,          // b1..b2: (99−98)/(112−98)
+      100.0 * 22 / 32)         // b2..b3: (120−98)/(130−98)
+    val d = Seq(k(0), (k(0) + k(1)) / 2, (k(1) + k(2)) / 2, (k(2) + k(3)) / 2)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(math.abs(r.getDouble(0) - k(i)) <= 1e-12, s"%K @ $i")
+      assert(math.abs(r.getDouble(1) - d(i)) <= 1e-12, s"%D @ $i")
+    }
+    // a flat series never leaves 0/0: %K and %D stay NULL
+    val flat = Seq((0L, "c", 42.0, 42.0, 42.0), (1L, "c", 42.0, 42.0, 42.0))
+      .toDF("bucket", "event_type", "high", "low", "close")
+    Rolling.stochastic(flat).collect().foreach { r =>
+      assert(r.isNullAt(3) && r.isNullAt(4))
+    }
+  }
+
   test("CumProd aggregator: exact for zeros/negatives, skips nulls") {
     val vals = Seq(Some(2.0), Some(-3.0), None, Some(0.5)).toDF("x")
     val p = vals.agg(CumProd.product(col("x"))).as[Double].head()
