@@ -124,6 +124,13 @@ object SparkEntry {
     "atr" -> ((s, d) => Rolling.atr(Resample.ohlcHourly(ev(s, d)))),
     // Stochastic %K/%D over hourly bars: trailing extrema + short MA.
     "stochastic" -> ((s, d) => Rolling.stochastic(Resample.ohlcHourly(ev(s, d)))),
+    // OBV over hourly bars: direction-signed volume prefix sum.
+    "obv" -> ((s, d) => Rolling.obv(Resample.ohlcHourly(ev(s, d)))),
+    // Deep-series twins for the composite indicators (the reference's
+    // own regime: ONE symbol, years deep) — all EMAs ride chunked
+    // two-passes, no unbounded per-symbol window. Same oracles.
+    "macd_chunked" -> ((s, d) => Rolling.macdChunked(ev(s, d))),
+    "rsi_chunked" -> ((s, d) => Rolling.rsiChunked(ev(s, d))),
     // P8+W3-W7: MA-crossover backtest as one composed query.
     "ma_crossover" -> ((s, d) => Rolling.maCrossoverBacktest(Resample.ohlcHourly(ev(s, d)))),
     // A6/J1: min-max scaling via broadcast grouped-stats join.
@@ -919,7 +926,24 @@ object SparkEntry {
     "ewma_price_chunked" -> ewmaOracle,
     "macd" -> macdOracle,
     "rsi" -> rsiOracle,
+    // the chunked twins compute the SAME series (parity specs pin them)
+    "macd_chunked" -> macdOracle,
+    "rsi_chunked" -> rsiOracle,
     "atr" -> atrOracle,
+    "obv" ->
+      """WITH hourly AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
+        |    arg_max(value, ts) AS close, sum(value) AS volume
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT bucket, event_type,
+        |    coalesce(sign(close - lag(close) OVER w), 0) * volume AS signed_vol
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+        |SELECT bucket, event_type, signed_vol,
+        |  sum(signed_vol) OVER (PARTITION BY event_type ORDER BY bucket
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obv
+        |FROM s""".stripMargin,
     "stochastic" ->
       """WITH hourly AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,

@@ -68,6 +68,9 @@ object Stress {
     // EMA: 20-symbol windowed form, then the single-symbol anti-baseline
     // (one unbounded window = one task) vs the chunked two-pass twin.
     time("ewma_20sym")(ops.Rolling.ewma(events, 0.1))
+    // MACD chains THREE EMAs (two in one window pass + the signal over
+    // the derived line) on one sort — the chained-window cost at volume.
+    time("macd_20sym")(ops.Rolling.macd(events))
     time("ewma_1sym_window")(ops.Rolling.ewma(oneSymbol, 0.1))
     time("ewma_1sym_chunked")(
       ops.Rolling.ewmaChunked(oneSymbol, 0.1, 86400L * 1000000L))

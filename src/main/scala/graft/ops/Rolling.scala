@@ -157,29 +157,119 @@ object Rolling {
     * ≤ 1e-12 relative).
     */
   def ewmaChunked(events: DataFrame, alpha: Double,
-                  chunkMicros: Long = 3600L * 1000000L): DataFrame = {
+                  chunkMicros: Long = 3600L * 1000000L): DataFrame =
+    chunkedEmas(events, Seq(("value", "ema", alpha)), chunkMicros)
+      .select(col("event_id"), col("event_type"), col("value"), col("ema"))
+
+  /** The chunked two-pass EMA core, generalized to ANY set of
+    * (source column, output column, alpha) triples so composite
+    * indicators pay the machinery ONCE: all within-chunk states ride a
+    * single `(event_type, chunk)` window pass (one sort), the chunk
+    * summaries travel in one groupBy, every cross-chunk carry is an
+    * order-faithful [[graft.agg.EwmaMergeAgg]] prefix over the same tiny
+    * summary table, and one broadcast join finalizes every EMA. Output =
+    * the input columns plus one EMA column per triple (empty-state rows
+    * — e.g. before a series' first non-null — finalize to NULL via
+    * `try_divide`, where the windowed Aggregator yields NaN; callers of
+    * the windowed forms already null-map, so the twins agree).
+    */
+  private[graft] def chunkedEmas(events: DataFrame,
+                                 specs: Seq[(String, String, Double)],
+                                 chunkMicros: Long): DataFrame = {
     val wChunk = Window.partitionBy(col("event_type"), col("chunk"))
       .orderBy(col("ts"), col("event_id"))
     val wChunkGrow = wChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCarry = Window.partitionBy(col("event_type")).orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ord = struct(col("ts"), col("event_id"))
+    def stCol(out: String) = s"_st_$out"
+    val pass1 = specs.foldLeft(
+      events.withColumn("chunk", floor(unix_micros(col("ts")) / lit(chunkMicros)))) {
+      case (df, (src, out, alpha)) =>
+        df.withColumn(stCol(out), Ewma.state(col(src), alpha).over(wChunkGrow))
+    }
+    val prefixes = pass1.groupBy(col("event_type"), col("chunk"))
+      .agg(max_by(col(stCol(specs.head._2)), ord).as(s"_t_${specs.head._2}"),
+        specs.tail.map { case (_, out, _) =>
+          max_by(col(stCol(out)), ord).as(s"_t_$out") }: _*)
+    val carried = specs.foldLeft(prefixes) { case (df, (_, out, _)) =>
+      df.withColumn(s"_c_$out", Ewma.mergeStates(
+        col(s"_t_$out._1"), col(s"_t_$out._2"), col(s"_t_$out._3")).over(wCarry))
+    }.select(col("event_type") +: col("chunk") +: specs.flatMap {
+      case (_, out, _) => Seq(
+        // first chunk: empty exclusive frame → NULL carry → identity map
+        coalesce(col(s"_c_$out._1"), lit(0.0)).as(s"_cnum_$out"),
+        coalesce(col(s"_c_$out._2"), lit(0.0)).as(s"_cden_$out"))
+    }: _*)
+    val joined = pass1.join(broadcast(carried), Seq("event_type", "chunk"))
+    val finals = specs.foldLeft(joined) { case (df, (_, out, _)) =>
+      df.withColumn(out, try_divide(
+        col(s"${stCol(out)}._3") * col(s"_cnum_$out") + col(s"${stCol(out)}._1"),
+        col(s"${stCol(out)}._3") * col(s"_cden_$out") + col(s"${stCol(out)}._2")))
+    }
+    finals.drop("chunk")
+      .drop(specs.flatMap { case (_, out, _) =>
+        Seq(stCol(out), s"_cnum_$out", s"_cden_$out") }: _*)
+  }
+
+  /** [[macd]] for the deep-single-symbol regime (the reference's OWN
+    * production case — one BTC-USDT series, years deep): both value EMAs
+    * ride ONE chunked two-pass, the signal EMA a second chunked pass
+    * over the derived macd line. Identical output to [[macd]] up to
+    * float re-association (parity spec ≤ 1e-12).
+    */
+  def macdChunked(events: DataFrame, fast: Int = 12, slow: Int = 26,
+                  signalSpan: Int = 9,
+                  chunkMicros: Long = 3600L * 1000000L): DataFrame = {
+    require(fast < slow, s"fast span $fast must be < slow span $slow")
+    def a(n: Int) = 2.0 / (n + 1)
+    val withMacd = chunkedEmas(events,
+      Seq(("value", "ema_fast", a(fast)), ("value", "ema_slow", a(slow))),
+      chunkMicros)
+      .withColumn("macd", col("ema_fast") - col("ema_slow"))
+    chunkedEmas(withMacd, Seq(("macd", "signal", a(signalSpan))), chunkMicros)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("macd"), col("signal"), (col("macd") - col("signal")).as("hist"))
+  }
+
+  /** [[rsi]] for the deep-single-symbol regime: the gain/loss pair rides
+    * ONE chunked two-pass (the lag for deltas is itself the chunked
+    * [[returnsLagChunked]] shape — chunk-last closes broadcast back).
+    * Identical output to [[rsi]] (parity spec ≤ 1e-12).
+    */
+  def rsiChunked(events: DataFrame, length: Int = 14,
+                 chunkMicros: Long = 3600L * 1000000L): DataFrame = {
+    val wChunk = Window.partitionBy(col("event_type"), col("chunk"))
+      .orderBy(col("ts"), col("event_id"))
     val bySymbolChunk = Window.partitionBy(col("event_type")).orderBy(col("chunk"))
     val ord = struct(col("ts"), col("event_id"))
-    val pass1 = events
+    val chunked = events
       .withColumn("chunk", floor(unix_micros(col("ts")) / lit(chunkMicros)))
-      .withColumn("st", Ewma.state(col("value"), alpha).over(wChunkGrow))
-    val prefixes = pass1.groupBy(col("event_type"), col("chunk"))
-      .agg(max_by(col("st"), ord).as("total"))
-      .withColumn("carry", Ewma.mergeStates(
-        col("total._1"), col("total._2"), col("total._3")).over(
-          bySymbolChunk.rowsBetween(Window.unboundedPreceding, -1)))
-      .select(col("event_type"), col("chunk"),
-        // first chunk: empty exclusive frame → NULL carry → identity map
-        coalesce(col("carry._1"), lit(0.0)).as("cnum"),
-        coalesce(col("carry._2"), lit(0.0)).as("cden"))
-    pass1
-      .join(broadcast(prefixes), Seq("event_type", "chunk"))
+    // chunk-bounded lag with the previous chunk's last value broadcast in
+    val lasts = chunked.groupBy(col("event_type"), col("chunk"))
+      .agg(max_by(col("value"), ord).as("chunk_last"))
+      .withColumn("prev_chunk_last", lag(col("chunk_last"), 1).over(bySymbolChunk))
+      .select(col("event_type"), col("chunk"), col("prev_chunk_last"))
+    val withDeltas = chunked
+      .withColumn("rn", row_number().over(wChunk))
+      .withColumn("lag_in_chunk", lag(col("value"), 1).over(wChunk))
+      .join(broadcast(lasts), Seq("event_type", "chunk"))
+      .withColumn("delta", col("value") -
+        when(col("rn") === 1, col("prev_chunk_last")).otherwise(col("lag_in_chunk")))
+      .withColumn("gain",
+        when(col("delta").isNotNull, greatest(col("delta"), lit(0.0))))
+      .withColumn("loss",
+        when(col("delta").isNotNull, greatest(-col("delta"), lit(0.0))))
+      .drop("chunk", "rn", "lag_in_chunk", "prev_chunk_last")
+    // chunkedEmas finalizes empty states (pre-first-delta rows) to NULL
+    // already — no NaN mapping needed here, unlike the windowed form
+    chunkedEmas(withDeltas,
+      Seq(("gain", "avg_gain", 1.0 / length),
+        ("loss", "avg_loss", 1.0 / length)), chunkMicros)
       .select(col("event_id"), col("event_type"), col("value"),
-        ((col("st._3") * col("cnum") + col("st._1"))
-          / (col("st._3") * col("cden") + col("st._2"))).as("ema"))
+        col("avg_gain"), col("avg_loss"),
+        (lit(100.0) * try_divide(col("avg_gain"),
+          col("avg_gain") + col("avg_loss"))).as("rsi"))
   }
 
   /** MACD (moving-average convergence/divergence) per symbol — the
@@ -286,6 +376,24 @@ object Rolling {
         avg(col("pct_k")).over(byTypeBucket.rowsBetween(-(dLen - 1), 0)))
       .select(col("bucket"), col("event_type"), col("close"),
         col("pct_k"), col("pct_d"))
+  }
+
+  /** OBV (on-balance volume) over resampled OHLCV bars: the running sum
+    * of each bar's volume signed by its close-to-close direction (+v on
+    * an up bar, −v on a down bar, 0 on unchanged or the first bar —
+    * `signum` of a null delta stays null, coalesced to 0). A plain
+    * prefix-sum window — exact, associative, no smoothing — so the
+    * whole indicator is one codegen window over #bars.
+    */
+  def obv(bars: DataFrame): DataFrame = {
+    val byTypeBucket = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wGrow = byTypeBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bars
+      .withColumn("signed_vol",
+        coalesce(signum(col("close") - lag(col("close"), 1).over(byTypeBucket)),
+          lit(0.0)) * col("volume"))
+      .withColumn("obv", sum(col("signed_vol")).over(wGrow))
+      .select(col("bucket"), col("event_type"), col("signed_vol"), col("obv"))
   }
 
   /** [[cumprodEquity]] for the deep-single-symbol regime: identical

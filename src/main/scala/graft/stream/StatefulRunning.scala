@@ -73,4 +73,47 @@ object StatefulRunning {
         max(col("value")).as("high"),
         min(col("value")).as("low"),
         max_by(col("value"), col("ts")).as("last_value"))
+
+  case class EmaState(num: Double, den: Double, n: Long)
+
+  case class EmaOut(event_type: String, n: Long, ema: Double)
+
+  private def updateEma(alpha: Double)(key: String, rows: Iterator[Tick],
+                                       state: GroupState[EmaState]): EmaOut = {
+    val keep = 1.0 - alpha
+    var s = state.getOption.getOrElse(EmaState(0.0, 0.0, 0L))
+    // a micro-batch's group iterator carries NO ordering guarantee — sort
+    // the batch by event time before folding (cross-batch order is the
+    // source's append order, the same assumption every running indicator
+    // makes; true late data needs the windowed/watermarked tier instead)
+    rows.toArray.sortBy(_.ts_us).foreach { t =>
+      s = EmaState(keep * s.num + t.value, keep * s.den + 1.0, s.n + 1)
+    }
+    state.update(s)
+    EmaOut(key, s.n, s.num / s.den)
+  }
+
+  /** Streaming EMA per symbol — the running-state twin of
+    * [[graft.ops.Rolling.ewma]]: the same (num, den) affine recursion
+    * the batch Aggregator carries, folded tick-by-tick in
+    * `mapGroupsWithState`. State is O(1) per key (two doubles + a
+    * count), so state size tracks symbol cardinality, not throughput;
+    * each update-mode emission is the series-final EMA so far, equal to
+    * the batch [[graft.ops.Rolling.ewma]]'s last row for the same
+    * prefix (spec pins ≤ 1e-12 across multi-batch replays).
+    */
+  def runningEma(spark: SparkSession, inputDir: String, schema: StructType,
+                 alpha: Double,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
+      .parquet(inputDir)
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Tick]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateEma(alpha))
+      .toDF()
+  }
 }

@@ -143,7 +143,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("atr / stochastic: bar-level indicators — the OHLC aggregate plus one symbol-partitioned window") {
-    for (q <- Seq("atr", "stochastic")) {
+    for (q <- Seq("atr", "stochastic", "obv")) {
       val p = plan(q)
       // shuffle 1: the hourly groupBy; shuffle 2: repartition to the
       // symbol axis for the bar windows — never a single-task window

@@ -288,6 +288,44 @@ class RollingSpec extends SparkSpec {
     }
   }
 
+  test("obv: direction-signed volume prefix sum; first and unchanged bars contribute 0") {
+    // closes 100→110→99→120→120: directions 0,+,−,+,0
+    val b = Seq(
+      (0L, "btc", 100.0, 10.0), (1L, "btc", 110.0, 20.0),
+      (2L, "btc", 99.0, 30.0), (3L, "btc", 120.0, 40.0),
+      (4L, "btc", 120.0, 50.0)
+    ).toDF("bucket", "event_type", "close", "volume")
+    val out = Rolling.obv(b).orderBy("bucket").select("obv").as[Double].collect()
+    assert(out.toSeq == Seq(0.0, 20.0, -10.0, 30.0, 30.0))
+  }
+
+  test("macdChunked / rsiChunked: match the windowed forms across chunk boundaries") {
+    val many = (0 until 300).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 10000L), "btc",
+        100.0 + (i * 37 % 11) - 5.0)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val chunk = 60L * 1000000L // 60 s chunks → ~50 boundaries
+    val m0 = Rolling.macd(many).orderBy("event_id")
+      .select("macd", "signal", "hist").collect()
+    val m1 = Rolling.macdChunked(many, chunkMicros = chunk).orderBy("event_id")
+      .select("macd", "signal", "hist").collect()
+    m0.zip(m1).zipWithIndex.foreach { case ((a, b), i) =>
+      for (c <- 0 until 3)
+        assert(math.abs(a.getDouble(c) - b.getDouble(c)) <=
+          1e-12 * math.max(math.abs(a.getDouble(c)), 1.0), s"macd col $c row $i")
+    }
+    val r0 = Rolling.rsi(many).orderBy("event_id")
+      .select("avg_gain", "avg_loss", "rsi").collect()
+    val r1 = Rolling.rsiChunked(many, chunkMicros = chunk).orderBy("event_id")
+      .select("avg_gain", "avg_loss", "rsi").collect()
+    assert(r1(0).isNullAt(0) && r1(0).isNullAt(2)) // first row: no delta
+    r0.zip(r1).zipWithIndex.drop(1).foreach { case ((a, b), i) =>
+      for (c <- 0 until 3)
+        assert(math.abs(a.getDouble(c) - b.getDouble(c)) <=
+          1e-12 * math.max(math.abs(a.getDouble(c)), 1.0), s"rsi col $c row $i")
+    }
+  }
+
   test("CumProd aggregator: exact for zeros/negatives, skips nulls") {
     val vals = Seq(Some(2.0), Some(-3.0), None, Some(0.5)).toDF("x")
     val p = vals.agg(CumProd.product(col("x"))).as[Double].head()

@@ -639,6 +639,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming EMA: state carries across micro-batches, converging to the batch ewma") {
+    // 300 ticks / 3 symbols in three time-ordered chunks, written as
+    // separate files with strictly increasing mtimes; maxFilesPerTrigger=1
+    // forces one micro-batch per chunk, so the (num, den) state MUST
+    // carry across batches to match the batch windowed EMA
+    val all = (0 until 300).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L),
+        Seq("btc", "eth", "sol")(i % 3), 100.0 + (i * 41 % 23) - 11.0)
+    }
+    val dir = Files.createTempDirectory("graft_sema_").toString
+    all.grouped(100).foreach { chunk =>
+      chunk.toDF("event_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      Thread.sleep(1500) // distinct mtimes → deterministic batch order
+    }
+    val schema = all.take(1).toDF("event_id", "ts", "event_type", "value").schema
+    val q = graft.stream.StatefulRunning
+      .runningEma(spark, s"$dir/in", schema, 0.1, maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("sema_t")
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sema_t")
+      .groupBy("event_type").agg(max("n").as("n"),
+        max_by(col("ema"), col("n")).as("ema"))
+      .orderBy("event_type").collect()
+    // ≥3 emissions per key proves the per-batch pacing actually happened
+    assert(spark.table("sema_t").count() >= 9)
+    val batch = graft.ops.Rolling
+      .ewma(all.toDF("event_id", "ts", "event_type", "value"), 0.1)
+      .groupBy("event_type").agg(max_by(col("ema"), col("event_id")).as("ema"))
+      .orderBy("event_type").collect()
+    assert(streamed.length == 3)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[String]("event_type") == b.getAs[String]("event_type"))
+      assert(s.getAs[Long]("n") == 100L)
+      val (x, y) = (s.getAs[Double]("ema"), b.getAs[Double]("ema"))
+      assert(math.abs(x - y) <= 1e-12 * math.abs(y), s"$x vs $y")
+    }
+  }
+
   test("streaming dedup: replayed event ids emit exactly once") {
     // at-least-once upstream: every 5th event is delivered twice, some
     // three times, across separate files (≈ separate micro-batches)
