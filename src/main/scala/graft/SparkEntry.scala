@@ -131,6 +131,20 @@ object SparkEntry {
     // two-passes, no unbounded per-symbol window. Same oracles.
     "macd_chunked" -> ((s, d) => Rolling.macdChunked(ev(s, d))),
     "rsi_chunked" -> ((s, d) => Rolling.rsiChunked(ev(s, d))),
+    // Drawdown: prefix-max peak + value/peak − 1, exact; plus the scalar
+    // max-drawdown summary and the chunked twin (one-double carry — max
+    // re-associates losslessly, so the twin is bit-identical).
+    "drawdown" -> ((s, d) => Rolling.drawdown(ev(s, d))),
+    "drawdown_chunked" -> ((s, d) => Rolling.drawdownChunked(ev(s, d))),
+    "max_drawdown" -> ((s, d) => Rolling.maxDrawdown(ev(s, d))),
+    // TWAP per hourly bar: tick prices time-weighted to the next tick
+    // (clamped at the bar edge) — burst-robust, one lead window + one agg.
+    "twap_hourly" -> ((s, d) => Resample.twapHourly(ev(s, d))),
+    // Rolling 24-bar Pearson correlation surface over ALL symbol pairs:
+    // one bucket-aligned self-join, five windowed sufficient sums per
+    // pair (parallel across pairs), one projection.
+    "rolling_corr" -> ((s, d) =>
+      Rolling.rollingCorrMatrix(Resample.ohlcHourly(ev(s, d)))),
     // P8+W3-W7: MA-crossover backtest as one composed query.
     "ma_crossover" -> ((s, d) => Rolling.maCrossoverBacktest(Resample.ohlcHourly(ev(s, d)))),
     // A6/J1: min-max scaling via broadcast grouped-stats join.
@@ -619,6 +633,16 @@ object SparkEntry {
          |      * CAST(floor(CAST(embedding[d] AS DOUBLE) * 1048576) AS BIGINT))) >= 0
          | THEN ${1L << p} ELSE 0 END""".stripMargin
     }.mkString("(", "\n + ", ")")
+    // Drawdown oracle — serves both the windowed form and the chunked
+    // twin (bit-identical: max and division re-associate losslessly).
+    val drawdownOracle =
+      """WITH p AS (
+        |  SELECT event_id, event_type, value,
+        |    max(value) OVER (PARTITION BY event_type ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM events)
+        |SELECT event_id, event_type, value, peak, value / peak - 1 AS dd
+        |FROM p""".stripMargin
     // EMA oracle, chunk-carry form (serves ewma_price and its chunked
     // twin — one 500-row-block decomposition, bounded exponents, a
     // ~40-iteration block-level recursion for the cross-block carry).
@@ -943,6 +967,60 @@ object SparkEntry {
         |SELECT bucket, event_type, signed_vol,
         |  sum(signed_vol) OVER (PARTITION BY event_type ORDER BY bucket
         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obv
+        |FROM s""".stripMargin,
+    // drawdown twins share one oracle: the chunked form is bit-identical
+    // (max and division re-associate losslessly)
+    "drawdown" -> drawdownOracle,
+    "drawdown_chunked" -> drawdownOracle,
+    "max_drawdown" ->
+      """WITH p AS (
+        |  SELECT event_type, value,
+        |    max(value) OVER (PARTITION BY event_type ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM events)
+        |SELECT event_type, min(value / peak - 1) AS max_dd, count(*) AS n
+        |FROM p GROUP BY 1""".stripMargin,
+    "twap_hourly" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+        |    epoch_us(ts) AS ts_us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY event_type
+        |                             ORDER BY ts, event_id) AS next_us
+        |  FROM events),
+        |w AS (
+        |  SELECT bucket, event_type, value,
+        |    CAST(least(coalesce(next_us, bucket * 1000000 + 3600000000),
+        |               bucket * 1000000 + 3600000000) - ts_us AS DOUBLE) AS w
+        |  FROM t)
+        |SELECT bucket, event_type, sum(value * w) / sum(w) AS twap,
+        |  count(*) AS n_trades
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    "rolling_corr" ->
+      """WITH hourly AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+        |    event_type, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.bucket AS bucket,
+        |    a.event_type || '/' || b.event_type AS pair,
+        |    a.close AS x, b.close AS y
+        |  FROM hourly a JOIN hourly b ON a.bucket = b.bucket
+        |  WHERE a.event_type < b.event_type),
+        |s AS (
+        |  SELECT bucket, pair, x, y,
+        |    CAST(count(*) OVER w AS DOUBLE) AS cnt,
+        |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        |    sum(x * y) OVER w AS sxy,
+        |    sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+        |  FROM j
+        |  WINDOW w AS (PARTITION BY pair ORDER BY bucket
+        |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT bucket, pair, x, y,
+        |  (cnt * sxy - sx * sy) /
+        |    sqrt(greatest(cnt * sxx - sx * sx, 0) *
+        |         greatest(cnt * syy - sy * sy, 0)) AS corr_xy,
+        |  (cnt * sxy - sx * sy) / greatest(cnt * sxx - sx * sx, 0) AS beta_yx
         |FROM s""".stripMargin,
     "stochastic" ->
       """WITH hourly AS (

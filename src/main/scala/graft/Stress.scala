@@ -74,6 +74,12 @@ object Stress {
     time("ewma_1sym_window")(ops.Rolling.ewma(oneSymbol, 0.1))
     time("ewma_1sym_chunked")(
       ops.Rolling.ewmaChunked(oneSymbol, 0.1, 86400L * 1000000L))
+    // Drawdown: the cheapest chunk carry of the family (ONE double — the
+    // chunk max) vs the unbounded prefix-max window.
+    time("drawdown_20sym")(ops.Rolling.drawdown(events))
+    time("drawdown_1sym_window")(ops.Rolling.drawdown(oneSymbol))
+    time("drawdown_1sym_chunked")(
+      ops.Rolling.drawdownChunked(oneSymbol, 86400L * 1000000L))
 
     // Exact percentiles on a HIGH-CARDINALITY double (~every row distinct
     // at 5M rows): the built-in percentile() accumulates a value→count

@@ -69,6 +69,38 @@ object Resample {
         count(lit(1)).as("n_trades"))
       .withColumn("bucket_end", col("bucket_ts") + expr("INTERVAL 1 HOUR"))
 
+  /** Time-weighted average price (TWAP) per hourly bar: each tick's
+    * price holds from its timestamp until the next tick of the SAME
+    * symbol or the end of the hour, whichever comes first; the bar's
+    * TWAP is Σ value·w / Σ w with microsecond weights. The convention is
+    * per-bar self-contained (the span from the bar's start to its first
+    * tick carries no weight — carrying the previous bar's close across
+    * the boundary is [[graft.ops.Rolling.fillForward]]'s job).
+    *
+    * Unlike the plain-mean OHLC `volume/n_trades`, TWAP is robust to
+    * burst sampling — 1000 ticks in one second move the mean but barely
+    * move the TWAP. Cost: ONE `lead` window on the symbol axis (the same
+    * per-symbol sort every lag/returns pass pays) + the same hash
+    * aggregate as the flagship; weights never cross symbols, so the
+    * window stays partitioned and parallel at any symbol count.
+    */
+  def twapHourly(events: DataFrame): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val bucketEndUs = (col("bucket") + 3600L) * lit(1000000L)
+    events
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("bucket", unix_timestamp(date_trunc("hour", col("ts"))))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(byType))
+      .withColumn("w",
+        (least(coalesce(col("next_us"), bucketEndUs), bucketEndUs)
+          - col("ts_us")).cast("double"))
+      .groupBy(col("bucket"), col("event_type"))
+      .agg(
+        try_divide(sum(col("value") * col("w")), sum(col("w"))).as("twap"),
+        count(lit(1)).as("n_trades"))
+  }
+
   /** The reference's row-position bucketing (`process_data.py:47-49`):
     * `group_id = floor((row_number() over (order by ts) - 1) / trackEach)`.
     *

@@ -396,6 +396,123 @@ object Rolling {
       .select(col("bucket"), col("event_type"), col("signed_vol"), col("obv"))
   }
 
+  /** Drawdown series per symbol: running peak (prefix max of the value
+    * series) and drawdown = value/peak − 1 (≤ 0 by construction). Exact —
+    * no smoothing, one growing window per symbol; max is associative, so
+    * the deep-series twin [[drawdownChunked]] carries ONE double per
+    * chunk (contrast the EMA's affine (num, den, decay) state). A zero
+    * peak (all-zero prefix) → NULL dd via `try_divide`, matching DuckDB
+    * double division.
+    */
+  def drawdown(events: DataFrame): DataFrame = {
+    val wGrow = byTypeTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("peak", max(col("value")).over(wGrow))
+      .withColumn("dd", try_divide(col("value"), col("peak")) - 1)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("peak"), col("dd"))
+  }
+
+  /** Per-symbol max drawdown (the deepest trough of [[drawdown]]) — the
+    * scalar risk summary. Two shuffles total: the window repartition and
+    * the final per-symbol agg (map-side combined; only one row per
+    * symbol survives).
+    */
+  def maxDrawdown(events: DataFrame): DataFrame =
+    drawdown(events)
+      .groupBy(col("event_type"))
+      .agg(min(col("dd")).as("max_dd"), count(lit(1)).as("n"))
+
+  /** [[drawdown]] for the deep-single-symbol regime: NO unbounded
+    * per-symbol window. The prefix max factors the same way the EMA's
+    * affine state does, but with the simplest possible carry:
+    * within-chunk running max under a bounded `(symbol, chunk)` window,
+    * a one-double-per-chunk summary (the chunk max), an exclusive
+    * running max over the summary table, and
+    * `peak = greatest(withinChunkPeak, carry)` (both engines' `greatest`
+    * skips the NULL carry of a series' first chunk). Output is
+    * bit-identical to [[drawdown]] — max and division re-associate
+    * losslessly, so the parity spec asserts EXACT equality, not an
+    * epsilon.
+    */
+  def drawdownChunked(events: DataFrame,
+                      chunkMicros: Long = 3600L * 1000000L): DataFrame = {
+    val wChunkGrow = Window.partitionBy(col("event_type"), col("chunk"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCarry = Window.partitionBy(col("event_type")).orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunked = events
+      .withColumn("chunk", floor(unix_micros(col("ts")) / lit(chunkMicros)))
+    val peaks = chunked.groupBy(col("event_type"), col("chunk"))
+      .agg(max(col("value")).as("chunk_peak"))
+      .withColumn("carry_peak", max(col("chunk_peak")).over(wCarry))
+      .select(col("event_type"), col("chunk"), col("carry_peak"))
+    chunked
+      .withColumn("peak_in_chunk", max(col("value")).over(wChunkGrow))
+      .join(broadcast(peaks), Seq("event_type", "chunk"))
+      .withColumn("peak", greatest(col("peak_in_chunk"), col("carry_peak")))
+      .withColumn("dd", try_divide(col("value"), col("peak")) - 1)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("peak"), col("dd"))
+  }
+
+  /** Rolling Pearson correlation over EVERY symbol pair's hourly closes
+    * in one pass — the correlation surface. Bars self-join on bucket
+    * (`sym_a < sym_b` keeps each unordered pair once; bars missing on
+    * either side drop, as pandas `corr` over an aligned frame would),
+    * then ONE windowed pass per pair accumulates the five sufficient
+    * sums (Σx, Σy, Σxy, Σx², Σy²) and the correlation is a pure
+    * projection over them — no second scan, no per-window re-walk of
+    * raw ticks (windows cover #bars, not #ticks). The window partitions
+    * on the data-derived pair label, so all k(k−1)/2 pair series sort
+    * independently in parallel — the plan guard pins that this never
+    * collapses to a single-task window. Variance factors clamp at 0
+    * (`greatest`) so a flat window's float residual (±ε) can't reach
+    * `sqrt` as a negative, and the degenerate 0/0 → NULL via
+    * `try_divide` in both engines.
+    *
+    * 100 TB note: the self-join is on the RESAMPLED bar table (#buckets ×
+    * #symbols rows, not ticks); its output is #buckets × k²/2. For large
+    * k restrict the left side to a watch-list first — the join is the
+    * quadratic step, the windows stay linear in their input.
+    */
+  def rollingCorrMatrix(bars: DataFrame, n: Int = 24): DataFrame = {
+    require(n >= 1, s"window must be >= 1 bar, got $n")
+    val a = bars.select(col("bucket"), col("event_type").as("sym_a"),
+      col("close").as("x"))
+    val b = bars.select(col("bucket"), col("event_type").as("sym_b"),
+      col("close").as("y"))
+    val w = Window.partitionBy(col("pair")).orderBy(col("bucket"))
+      .rowsBetween(-(n - 1), 0)
+    val cnt = count(lit(1)).over(w).cast("double")
+    val sx = sum(col("x")).over(w)
+    val sy = sum(col("y")).over(w)
+    val sxy = sum(col("x") * col("y")).over(w)
+    val sxx = sum(col("x") * col("x")).over(w)
+    val syy = sum(col("y") * col("y")).over(w)
+    a.join(b, Seq("bucket")).where(col("sym_a") < col("sym_b"))
+      .withColumn("pair", concat_ws("/", col("sym_a"), col("sym_b")))
+      .withColumn("corr_xy", try_divide(
+        cnt * sxy - sx * sy,
+        sqrt(greatest(cnt * sxx - sx * sx, lit(0.0)) *
+          greatest(cnt * syy - sy * sy, lit(0.0)))))
+      // regression slope of y on x — the same sums, one more projection
+      .withColumn("beta_yx", try_divide(
+        cnt * sxy - sx * sy,
+        greatest(cnt * sxx - sx * sx, lit(0.0))))
+      .select(col("bucket"), col("pair"), col("x"), col("y"),
+        col("corr_xy"), col("beta_yx"))
+  }
+
+  /** [[rollingCorrMatrix]] restricted to one symbol pair — the filter
+    * lands BEFORE the self-join, so only the two series are scanned.
+    */
+  def rollingCorrPair(bars: DataFrame, typeA: String, typeB: String,
+                      n: Int = 24): DataFrame =
+    rollingCorrMatrix(
+      bars.filter(col("event_type").isin(typeA, typeB)), n)
+
   /** [[cumprodEquity]] for the deep-single-symbol regime: identical
     * output, but NO unbounded per-symbol window. Rows are chunked by
     * coarse time (`floor(epoch_µs / chunkMicros)` — a pure map, so chunk

@@ -152,6 +152,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("drawdown / twap_hourly: one symbol-partitioned window, never single-task") {
+    // drawdown: one hash exchange for the per-symbol prefix-max window;
+    // twap: the lead window's symbol exchange + the bar groupBy
+    for ((q, maxSh) <- Seq("drawdown" -> 1, "twap_hourly" -> 2)) {
+      val p = plan(q)
+      assert(shuffles(p) <= maxSh, s"$q shuffles=${shuffles(p)}\n$p")
+      assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
+    }
+  }
+
+  test("rolling_corr: bucket-aligned equi-join + pair-partitioned window — no nested loop") {
+    val p = plan("rolling_corr")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the window partitions on the pair label, so a many-pair surface
+    // parallelizes; a lost partitionBy would plan Exchange SinglePartition
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("macd / rsi: all EMAs ride ONE symbol shuffle and ONE sort") {
     // macd chains a second Window (signal over the derived macd line) and
     // rsi a lag + EMA pair — same partitioning/ordering throughout, so

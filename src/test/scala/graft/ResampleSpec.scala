@@ -84,4 +84,38 @@ class ResampleSpec extends SparkSpec {
     val maxHigh = hourly.agg(max("high")).as[Double].head()
     assert(maxHigh == walk.max)
   }
+
+  test("twapHourly: prices weighted by hold time to the next tick") {
+    // one hour from epoch 1704067200: tick at +0s (10.0) holds 600 s,
+    // tick at +600s (20.0) holds to the bar edge (3000 s)
+    val e = Seq(
+      (0L, new Timestamp(1704067200000L), "btc", 10.0),
+      (1L, new Timestamp(1704067200000L + 600000L), "btc", 20.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val out = Resample.twapHourly(e).select("bucket", "twap", "n_trades").collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1704067200L)
+    assert(approx(out(0).getDouble(1), (10.0 * 600 + 20.0 * 3000) / 3600))
+    assert(out(0).getLong(2) == 2L)
+  }
+
+  test("twapHourly: cross-hour clamp and burst robustness") {
+    val h0 = 1704067200000L
+    // tick at +0 (10.0) holds to the burst at +3590s; ten 1000.0 burst
+    // ticks a second apart carry 1 s each; the NEXT tick is in hour 2,
+    // so the last burst tick clamps at the bar edge, never crosses
+    val ticks = Seq((0L, 0L, 10.0)) ++
+      (1 to 10).map(k => (k.toLong, 3589000L + k * 1000L, 1000.0)) ++
+      Seq((11L, 3600000L, 99.0))
+    val e = ticks.map { case (id, off, v) =>
+      (id, new Timestamp(h0 + off), "btc", v)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val out = Resample.twapHourly(e).orderBy("bucket").collect()
+    assert(out.length == 2)
+    // burst-robust: 10 ticks at 1000.0 move TWAP to only ~12.75 (the
+    // plain mean of the same bar is ~910)
+    assert(approx(out(0).getAs[Double]("twap"), (10.0 * 3590 + 1000.0 * 10) / 3600))
+    // a bar's last tick with no successor holds to its own bar edge
+    assert(approx(out(1).getAs[Double]("twap"), 99.0))
+  }
 }

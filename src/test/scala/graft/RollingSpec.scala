@@ -326,6 +326,62 @@ class RollingSpec extends SparkSpec {
     }
   }
 
+  test("drawdown: peak is the prefix max, dd = value/peak - 1; maxDrawdown finds the trough") {
+    // 100, 120, 90, 110, 80 → peaks 100,120,120,120,120
+    val e = Seq(100.0, 120.0, 90.0, 110.0, 80.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L), "btc", v)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val out = Rolling.drawdown(e).orderBy("event_id")
+      .select("peak", "dd").collect()
+    assert(out.map(_.getDouble(0)).toSeq ==
+      Seq(100.0, 120.0, 120.0, 120.0, 120.0))
+    assert(out(0).getDouble(1) == 0.0) // at a fresh peak: no drawdown
+    assert(approx(out(2).getDouble(1), 90.0 / 120.0 - 1))
+    val md = Rolling.maxDrawdown(e).select("max_dd").as[Double].head()
+    assert(approx(md, 80.0 / 120.0 - 1))
+  }
+
+  test("drawdownChunked: bit-identical to the windowed form across chunk boundaries") {
+    val many = (0 until 300).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 10000L),
+        Seq("btc", "eth")(i % 2), 100.0 + (i * 37 % 29) - 14.0)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val w = Rolling.drawdown(many).orderBy("event_id")
+      .select("peak", "dd").collect()
+    val c = Rolling.drawdownChunked(many, chunkMicros = 60L * 1000000L)
+      .orderBy("event_id").select("peak", "dd").collect()
+    w.zip(c).zipWithIndex.foreach { case ((a, b), i) =>
+      // EXACT: max and division re-associate losslessly, unlike the EMA
+      assert(a.getDouble(0) == b.getDouble(0), s"peak row $i")
+      assert(a.getDouble(1) == b.getDouble(1), s"dd row $i")
+    }
+  }
+
+  test("rollingCorrPair: +1 on an affine pair, -1 inverted, NULL on flat/degenerate windows") {
+    val bars = (0 until 30).flatMap { t =>
+      Seq(("a", t.toLong, t.toDouble), ("b", t.toLong, 2.0 * t + 3),
+        ("c", t.toLong, -t.toDouble), ("flat", t.toLong, 7.0))
+    }.toDF("event_type", "bucket", "close")
+    val ab = Rolling.rollingCorrPair(bars, "a", "b", 5).orderBy("bucket")
+      .select("corr_xy", "beta_yx").collect()
+    assert(ab(0).isNullAt(0)) // single-bar window: zero variance → NULL
+    ab.drop(1).foreach { r =>
+      assert(approx(r.getDouble(0), 1.0))
+      assert(approx(r.getDouble(1), 2.0)) // slope of y = 2x + 3
+    }
+    val ac = Rolling.rollingCorrPair(bars, "a", "c", 5).orderBy("bucket")
+      .select("corr_xy", "beta_yx").collect()
+    ac.drop(1).foreach { r =>
+      assert(approx(r.getDouble(0), -1.0))
+      assert(approx(r.getDouble(1), -1.0))
+    }
+    val af = Rolling.rollingCorrPair(bars, "a", "flat", 5).orderBy("bucket")
+      .select("corr_xy", "beta_yx").collect()
+    af.foreach(r => assert(r.isNullAt(0))) // one side flat → NULL, never NaN
+    // flat y against varying x: slope is defined and ~0
+    af.drop(1).foreach(r => assert(approx(r.getDouble(1), 0.0)))
+  }
+
   test("CumProd aggregator: exact for zeros/negatives, skips nulls") {
     val vals = Seq(Some(2.0), Some(-3.0), None, Some(0.5)).toDF("x")
     val p = vals.agg(CumProd.product(col("x"))).as[Double].head()
