@@ -93,6 +93,11 @@ object SparkEntry {
     // Same semantics via range-partitioned sort + zipWithIndex — no
     // single-task global window (shares ohlc_rowbucket's oracle shape).
     "ohlc_rowbucket_scale" -> ((s, d) => Resample.ohlcRowBucketScale(ev(s, d), 500)),
+    // Volume bars: equal-traded-volume resampling; integer milli-units
+    // make every bar edge exact (float cumsum could flip a boundary
+    // tick). The chunked twin is bit-identical (one-BIGINT carry).
+    "volume_bars" -> ((s, d) => Resample.volumeBars(ev(s, d))),
+    "volume_bars_chunked" -> ((s, d) => Resample.volumeBarsChunked(ev(s, d))),
     // W3/W4: rolling mean + stddev volatility bands on the hourly series.
     "ma_volatility" -> ((s, d) => Rolling.maVolatility(Resample.ohlcHourly(ev(s, d)))),
     // Same, pandas min_periods semantics: NULL until the window is full
@@ -474,6 +479,9 @@ object SparkEntry {
     "quality_tiers" -> ((s, d) => TextAnalysis.qualityTiers(Tables.documents(s, d))),
     // Per-language top-k vocabulary by document frequency.
     "top_terms" -> ((s, d) => TextAnalysis.topTerms(Tables.documents(s, d))),
+    // Per-doc top-3 TF-IDF salient terms (rational idf — engine-exact
+    // ranking: integer products + one correctly-rounded division, no ln).
+    "salient_terms" -> ((s, d) => TextAnalysis.salientTerms(Tables.documents(s, d))),
     // LLM tier — near-dup (MinHash signatures + banded-LSH pairs).
     "minhash_sigs" -> ((s, d) => Similarity.minhashSignatures(Tables.documents(s, d))),
     // Production shape: the hashed-shingle signature table is written to a
@@ -633,6 +641,23 @@ object SparkEntry {
          |      * CAST(floor(CAST(embedding[d] AS DOUBLE) * 1048576) AS BIGINT))) >= 0
          | THEN ${1L << p} ELSE 0 END""".stripMargin
     }.mkString("(", "\n + ", ")")
+    // Volume-bars oracle — serves both the windowed form and the chunked
+    // twin (bit-identical: integer units, exact cumsum, floor division).
+    val volumeBarsOracle =
+      """WITH u AS (
+        |  SELECT event_id, event_type, ts, value,
+        |    CAST(round(value * 1000) AS BIGINT) AS units
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, ts, value, units,
+        |    sum(units) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM u)
+        |SELECT event_type, CAST((cum - units) // 10000000 AS BIGINT) AS bar,
+        |  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+        |  arg_max(value, ts) AS close, sum(value) AS volume,
+        |  count(*) AS n_trades
+        |FROM c GROUP BY 1, 2""".stripMargin
     // Drawdown oracle — serves both the windowed form and the chunked
     // twin (bit-identical: max and division re-associate losslessly).
     val drawdownOracle =
@@ -889,6 +914,9 @@ object SparkEntry {
         | arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
         | arg_max(value, ts) AS close, sum(value) AS volume, count(*) AS n_trades
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // volume-bar twins share one oracle: integer units → exact bar edges
+    "volume_bars" -> volumeBarsOracle,
+    "volume_bars_chunked" -> volumeBarsOracle,
     "ohlc_rowbucket" ->
       """SELECT CAST(floor((rn - 1) / 500) AS BIGINT) AS group_id,
         | arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
@@ -1754,6 +1782,23 @@ object SparkEntry {
         |              FROM documents)
         |        GROUP BY 1, 2))
         |WHERE rank <= 5""".stripMargin,
+    "salient_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |dft AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.t, tf.tf, dft.df,
+        |    CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (dft.df + 1) AS score
+        |  FROM tf JOIN dft ON tf.t = dft.t CROSS JOIN n)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, t, tf, df, score
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, t ASC) AS rank FROM scored)
+        |WHERE rank <= 3""".stripMargin,
     "minhash_neardup" ->
       """WITH sh AS (
         |  SELECT doc_id,

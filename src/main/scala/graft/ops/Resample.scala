@@ -101,6 +101,86 @@ object Resample {
         count(lit(1)).as("n_trades"))
   }
 
+  /** Volume bars: resample each symbol's ticks into bars of (near-)equal
+    * traded volume instead of equal time — the information-driven bar
+    * family (time bars oversample quiet hours, undersample bursts). A
+    * tick belongs to the bar its cumulative-volume PREFIX falls in:
+    * `bar = (cumsum_before_tick) div barUnits`.
+    *
+    * Determinism at the boundary is the design point: volume is first
+    * quantized to integer milli-units (`round(value·1000)` — exact for
+    * any double both engines round the same way), so the running sum is
+    * an exact BIGINT and the bar assignment is integer division — no
+    * float accumulation can flip a tick across a bar edge (a float
+    * cumsum's last-ulp would, turning one re-association into a
+    * different GROUPING — the one error class the value-tolerant oracle
+    * compare cannot absorb).
+    *
+    * Scale shape: one per-symbol window (the same sort every prefix op
+    * pays) + one hash aggregate. The cumsum is associative, so the
+    * deep-single-symbol regime chunks exactly like
+    * [[graft.ops.Rolling.drawdownChunked]] with a one-BIGINT carry
+    * ([[volumeBarsChunked]] — bit-identical, not epsilon-close).
+    */
+  def volumeBars(events: DataFrame,
+                 barUnits: Long = 10000000L): DataFrame = {
+    require(barUnits > 0, s"barUnits must be positive, got $barUnits")
+    val wGrow = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("units", round(col("value") * 1000).cast("long"))
+      .withColumn("cum", sum(col("units")).over(wGrow))
+      .withColumn("bar", expr("(cum - units) div " + barUnits))
+      .groupBy(col("event_type"), col("bar"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        sum(col("value")).as("volume"),
+        count(lit(1)).as("n_trades"))
+  }
+
+  /** [[volumeBars]] for the deep-single-symbol regime: the unbounded
+    * cumsum window factors into bounded per-(symbol, time-chunk) windows
+    * plus a one-BIGINT-per-chunk carry (the chunk total, prefix-summed
+    * exclusively over the tiny summary table and broadcast back).
+    * Integer arithmetic end-to-end → BIT-identical bars to
+    * [[volumeBars]].
+    */
+  def volumeBarsChunked(events: DataFrame,
+                        barUnits: Long = 10000000L,
+                        chunkMicros: Long = 3600L * 1000000L): DataFrame = {
+    require(barUnits > 0, s"barUnits must be positive, got $barUnits")
+    val wChunkGrow = Window.partitionBy(col("event_type"), col("chunk"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCarry = Window.partitionBy(col("event_type")).orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunked = events
+      .withColumn("units", round(col("value") * 1000).cast("long"))
+      .withColumn("chunk", floor(unix_micros(col("ts")) / lit(chunkMicros)))
+    val carries = chunked.groupBy(col("event_type"), col("chunk"))
+      .agg(sum(col("units")).as("chunk_units"))
+      .withColumn("carry",
+        coalesce(sum(col("chunk_units")).over(wCarry), lit(0L)))
+      .select(col("event_type"), col("chunk"), col("carry"))
+    chunked
+      .withColumn("cum_in_chunk", sum(col("units")).over(wChunkGrow))
+      .join(broadcast(carries), Seq("event_type", "chunk"))
+      .withColumn("cum", col("cum_in_chunk") + col("carry"))
+      .withColumn("bar", expr("(cum - units) div " + barUnits))
+      .groupBy(col("event_type"), col("bar"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        sum(col("value")).as("volume"),
+        count(lit(1)).as("n_trades"))
+  }
+
   /** The reference's row-position bucketing (`process_data.py:47-49`):
     * `group_id = floor((row_number() over (order by ts) - 1) / trackEach)`.
     *

@@ -450,6 +450,41 @@ object TextAnalysis {
       .select(col("lang"), col("rank"), col("t"), col("df"))
   }
 
+  /** Per-document top-k salient terms — TF-IDF with a RATIONAL inverse
+    * document frequency: score = tf · (N+1)/(df+1). Skipping the `ln`
+    * keeps the per-doc ranking identical (log is monotone) while making
+    * the score bit-reproducible across engines: tf·(N+1) and df+1 are
+    * exact BIGINTs (well under 2^53) and one IEEE double division is
+    * correctly rounded everywhere, unlike transcendental `ln` whose
+    * last-ulp differences between libm implementations could flip
+    * near-tied ranks. Ties break on the term string.
+    *
+    * Scale shape: tf is one map-side-combined aggregate over the token
+    * rows; df aggregates the already-distinct (doc, term) table (≪ token
+    * rows); the corpus size joins as a one-row broadcast; the top-k
+    * window runs over per-doc term stats partitioned by doc_id — never a
+    * global sort, never the raw token rows twice.
+    */
+  def salientTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents
+      .select(col("doc_id"), explode(toks).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val n = documents.agg(count_distinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("t").asc)
+    tf.join(dft, Seq("t"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * (col("n_docs") + 1)).cast("double") / (col("df") + 1))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("t"), col("tf"), col("df"),
+        col("score"))
+  }
+
   /** Document fingerprints: whole-text md5 plus a rolling-shingle
     * fingerprint (min md5 over 3-word shingles — a 1-hash MinHash, the
     * building block of content-defined dedup keys).

@@ -162,6 +162,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("volume_bars: one symbol-partitioned cumsum window + one hash agg") {
+    for (q <- Seq("volume_bars", "volume_bars_chunked")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
+      assert(p.contains("HashAggregate"), s"$q:\n$p")
+    }
+  }
+
+  test("salient_terms: doc-partitioned top-k window, corpus size as one broadcast row") {
+    val p = plan("salient_terms")
+    // the top-k window must partition on doc_id — never a global sort
+    // (the corpus-size reduction contributes the plan's only
+    // single-partition exchange: a one-row aggregate, by construction)
+    assert("windowspecdefinition\\(doc_id".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("rolling_corr: bucket-aligned equi-join + pair-partitioned window — no nested loop") {
     val p = plan("rolling_corr")
     assert(!p.contains("CartesianProduct"), p)

@@ -85,6 +85,35 @@ class ResampleSpec extends SparkSpec {
     assert(maxHigh == walk.max)
   }
 
+  test("volumeBars: exact integer bar edges; chunked twin bit-identical") {
+    // units = round(v·1000); barUnits 10000 → bars split on the exact
+    // cumulative-prefix edge: prefixes 0,4000,6000 | 12000,15000
+    val e = Seq(4.0, 2.0, 6.0, 3.0, 5.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L), "btc", v)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val out = Resample.volumeBars(e, barUnits = 10000L).orderBy("bar")
+      .select("bar", "open", "high", "low", "close", "volume", "n_trades")
+      .collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 0L && out(0).getDouble(1) == 4.0 &&
+      out(0).getDouble(2) == 6.0 && out(0).getDouble(3) == 2.0 &&
+      out(0).getDouble(4) == 6.0 && out(0).getDouble(5) == 12.0 &&
+      out(0).getLong(6) == 3L)
+    assert(out(1).getLong(0) == 1L && out(1).getDouble(1) == 3.0 &&
+      out(1).getDouble(4) == 5.0 && out(1).getLong(6) == 2L)
+
+    val many = (0 until 300).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 10000L),
+        Seq("btc", "eth")(i % 2), 100.0 + (i * 37 % 29) - 14.0)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val w = Resample.volumeBars(many, 500000L)
+      .orderBy("event_type", "bar").collect()
+    val c = Resample.volumeBarsChunked(many, 500000L, 60L * 1000000L)
+      .orderBy("event_type", "bar").collect()
+    assert(w.length == c.length && w.length > 20, s"${w.length} bars")
+    w.zip(c).foreach { case (a, b) => assert(a == b) } // BIT-identical
+  }
+
   test("twapHourly: prices weighted by hold time to the next tick") {
     // one hour from epoch 1704067200: tick at +0s (10.0) holds 600 s,
     // tick at +600s (20.0) holds to the bar edge (3000 s)

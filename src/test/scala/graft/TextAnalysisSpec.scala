@@ -211,4 +211,27 @@ class TextAnalysisSpec extends SparkSpec {
       meanByTier("t2") < meanByTier("t3") &&
       meanByTier("t3") < meanByTier("t4"), meanByTier.toString)
   }
+
+  test("salientTerms: rational tf-idf ranks rare-but-frequent terms first, ties on term") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana common common"),
+      (3L, "cherry common")
+    ).toDF("doc_id", "text")
+    // N=3; df: apple 1, banana 2, cherry 1, common 3
+    val out = TextAnalysis.salientTerms(docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // d1: apple 2·4/2=4.0 > banana 1·4/3 > common 1·4/4=1.0
+    assert(out((1L, 1)) == (("apple", 2L, 1L, 4.0)))
+    assert(out((1L, 2))._1 == "banana" && approx(out((1L, 2))._4, 4.0 / 3))
+    assert(out((1L, 3)) == (("common", 1L, 3L, 1.0)))
+    // d2: common tf=2 (2.0) outranks banana (4/3) despite higher df
+    assert(out((2L, 1))._1 == "common" && out((2L, 1))._4 == 2.0)
+    assert(out((2L, 2))._1 == "banana")
+    // d3: cherry 2.0, then common
+    assert(out((3L, 1)) == (("cherry", 1L, 1L, 2.0)))
+    assert(out((3L, 2))._1 == "common")
+  }
 }
