@@ -482,6 +482,15 @@ object SparkEntry {
     // Per-doc top-3 TF-IDF salient terms (rational idf — engine-exact
     // ranking: integer products + one correctly-rounded division, no ln).
     "salient_terms" -> ((s, d) => TextAnalysis.salientTerms(Tables.documents(s, d))),
+    // Inverted-index stats: per-term df + bounded min-k posting sample
+    // (one hash agg, k-bounded partials — skew-immune by construction).
+    // The sample array rides the oracle compare as a joined string.
+    "postings" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{array_join, col}
+      TextAnalysis.postings(Tables.documents(s, d))
+        .withColumn("doc_sample",
+          array_join(col("doc_sample").cast("array<string>"), ","))
+    }),
     // LLM tier — near-dup (MinHash signatures + banded-LSH pairs).
     "minhash_sigs" -> ((s, d) => Similarity.minhashSignatures(Tables.documents(s, d))),
     // Production shape: the hashed-shingle signature table is written to a
@@ -1782,6 +1791,14 @@ object SparkEntry {
         |              FROM documents)
         |        GROUP BY 1, 2))
         |WHERE rank <= 5""".stripMargin,
+    "postings" ->
+      """SELECT t, count(*) AS df,
+        |  array_to_string((list(doc_id ORDER BY doc_id))[1:10], ',')
+        |    AS doc_sample
+        |FROM (SELECT DISTINCT doc_id,
+        |        unnest(string_split(lower(text), ' ')) AS t
+        |      FROM documents)
+        |GROUP BY t""".stripMargin,
     "salient_terms" ->
       """WITH tf AS (
         |  SELECT doc_id, t, count(*) AS tf FROM (

@@ -485,6 +485,27 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** Inverted-index build: per term, the document frequency and a
+    * bounded posting-list sample (the k smallest doc ids, ascending) —
+    * the retrieval-index corpus op. Token rows deduplicate per doc
+    * map-side (`array_distinct` BEFORE explode, so a repeated word never
+    * leaves its document as more than one pair), then ONE hash aggregate
+    * per term computes df and the sample together via the bounded
+    * [[graft.agg.MinK]] aggregator — partials carry ≤ k ids, so a
+    * stopword with a billion postings shuffles k values per map task,
+    * not its full posting list (the `collect_list`-then-truncate and
+    * windowed-`row_number` spellings both drag the hot term's every row
+    * to one place first). Full posting lists at 100 TB are a partitioned
+    * parquet SINK of the pair stream, not a driver-visible aggregate;
+    * this op is the index STATS build.
+    */
+  def postings(documents: DataFrame, k: Int = 10): DataFrame =
+    documents
+      .select(col("doc_id"), explode(array_distinct(toks)).as("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("df"),
+        graft.agg.MinK.minKLongs(col("doc_id"), k).as("doc_sample"))
+
   /** Document fingerprints: whole-text md5 plus a rolling-shingle
     * fingerprint (min md5 over 3-word shingles — a 1-hash MinHash, the
     * building block of content-defined dedup keys).

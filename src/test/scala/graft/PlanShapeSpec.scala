@@ -179,6 +179,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("postings: one k-bounded hash aggregate — no window, no collect-then-truncate") {
+    val p = plan("postings")
+    // the min-k Aggregator folds inside the agg; a Window here would
+    // mean the hot-term row_number spelling crept back in
+    assert(!p.contains("Window"), p)
+    assert(shuffles(p) <= 1, s"shuffles=${shuffles(p)}\n$p")
+  }
+
   test("rolling_corr: bucket-aligned equi-join + pair-partitioned window — no nested loop") {
     val p = plan("rolling_corr")
     assert(!p.contains("CartesianProduct"), p)

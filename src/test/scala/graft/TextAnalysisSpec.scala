@@ -212,6 +212,22 @@ class TextAnalysisSpec extends SparkSpec {
       meanByTier("t3") < meanByTier("t4"), meanByTier.toString)
   }
 
+  test("postings: df counts distinct docs; sample is the k smallest doc ids, partition-invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (5L, "b a a"), (2L, "a c"), (9L, "a b")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.postings(docs, k = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    assert(out("a") == ((3L, Seq(2L, 5L)))) // df 3; two smallest of {5,2,9}
+    assert(out("b") == ((2L, Seq(5L, 9L))))
+    assert(out("c") == ((1L, Seq(2L))))
+    // min-k is order-independent: any partitioning folds to the same rows
+    val shuffled = TextAnalysis.postings(docs.repartition(7), k = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    assert(shuffled == out)
+  }
+
   test("salientTerms: rational tf-idf ranks rare-but-frequent terms first, ties on term") {
     import spark.implicits._
     val docs = Seq(
