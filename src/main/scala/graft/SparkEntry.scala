@@ -145,6 +145,18 @@ object SparkEntry {
     // TWAP per hourly bar: tick prices time-weighted to the next tick
     // (clamped at the bar edge) — burst-robust, one lead window + one agg.
     "twap_hourly" -> ((s, d) => Resample.twapHourly(ev(s, d))),
+    // Day-anchored running TWAP (the anchored-VWAP family): two prefix
+    // sums under one (symbol, day) window — the anchor IS the chunking.
+    "twap_anchored" -> ((s, d) => Resample.twapAnchored(ev(s, d))),
+    // Lag-1 autocorrelation of returns per symbol: one window pass for
+    // the return pair, one map-side-combined five-sum aggregate.
+    "returns_autocorr" -> ((s, d) => Rolling.returnsAutocorr(ev(s, d))),
+    // Amihud illiquidity over hourly bars: |ret|/volume, trailing 24-bar
+    // mean; zero-volume bars → NULL, skipped by avg in both engines.
+    "amihud" -> ((s, d) => Rolling.amihud(Resample.ohlcHourly(ev(s, d)))),
+    // Seasonality grid: dow × hour × symbol calendar profile — one
+    // constant-size hash aggregate at any volume.
+    "seasonality_grid" -> ((s, d) => Stats.seasonalityGrid(ev(s, d))),
     // Rolling 24-bar Pearson correlation surface over ALL symbol pairs:
     // one bucket-aligned self-join, five windowed sufficient sums per
     // pair (parallel across pairs), one projection.
@@ -1033,6 +1045,65 @@ object SparkEntry {
         |SELECT bucket, event_type, sum(value * w) / sum(w) AS twap,
         |  count(*) AS n_trades
         |FROM w GROUP BY 1, 2""".stripMargin,
+    "twap_anchored" ->
+      """WITH t AS (
+        |  SELECT event_id, event_type, value, ts,
+        |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+        |    epoch_us(ts) AS ts_us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY event_type
+        |                             ORDER BY ts, event_id) AS next_us
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, event_type, day, value, ts,
+        |    CAST(least(coalesce(next_us, day * 1000000 + 86400000000),
+        |               day * 1000000 + 86400000000) - ts_us AS DOUBLE) AS w
+        |  FROM t)
+        |SELECT event_id, event_type, day, value,
+        |  sum(value * w) OVER win / sum(w) OVER win AS anchored_twap
+        |FROM w
+        |WINDOW win AS (PARTITION BY event_type, day ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
+    "returns_autocorr" ->
+      """WITH r AS (
+        |  SELECT event_type, ts,
+        |    value / lag(value) OVER (PARTITION BY event_type ORDER BY ts)
+        |      - 1 AS ret
+        |  FROM events),
+        |r2 AS (
+        |  SELECT event_type, ret,
+        |    lag(ret, 1) OVER (PARTITION BY event_type ORDER BY ts) AS ret_lag
+        |  FROM r),
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS cnt,
+        |    sum(ret) AS sx, sum(ret_lag) AS sy, sum(ret * ret_lag) AS sxy,
+        |    sum(ret * ret) AS sxx, sum(ret_lag * ret_lag) AS syy
+        |  FROM r2 WHERE ret IS NOT NULL AND ret_lag IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT event_type, CAST(cnt AS BIGINT) AS n,
+        |  (cnt * sxy - sx * sy) /
+        |    sqrt(greatest(cnt * sxx - sx * sx, 0) *
+        |         greatest(cnt * syy - sy * sy, 0)) AS autocorr
+        |FROM s""".stripMargin,
+    "amihud" ->
+      """WITH hourly AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+        |    event_type, arg_max(value, ts) AS close, sum(value) AS volume
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT bucket, event_type,
+        |    abs(close / lag(close) OVER w - 1) / volume AS illiq_bar
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+        |SELECT bucket, event_type, illiq_bar,
+        |  avg(illiq_bar) OVER (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS illiq
+        |FROM r""".stripMargin,
+    "seasonality_grid" ->
+      """SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+        |  CAST(hour(ts) AS INTEGER) AS hr, event_type,
+        |  avg(value) AS avg_value, sum(value) AS sum_value, count(*) AS n
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "rolling_corr" ->
       """WITH hourly AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,

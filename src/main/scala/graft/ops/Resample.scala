@@ -181,6 +181,35 @@ object Resample {
         count(lit(1)).as("n_trades"))
   }
 
+  /** Day-anchored running TWAP — the anchored-VWAP indicator family:
+    * from each day's first tick, the running ratio of cumulative
+    * time-weighted price to cumulative weight (weights as in
+    * [[twapHourly]], clamped at the DAY edge). Two prefix sums under one
+    * `(symbol, day)` window — the anchor bounds the window span (one
+    * day), so this never needs the chunked treatment: the chunking IS
+    * the anchor.
+    */
+  def twapAnchored(events: DataFrame): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val wDayGrow = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dayEndUs = (col("day") + 86400L) * lit(1000000L)
+    events
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("day", unix_timestamp(date_trunc("day", col("ts"))))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(byType))
+      .withColumn("w",
+        (least(coalesce(col("next_us"), dayEndUs), dayEndUs)
+          - col("ts_us")).cast("double"))
+      .withColumn("anchored_twap", try_divide(
+        sum(col("value") * col("w")).over(wDayGrow),
+        sum(col("w")).over(wDayGrow)))
+      .select(col("event_id"), col("event_type"), col("day"), col("value"),
+        col("anchored_twap"))
+  }
+
   /** The reference's row-position bucketing (`process_data.py:47-49`):
     * `group_id = floor((row_number() over (order by ts) - 1) / trackEach)`.
     *

@@ -513,6 +513,54 @@ object Rolling {
     rollingCorrMatrix(
       bars.filter(col("event_type").isin(typeA, typeB)), n)
 
+  /** Per-symbol lag-k autocorrelation of simple returns — the mean-
+    * reversion / momentum diagnostic. One symbol-partitioned window pass
+    * derives returns and their k-lag, then ONE map-side-combined
+    * aggregate accumulates the five sufficient sums; the Pearson
+    * coefficient is a pure projection (same algebra as
+    * [[rollingCorrMatrix]], with the same clamp-then-`try_divide`
+    * degenerate handling). Rows without both legs (the first k+1 of each
+    * series) drop before the sums, as pandas `autocorr` drops NaNs.
+    */
+  def returnsAutocorr(events: DataFrame, lagK: Int = 1): DataFrame = {
+    require(lagK >= 1, s"lag must be >= 1, got $lagK")
+    val rets = events
+      .withColumn("ret",
+        try_divide(col("value"), lag(col("value"), 1).over(byTypeTime)) - 1)
+      .withColumn("ret_lag", lag(col("ret"), lagK).over(byTypeTime))
+      .filter(col("ret").isNotNull && col("ret_lag").isNotNull)
+    rets.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("cnt"),
+        sum(col("ret")).as("sx"), sum(col("ret_lag")).as("sy"),
+        sum(col("ret") * col("ret_lag")).as("sxy"),
+        sum(col("ret") * col("ret")).as("sxx"),
+        sum(col("ret_lag") * col("ret_lag")).as("syy"))
+      .select(col("event_type"), col("cnt").cast("long").as("n"),
+        try_divide(
+          col("cnt") * col("sxy") - col("sx") * col("sy"),
+          sqrt(greatest(col("cnt") * col("sxx") - col("sx") * col("sx"), lit(0.0)) *
+            greatest(col("cnt") * col("syy") - col("sy") * col("sy"), lit(0.0))))
+          .as("autocorr"))
+  }
+
+  /** Amihud illiquidity over resampled bars: |close-to-close return| per
+    * unit of bar volume, averaged over a trailing `n`-bar window — the
+    * classic price-impact proxy. Bars with zero volume yield NULL
+    * ratios (`try_divide`) and `avg` skips them in both engines; the
+    * chain runs on the RESAMPLED series (#bars, not #ticks), sharing the
+    * one symbol-partitioned sort with every bar indicator.
+    */
+  def amihud(bars: DataFrame, n: Int = 24): DataFrame = {
+    val byTypeBucket = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wTrail = byTypeBucket.rowsBetween(-(n - 1), 0)
+    bars
+      .withColumn("ret",
+        try_divide(col("close"), lag(col("close"), 1).over(byTypeBucket)) - 1)
+      .withColumn("illiq_bar", try_divide(abs(col("ret")), col("volume")))
+      .withColumn("illiq", avg(col("illiq_bar")).over(wTrail))
+      .select(col("bucket"), col("event_type"), col("illiq_bar"), col("illiq"))
+  }
+
   /** [[cumprodEquity]] for the deep-single-symbol regime: identical
     * output, but NO unbounded per-symbol window. Rows are chunked by
     * coarse time (`floor(epoch_µs / chunkMicros)` — a pure map, so chunk

@@ -144,6 +144,24 @@ object Stats {
           .otherwise((col(valueCol).cast("double") - col("med")) / col("iqr")))
   }
 
+  /** Seasonality profile: the day-of-week × hour-of-day grid of average
+    * value, count, and total per symbol — the calendar-heatmap aggregate
+    * behind "when does this market move". ONE partial+final hash
+    * aggregate over 7×24×k cells; grid keys are pure projections, so the
+    * scan stays a single map-side-combined pass at any volume (the
+    * result is constant-size regardless of input rows). Day-of-week is
+    * Spark's 1=Sunday..7 convention.
+    */
+  def seasonalityGrid(events: DataFrame): DataFrame =
+    events.groupBy(
+      dayofweek(col("ts")).as("dow"),
+      hour(col("ts")).as("hr"),
+      col("event_type"))
+      .agg(
+        avg(col("value")).as("avg_value"),
+        sum(col("value")).as("sum_value"),
+        count(lit(1)).as("n"))
+
   /** Hierarchical rollup over returnflag/linestatus — subtotals + grand
     * total in one pass (grouping-sets surface, SURVEY §7.5).
     */

@@ -179,6 +179,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("seasonality_grid: one constant-size hash aggregate — no window, one shuffle") {
+    val p = plan("seasonality_grid")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(shuffles(p) <= 1, s"shuffles=${shuffles(p)}\n$p")
+  }
+
+  test("twap_anchored / returns_autocorr / amihud: symbol-partitioned windows, never single-task") {
+    for (q <- Seq("twap_anchored", "returns_autocorr", "amihud")) {
+      val p = plan(q)
+      assert(shuffles(p) <= 3, s"$q shuffles=${shuffles(p)}\n$p")
+      assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
+    }
+  }
+
   test("postings: one k-bounded hash aggregate — no window, no collect-then-truncate") {
     val p = plan("postings")
     // the min-k Aggregator folds inside the agg; a Window here would

@@ -128,6 +128,21 @@ class ResampleSpec extends SparkSpec {
     assert(out(0).getLong(2) == 2L)
   }
 
+  test("twapAnchored: running day-anchored ratio; a new day resets the anchor") {
+    val d0 = 1704067200000L // 2024-01-01 00:00:00 UTC
+    val e = Seq(
+      (0L, new Timestamp(d0), "btc", 10.0),
+      (1L, new Timestamp(d0 + 600000L), "btc", 20.0),   // +600 s
+      (2L, new Timestamp(d0 + 86400000L), "btc", 99.0)  // next day
+    ).toDF("event_id", "ts", "event_type", "value")
+    val out = Resample.twapAnchored(e).orderBy("event_id")
+      .select("anchored_twap").as[Double].collect()
+    assert(approx(out(0), 10.0)) // single-tick prefix: its own price
+    // tick 2 holds to the DAY edge (86400−600 s); anchored ratio:
+    assert(approx(out(1), (10.0 * 600 + 20.0 * 85800) / 86400))
+    assert(approx(out(2), 99.0)) // new day, fresh anchor
+  }
+
   test("twapHourly: cross-hour clamp and burst robustness") {
     val h0 = 1704067200000L
     // tick at +0 (10.0) holds to the burst at +3590s; ten 1000.0 burst

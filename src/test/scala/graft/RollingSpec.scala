@@ -382,6 +382,41 @@ class RollingSpec extends SparkSpec {
     af.drop(1).foreach(r => assert(approx(r.getDouble(1), 0.0)))
   }
 
+  test("returnsAutocorr: alternating returns are perfectly anti-correlated; flat returns → NULL") {
+    // 100,110,100,110,... → returns alternate (+1/10, −1/11): every
+    // (ret, ret_lag) point lies on a negative-slope line → autocorr −1
+    val alt = (0 until 12).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L), "btc",
+        if (i % 2 == 0) 100.0 else 110.0)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val r = Rolling.returnsAutocorr(alt).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 10L)
+    assert(approx(r(0).getDouble(2), -1.0))
+    // constant growth: all returns equal → zero variance → NULL
+    val geo = (0 until 8).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L), "btc",
+        100.0 * math.pow(1.01, i))
+    }.toDF("event_id", "ts", "event_type", "value")
+    val g = Rolling.returnsAutocorr(geo).collect()
+    assert(g.length == 1 && g(0).isNullAt(2))
+  }
+
+  test("amihud: |ret|/volume per bar, trailing mean; zero-volume and first bars skip as NULL") {
+    val b = Seq(
+      (0L, "btc", 100.0, 5.0), (1L, "btc", 110.0, 5.0),
+      (2L, "btc", 99.0, 0.0), (3L, "btc", 108.9, 10.0)
+    ).toDF("bucket", "event_type", "close", "volume")
+    val out = Rolling.amihud(b, n = 24).orderBy("bucket")
+      .select("illiq_bar", "illiq").collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1)) // no prev close
+    assert(approx(out(1).getDouble(0), 0.1 / 5) &&
+      approx(out(1).getDouble(1), 0.1 / 5))
+    assert(out(2).isNullAt(0)) // zero volume → NULL ratio, skipped
+    assert(approx(out(2).getDouble(1), 0.1 / 5)) // window avg unchanged
+    assert(approx(out(3).getDouble(0), 0.1 / 10))
+    assert(approx(out(3).getDouble(1), (0.1 / 5 + 0.1 / 10) / 2))
+  }
+
   test("CumProd aggregator: exact for zeros/negatives, skips nulls") {
     val vals = Seq(Some(2.0), Some(-3.0), None, Some(0.5)).toDF("x")
     val p = vals.agg(CumProd.product(col("x"))).as[Double].head()

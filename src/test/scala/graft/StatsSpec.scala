@@ -85,4 +85,20 @@ class StatsSpec extends SparkSpec {
     assert(Stats.robustScale(const, "v").select("scaled")
       .as[Double].collect().toSeq == Seq(0.0, 0.0, 0.0))
   }
+
+  test("seasonalityGrid: dow x hour cells, Spark 1=Sunday convention") {
+    import java.sql.Timestamp
+    // 2024-01-01 is a Monday (dow 2); 2024-01-07 a Sunday (dow 1)
+    val e = Seq(
+      (0L, Timestamp.valueOf("2024-01-01 10:15:00"), "btc", 4.0),
+      (1L, Timestamp.valueOf("2024-01-01 10:45:00"), "btc", 6.0),
+      (2L, Timestamp.valueOf("2024-01-07 23:00:00"), "btc", 9.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val out = Stats.seasonalityGrid(e).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(out.size == 2)
+    assert(out((2, 10)) == ((5.0, 10.0, 2L)))
+    assert(out((1, 23)) == ((9.0, 9.0, 1L)))
+  }
 }
