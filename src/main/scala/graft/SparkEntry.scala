@@ -93,6 +93,10 @@ object SparkEntry {
     // Same semantics via range-partitioned sort + zipWithIndex — no
     // single-task global window (shares ohlc_rowbucket's oracle shape).
     "ohlc_rowbucket_scale" -> ((s, d) => Resample.ohlcRowBucketScale(ev(s, d), 500)),
+    // Hierarchical rollup: hourly bars FROM minute bars (the rollup
+    // lattice — OHLC algebra is closed under re-aggregation). Same
+    // oracle as the direct hourly flagship.
+    "ohlc_rollup" -> ((s, d) => Resample.ohlcRollup(ev(s, d))),
     // Volume bars: equal-traded-volume resampling; integer milli-units
     // make every bar edge exact (float cumsum could flip a boundary
     // tick). The chunked twin is bit-identical (one-BIGINT carry).
@@ -931,6 +935,12 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2)""".stripMargin
     val base = Map(
     "ohlc_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
+        | arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+        | arg_max(value, ts) AS close, sum(value) AS volume, count(*) AS n_trades
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // the rollup lattice reproduces the direct hourly aggregate exactly
+    "ohlc_rollup" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
         | arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
         | arg_max(value, ts) AS close, sum(value) AS volume, count(*) AS n_trades

@@ -101,6 +101,43 @@ object Resample {
         count(lit(1)).as("n_trades"))
   }
 
+  /** Hierarchical OHLC rollup: hourly bars derived FROM minute bars —
+    * the incremental-rollup lattice (persisted fine-grained bar
+    * artifacts roll up to coarser resolutions without ever rescanning
+    * ticks; at 100 TB the minute layer is the thing you keep, and every
+    * coarser view is a cheap re-aggregation of it). The OHLC algebra is
+    * closed under rollup: open = open of the earliest fine bar
+    * (`min_by` on the fine bucket), close = close of the latest, high/
+    * low/volume/n_trades are max/min/sum — so the result equals the
+    * direct tick-level hourly aggregate exactly (volume to float
+    * re-association), and the query registers against the SAME oracle as
+    * the flagship. Two partial+final hash aggregates, no window, no
+    * sort.
+    */
+  def ohlcRollup(events: DataFrame): DataFrame = {
+    val minute = events
+      .groupBy(
+        unix_timestamp(date_trunc("minute", col("ts"))).as("mbucket"),
+        col("event_type"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        sum(col("value")).as("volume"),
+        count(lit(1)).as("n_trades"))
+    minute
+      .groupBy((col("mbucket") - pmod(col("mbucket"), lit(3600L))).as("bucket"),
+        col("event_type"))
+      .agg(
+        min_by(col("open"), col("mbucket")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("mbucket")).as("close"),
+        sum(col("volume")).as("volume"),
+        sum(col("n_trades")).as("n_trades"))
+  }
+
   /** Volume bars: resample each symbol's ticks into bars of (near-)equal
     * traded volume instead of equal time — the information-driven bar
     * family (time bars oversample quiet hours, undersample bursts). A

@@ -74,6 +74,67 @@ object StatefulRunning {
         min(col("value")).as("low"),
         max_by(col("value"), col("ts")).as("last_value"))
 
+  case class VbState(cumUnits: Long, bar: Long, open: Double, high: Double,
+      low: Double, close: Double, volume: Double, n: Long, started: Boolean)
+
+  case class VbOut(event_type: String, bar: Long, open: Double, high: Double,
+      low: Double, close: Double, volume: Double, n_trades: Long)
+
+  private def updateVolumeBars(barUnits: Long)(
+      key: String, rows: Iterator[Tick],
+      state: GroupState[VbState]): Iterator[VbOut] = {
+    var s = state.getOption.getOrElse(
+      VbState(0L, 0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0L, started = false))
+    val out = scala.collection.mutable.ArrayBuffer[VbOut]()
+    // batch iterators carry no order guarantee — sort by event time (the
+    // same contract as runningEma; cross-batch order is append order)
+    rows.toArray.sortBy(_.ts_us).foreach { t =>
+      val units = math.round(t.value * 1000) // = Spark round(): HALF_UP ≥ 0
+      val tickBar = s.cumUnits / barUnits    // prefix-BEFORE-tick semantics
+      if (!s.started)
+        s = VbState(s.cumUnits + units, tickBar,
+          t.value, t.value, t.value, t.value, t.value, 1L, started = true)
+      else if (tickBar != s.bar) {
+        out += VbOut(key, s.bar, s.open, s.high, s.low, s.close, s.volume, s.n)
+        s = VbState(s.cumUnits + units, tickBar,
+          t.value, t.value, t.value, t.value, t.value, 1L, started = true)
+      } else
+        s = s.copy(cumUnits = s.cumUnits + units,
+          high = math.max(s.high, t.value), low = math.min(s.low, t.value),
+          close = t.value, volume = s.volume + t.value, n = s.n + 1)
+    }
+    state.update(s)
+    out.iterator
+  }
+
+  /** Streaming volume bars — the stateful twin of
+    * [[graft.ops.Resample.volumeBars]]: per symbol, the running
+    * integer-unit cumsum decides each tick's bar (the same
+    * prefix-before-tick arithmetic as the batch op, so emitted bars are
+    * IDENTICAL to the batch bars), and a bar is emitted the moment a
+    * tick lands past its edge. State is O(1) per key (one long cursor +
+    * the open bar's aggregates); emission is append-mode — each
+    * completed bar exactly once, the in-progress bar stays in state
+    * until its edge arrives. The streaming form of information-driven
+    * resampling: quiet symbols emit rarely, bursts emit often, with no
+    * timer logic at all.
+    */
+  def volumeBars(spark: SparkSession, inputDir: String, schema: StructType,
+                 barUnits: Long,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
+      .parquet(inputDir)
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Tick]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        updateVolumeBars(barUnits))
+      .toDF()
+  }
+
   case class EmaState(num: Double, den: Double, n: Long)
 
   case class EmaOut(event_type: String, n: Long, ema: Double)

@@ -162,6 +162,13 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ohlc_rollup: two hash-aggregate layers — no window, no sort") {
+    val p = plan("ohlc_rollup")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort "), p)
+    assert(shuffles(p) <= 2, s"shuffles=${shuffles(p)}\n$p")
+  }
+
   test("volume_bars: one symbol-partitioned cumsum window + one hash agg") {
     for (q <- Seq("volume_bars", "volume_bars_chunked")) {
       val p = plan(q)

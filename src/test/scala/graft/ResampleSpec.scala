@@ -85,6 +85,24 @@ class ResampleSpec extends SparkSpec {
     assert(maxHigh == walk.max)
   }
 
+  test("ohlcRollup: minute-to-hour lattice equals the direct hourly aggregate") {
+    val many = (0 until 5000).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 7000L), // 7 s ticks
+        Seq("btc", "eth")(i % 2), 100.0 + (i * 37 % 29) - 14.0)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val direct = Resample.ohlcHourly(many).orderBy("event_type", "bucket").collect()
+    val rolled = Resample.ohlcRollup(many).orderBy("event_type", "bucket").collect()
+    assert(direct.length == rolled.length && direct.length > 10)
+    direct.zip(rolled).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getString(1) == b.getString(1))
+      // open/high/low/close/n_trades exact; volume to float re-association
+      assert(a.getDouble(2) == b.getDouble(2) && a.getDouble(3) == b.getDouble(3) &&
+        a.getDouble(4) == b.getDouble(4) && a.getDouble(5) == b.getDouble(5) &&
+        a.getLong(7) == b.getLong(7), s"${a.getLong(0)}: $a vs $b")
+      assert(approx(a.getDouble(6), b.getDouble(6)))
+    }
+  }
+
   test("volumeBars: exact integer bar edges; chunked twin bit-identical") {
     // units = round(v·1000); barUnits 10000 → bars split on the exact
     // cumulative-prefix edge: prefixes 0,4000,6000 | 12000,15000

@@ -681,6 +681,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming volume bars: completed bars match the batch op exactly across micro-batches") {
+    val all = (0 until 300).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L),
+        Seq("btc", "eth")(i % 2), 100.0 + (i * 41 % 23) - 11.0)
+    }
+    val dir = Files.createTempDirectory("graft_svb_").toString
+    all.grouped(100).foreach { chunk =>
+      chunk.toDF("event_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      Thread.sleep(1500)
+    }
+    val schema = all.take(1).toDF("event_id", "ts", "event_type", "value").schema
+    val barUnits = 2000000L // ~100k units/tick → ~20 ticks/bar → ~7 bars/symbol
+    val q = graft.stream.StatefulRunning
+      .volumeBars(spark, s"$dir/in", schema, barUnits, maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("svb_t")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("svb_t")
+      .orderBy("event_type", "bar").collect()
+    val batch = graft.ops.Resample.volumeBars(
+        all.toDF("event_id", "ts", "event_type", "value"), barUnits)
+      .orderBy("event_type", "bar").collect()
+    // the batch result includes each symbol's final still-OPEN bar; the
+    // stream emits a bar only when a tick lands past its edge
+    val expected = batch.groupBy(_.getString(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).dropRight(1)).toMap
+    val got = streamed.groupBy(_.getString(0)).view
+      .mapValues(_.sortBy(_.getLong(1))).toMap
+    assert(got.keySet == Set("btc", "eth"))
+    assert(got.values.map(_.length).sum >= 10) // bars actually completed
+    for (sym <- got.keySet) {
+      val (e, g) = (expected(sym), got(sym))
+      assert(e.length == g.length, s"$sym: ${e.length} vs ${g.length}")
+      e.zip(g).foreach { case (a, b) =>
+        assert(a.getLong(1) == b.getLong(1)) // bar id
+        // open/high/low/close/n_trades exact; volume to float re-assoc
+        assert(a.getDouble(2) == b.getDouble(2) && a.getDouble(3) == b.getDouble(3) &&
+          a.getDouble(4) == b.getDouble(4) && a.getDouble(5) == b.getDouble(5) &&
+          a.getLong(7) == b.getLong(7), s"$sym bar ${a.getLong(1)}: $a vs $b")
+        assert(approx(a.getDouble(6), b.getDouble(6)))
+      }
+    }
+  }
+
   test("streaming dedup: replayed event ids emit exactly once") {
     // at-least-once upstream: every 5th event is delivered twice, some
     // three times, across separate files (≈ separate micro-batches)
