@@ -185,10 +185,13 @@ object SparkEntry {
     // the direct single-pass stats by the textbook identities, without
     // rescanning anything but the state rows. Sharded here by a hash of
     // the key to prove split-independence against the direct oracle.
+    // The decimal-exact twin: prices live on a cent grid, so the shard
+    // components accumulate exactly and the cross-engine hash can't drift
+    // with summation order (the double variant is pinned by StatsSpec).
     "stats_incremental" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      Stats.mergeSummary(
-        Stats.summaryShards(li(s, d), "l_extendedprice",
+      Stats.mergeSummaryExact(
+        Stats.summaryShardsExact(li(s, d), "l_extendedprice",
           pmod(col("l_orderkey"), lit(7L))))
     }),
     // Sketch quantiles: registered with the EXACT comparison columns
@@ -1244,20 +1247,27 @@ object SparkEntry {
     // The direct one-pass stats with the SAME derived identities the
     // merge uses (sum/n, (sumsq − sum²/n)/(n−1)): any shard split must
     // land on these numbers.
+    // Same exact algebra as the Spark side: accumulate n / sum / sumsq in
+    // DECIMAL (exact on the cent grid, order-independent), then derive the
+    // double moments from the exact components with the identical
+    // expression tree — both engines land on the same IEEE-754 doubles.
     "stats_incremental" ->
-      """SELECT count(*) AS n,
-        | sum(l_extendedprice) AS sum_v,
-        | min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
-        | sum(l_extendedprice) / count(*) AS mean_v,
-        | CASE WHEN count(*) > 1 THEN
-        |   (sum(l_extendedprice * l_extendedprice)
-        |     - sum(l_extendedprice) * sum(l_extendedprice) / count(*))
-        |   / (count(*) - 1) END AS var_v,
-        | sqrt(CASE WHEN count(*) > 1 THEN
-        |   (sum(l_extendedprice * l_extendedprice)
-        |     - sum(l_extendedprice) * sum(l_extendedprice) / count(*))
-        |   / (count(*) - 1) END) AS std_v
-        |FROM lineitem""".stripMargin,
+      """WITH st AS (
+        |  SELECT count(*) AS n,
+        |   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s,
+        |   sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * CAST(l_extendedprice AS DECIMAL(18,2))) AS s2,
+        |   min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v
+        |  FROM lineitem)
+        |SELECT n, CAST(s AS DOUBLE) AS sum_v, min_v, max_v,
+        | CAST(s AS DOUBLE) / n AS mean_v,
+        | CASE WHEN n > 1 THEN
+        |   (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        |   / (n - 1) END AS var_v,
+        | sqrt(CASE WHEN n > 1 THEN
+        |   (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        |   / (n - 1) END) AS std_v
+        |FROM st""".stripMargin,
     "summary_approx" ->
       """SELECT count(l_extendedprice) AS n,
         | quantile_cont(l_extendedprice, 0.50) AS exact_median,

@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Readers for the driver-generated star-schema test tables (TESTDATA.md).
   *
@@ -28,16 +29,36 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = table(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame    = table(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame  = table(s, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * natively (PARQUET_TYPE_ILLEGAL). Read it as a long (nanos since epoch)
-    * via the legacy conf, then convert to a proper TimestampType at µs
-    * precision — lossless here because the generator emits µs-resolution
-    * values (ns component is always a multiple of 1000).
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations: TIMESTAMP(NANOS) — which Spark 4 refuses to read natively
+    * (PARQUET_TYPE_ILLEGAL) — and plain TIMESTAMP_MICROS. Adapt to whichever
+    * the footer declares instead of hard-coding one:
+    *
+    *   - nanos: the legacy conf surfaces the column as a long (ns since
+    *     epoch); convert to TimestampType at µs precision — lossless because
+    *     the generator emits µs-resolution values. The conf must stay set for
+    *     the session in this case (the per-file schema conversion at scan
+    *     execution checks it too).
+    *   - micros (no tz annotation → TIMESTAMP_NTZ): cast to TimestampType.
+    *     Sessions run under UTC, so the cast re-labels the same wall-clock
+    *     instant; the conf is restored so the reader leaves no session-wide
+    *     side effect.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val key  = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    val raw = table(s, dir, "events")
+    val ts = raw.schema("ts").dataType match {
+      case LongType => expr("timestamp_micros(ts div 1000)")
+      case _ =>
+        prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None    => s.conf.unset(key)
+        }
+        col("ts").cast(TimestampType)
+    }
+    raw.withColumn("ts", ts)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
   }

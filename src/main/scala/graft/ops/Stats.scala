@@ -275,6 +275,45 @@ object Stats {
           .as("var_v"))
       .withColumn("std_v", sqrt(col("var_v")))
 
+  /** Decimal-exact twin of [[summaryShards]] for fixed-point data (prices
+    * on a cent grid). Accumulating n/sum/sumsq in decimal makes every shard
+    * state EXACT, so the merged summary is bit-identical regardless of shard
+    * split, partition count, or engine — double accumulation is only
+    * reproducible up to summation order, which no distributed engine pins.
+    * min/max stay raw doubles (they are order-free already).
+    * decimal(18,2) inputs keep sumsq within decimal(38,4) up to ~1e16 rows
+    * of 1e5-scale values — comfortably past 100 TB.
+    */
+  def summaryShardsExact(df: DataFrame, valueCol: String,
+                         shardCol: Column): DataFrame = {
+    val raw = col(valueCol)
+    val v = raw.cast("decimal(18,2)")
+    df.groupBy(shardCol.as("shard"))
+      .agg(count(lit(1)).as("n"), sum(v).as("s"), sum(v * v).as("s2"),
+        min(raw.cast("double")).as("mn"), max(raw.cast("double")).as("mx"))
+  }
+
+  /** Fold decimal-exact shard rows into the corpus summary. The components
+    * (n, s, s2) merge exactly in decimal; the derived moments are then
+    * computed in double FROM the exact components with a fixed expression
+    * tree, so any engine evaluating the same algebra over the same exact
+    * inputs lands on the same IEEE-754 doubles.
+    */
+  def mergeSummaryExact(shards: DataFrame): DataFrame =
+    shards
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+        sum(col("s2")).as("s2"), min(col("mn")).as("min_v"),
+        max(col("mx")).as("max_v"))
+      .select(col("n"), col("s").cast("double").as("sum_v"),
+        col("min_v"), col("max_v"),
+        (col("s").cast("double") / col("n")).as("mean_v"),
+        when(col("n") > 1L,
+          (col("s2").cast("double")
+            - col("s").cast("double") * col("s").cast("double") / col("n"))
+            / (col("n") - 1L))
+          .as("var_v"))
+      .withColumn("std_v", sqrt(col("var_v")))
+
   /** Pairwise Pearson correlation matrix over lineitem measures, one row —
     * the notebook's `corr()` (cell 15). Pairs are flat columns so the
     * DuckDB oracle is a literal transliteration.
