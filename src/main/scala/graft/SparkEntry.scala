@@ -498,6 +498,12 @@ object SparkEntry {
     "quality_tiers" -> ((s, d) => TextAnalysis.qualityTiers(Tables.documents(s, d))),
     // Per-language top-k vocabulary by document frequency.
     "top_terms" -> ((s, d) => TextAnalysis.topTerms(Tables.documents(s, d))),
+    // Exact bigram top-10 via the sketch-then-recount shape: Misra–Gries
+    // candidate mining (O(m) state, no distinct-term shuffle) + exact
+    // recount of the ≤ m candidates. Equals global top-k whenever top-k
+    // frequencies clear the deterministic N/(m+1) survival bound — the
+    // oracle recomputes the exact top-k directly.
+    "heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),
     // Per-doc top-3 TF-IDF salient terms (rational idf — engine-exact
     // ranking: integer products + one correctly-rounded division, no ln).
     "salient_terms" -> ((s, d) => TextAnalysis.salientTerms(Tables.documents(s, d))),
@@ -1882,6 +1888,20 @@ object SparkEntry {
         |              FROM documents)
         |        GROUP BY 1, 2))
         |WHERE rank <= 5""".stripMargin,
+    // Exact bigram top-10 (the sketch-then-recount result is exact, so
+    // the oracle is the direct computation).
+    "heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT string_split(lower(text), ' ') AS ts FROM documents),
+        |bi AS (
+        |  SELECT ts[i] || ' ' || ts[i+1] AS t
+        |  FROM toks, unnest(range(1, len(ts))) AS u(i)),
+        |cnt AS (SELECT t, count(*) AS cnt FROM bi GROUP BY t)
+        |SELECT CAST(rank AS INTEGER) AS rank, t, cnt FROM (
+        |  SELECT t, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, t ASC) AS rank
+        |  FROM cnt)
+        |WHERE rank <= 10""".stripMargin,
     "postings" ->
       """SELECT t, count(*) AS df,
         |  array_to_string((list(doc_id ORDER BY doc_id))[1:10], ',')
