@@ -504,6 +504,10 @@ object SparkEntry {
     // frequencies clear the deterministic N/(m+1) survival bound — the
     // oracle recomputes the exact top-k directly.
     "heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d))),
+    // Batch twin of the streaming MG top-k (stream/StreamingTopK): exact
+    // per-language token top-5 — what the stream's final emission equals
+    // when the vocabulary fits the sketch (pinned in StreamingSpec).
+    "top_tokens" -> ((s, d) => graft.stream.StreamingTopK.topTokensBatch(Tables.documents(s, d))),
     // Per-doc top-3 TF-IDF salient terms (rational idf — engine-exact
     // ranking: integer products + one correctly-rounded division, no ln).
     "salient_terms" -> ((s, d) => TextAnalysis.salientTerms(Tables.documents(s, d))),
@@ -1902,6 +1906,17 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY cnt DESC, t ASC) AS rank
         |  FROM cnt)
         |WHERE rank <= 10""".stripMargin,
+    "top_tokens" ->
+      """WITH c AS (
+        |  SELECT lang AS grp, t, count(*) AS cnt
+        |  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT grp AS "group", CAST(rank AS INTEGER) AS rank, t, cnt FROM (
+        |  SELECT grp, t, cnt,
+        |    row_number() OVER (PARTITION BY grp ORDER BY cnt DESC, t ASC) AS rank
+        |  FROM c)
+        |WHERE rank <= 5""".stripMargin,
     "postings" ->
       """SELECT t, count(*) AS df,
         |  array_to_string((list(doc_id ORDER BY doc_id))[1:10], ',')

@@ -752,6 +752,56 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSet == (0L until 1000L).toSet)
   }
 
+  test("streaming top-k: MG state carries across micro-batches to the exact batch top-k") {
+    // 3 langs × small vocab (≪ m) — the sketch is then exact, so the
+    // final emission must EQUAL the batch top-k. Three chunked drops with
+    // maxFilesPerTrigger=1 force the summary to survive ≥3 micro-batches.
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val all = (0 until 600).map { i =>
+      val lang = Seq("en", "de", "fr")(i % 3)
+      // skew: word j appears with weight ~ (6-j), lang-shifted
+      val w1 = words((i % 21) % words.length)
+      val w2 = words((i * i % 13) % words.length)
+      val w3 = words((i / 3 + i % 3) % words.length)
+      (i.toLong, lang, s"$w1 $w2 $w3")
+    }
+    val dir = Files.createTempDirectory("graft_topk_").toString
+    all.grouped(200).foreach { chunk =>
+      chunk.toDF("doc_id", "lang", "text")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      Thread.sleep(1500) // distinct mtimes → deterministic batch order
+    }
+    val docs = all.toDF("doc_id", "lang", "text")
+    val q = graft.stream.StreamingTopK
+      .topTokens(spark, s"$dir/in", docs.schema, m = 64, k = 3,
+        maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("topk_t")
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // ≥3 emissions per key proves per-batch pacing happened
+    assert(spark.table("topk_t").count() >= 9)
+    val streamed = spark.table("topk_t")
+      .groupBy("group")
+      .agg(max("n_tokens").as("n_tokens"),
+        max_by(col("terms"), col("n_tokens")).as("terms"),
+        max_by(col("estimates"), col("n_tokens")).as("estimates"))
+      .orderBy("group").collect()
+    val batch = graft.stream.StreamingTopK.topTokensBatch(docs, k = 3)
+    val byLang = batch.collect().groupBy(_.getAs[String]("group"))
+    assert(streamed.length == 3)
+    streamed.foreach { row =>
+      val lang = row.getAs[String]("group")
+      val exp = byLang(lang).sortBy(_.getAs[Int]("rank"))
+      assert(row.getAs[collection.Seq[String]]("terms").toSeq == exp.map(_.getAs[String]("t")).toSeq,
+        s"$lang terms")
+      assert(row.getAs[collection.Seq[Long]]("estimates").toSeq == exp.map(_.getAs[Long]("cnt")).toSeq,
+        s"$lang estimates — vocab fits m, so MG must be exact")
+      assert(row.getAs[Long]("n_tokens") == 600L)
+    }
+  }
+
   test("session windows: gap splits sessions at the fixture boundary") {
     // two bursts separated by 30 min, gap 5 min -> exactly 2 sessions
     val burst1 = (0 until 10).map(i => (i.toLong,
