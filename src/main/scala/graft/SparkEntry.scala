@@ -547,6 +547,13 @@ object SparkEntry {
     // LLM tier — embeddings / similarity search.
     "emb_stats" -> ((s, d) => Similarity.embeddingStats(Tables.embeddings(s, d))),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d), 0L, 10)),
+    // Int8-quantized two-stage ANN: integer-dot candidates (4× smaller
+    // scanned payload at corpus scale), exact float-cosine re-rank of the
+    // 4k survivors. The oracle mirrors the two-stage algorithm (both
+    // stages are engine-exact arithmetic), so it hash-matches regardless
+    // of quantization recall; recall vs the exact brute force is pinned
+    // in SimilaritySpec.
+    "ann_quantized" -> ((s, d) => Similarity.annQuantized(Tables.embeddings(s, d), 0L, 10)),
     // Production shape (mirrors minhash_neardup's persisted artifact):
     // the corpus is written partitioned by hyperplane bucket, then the
     // probe reads ONLY the probe-bucket directories — the registered plan
@@ -2115,6 +2122,33 @@ object SparkEntry {
         |   / (sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
         |      * sqrt(list_sum(list_transform(qe, x -> x * x)))) AS cosine
         |FROM embeddings, q WHERE vec_id != 0
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // The quantized two-stage mirror: absmax (order-free max), the same
+    // quantize expression (one multiply, one divide, half-away round —
+    // both engines round .5 away from zero on doubles), integer dot as
+    // exact doubles (|dot| ≤ 127²·64 ≪ 2^53), then the cosine re-rank of
+    // the 40 candidates with cosine_topk's exact formula.
+    "ann_quantized" ->
+      """WITH mx AS (
+        |  SELECT max(list_max(list_transform(embedding::DOUBLE[],
+        |    x -> abs(x)))) AS am FROM embeddings),
+        |qz AS (
+        |  SELECT list_transform(embedding::DOUBLE[],
+        |           x -> round(x * 127 / mx.am)) AS qq,
+        |         embedding::DOUBLE[] AS qe
+        |  FROM embeddings, mx WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS emb,
+        |    list_dot_product(list_transform(e.embedding::DOUBLE[],
+        |      x -> round(x * 127 / mx.am)), qz.qq) AS int_dot
+        |  FROM embeddings e, mx, qz WHERE e.vec_id != 0),
+        |cand AS (
+        |  SELECT * FROM scored ORDER BY int_dot DESC, vec_id ASC LIMIT 40)
+        |SELECT vec_id, label,
+        | list_dot_product(emb, qe)
+        |   / (sqrt(list_sum(list_transform(emb, x -> x * x)))
+        |      * sqrt(list_sum(list_transform(qe, x -> x * x)))) AS cosine
+        |FROM cand, qz
         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
     // Multi-probe LSH top-k over the md5 plane family: candidate set =
     // buckets within Hamming 1 of the query's — engine-exact bucket

@@ -533,6 +533,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** Int8-quantized cosine top-k: scalar quantization (symmetric absmax
+    * scale, q = round(127·x/absmax)) shrinks the scanned payload 4× vs
+    * float32 — at 100 TB of embeddings the scan is bandwidth-bound, so the
+    * byte width of the hot column IS the latency — then an integer-dot
+    * candidate pass picks `rerankFactor·k` ids and the exact float cosine
+    * re-ranks only those. Same scan/broadcast shape as [[cosineTopK]]
+    * (query row + 1-row absmax broadcast, TakeOrderedAndProject, no
+    * embedding shuffle).
+    *
+    * Engine-exactness: absmax is an order-free max; the quantization
+    * expression (one multiply, one divide, half-away round) and the
+    * integer dot (exact BIGINTs, order-free sum) reproduce bit-for-bit in
+    * any engine, so the DuckDB oracle mirrors the two-stage algorithm and
+    * hash-matches REGARDLESS of quantization recall; recall itself
+    * (top-k equal to the exact brute force) is pinned in SimilaritySpec
+    * against [[cosineTopK]] on the testdata.
+    */
+  def annQuantized(embeddings: DataFrame, queryId: Long, k: Int,
+                   rerankFactor: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    val am = embeddings.agg(
+      max(array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .as("am"))
+    val quantized = embeddings
+      .crossJoin(broadcast(am))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        transform(embD, x => round(x * lit(127.0) / col("am")).cast("long"))
+          .as("qv"))
+    val q = quantized.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("qv").as("q_qv"))
+    val candidates = quantized.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("int_dot",
+        aggregate(zip_with(col("qv"), col("q_qv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .orderBy(col("int_dot").desc, col("vec_id").asc)
+      .limit(rerankFactor * k)
+    candidates
+      .select(col("vec_id"), col("label"),
+        (dotF(col("embedding"), col("q_emb")) /
+          (l2F(col("embedding")) * l2F(col("q_emb"))))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-dup PAIR MINING (all-corpus, not single-query):
     * bucket every vector by hyperplane signature, pairwise-verify cosine
     * only WITHIN buckets — candidate volume tracks cluster density, never

@@ -111,6 +111,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("annQuantized: int8 rerank equals the exact brute-force top-k") {
+    // same clustered-corpus regime as annLsh; int8 over 64 dims keeps
+    // enough resolution that the 4k-candidate pool must contain the true
+    // top-10, so the re-ranked output EQUALS the exact result (order too)
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    val center = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val cluster = (0 until 20).map { i =>
+      (i.toLong, center.map(c => c + 0.01f * rnd.nextGaussian().toFloat).toSeq, 0)
+    }
+    val noise = (20 until 220).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq, 1)
+    }
+    val emb = (cluster ++ noise).toDF("vec_id", "embedding", "label")
+    val brute = Similarity.cosineTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val quant = Similarity.annQuantized(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(quant == brute, s"quant=$quant brute=$brute")
+  }
+
+  test("annQuantized: exact top-k recall on the real testdata embeddings") {
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.cosineTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val quant = Similarity.annQuantized(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(quant == brute, s"quant=$quant brute=$brute")
+  }
+
   test("md5 ANN twins: buckets match an independent reimplementation; results = brute force over the candidate set") {
     val rnd = new scala.util.Random(5)
     val dim = 64
