@@ -264,6 +264,35 @@ object Stress {
       .select((col("id") * 10 + 5).as("doc_a"), (col("id") * 10 + 6).as("doc_b"))
     time("dedup_clusters_200k")(
       ops.Clustering.dedupClusters(chains.unionByName(tris)))
+
+    // Heavy-hitter tier at 4× the tick volume: 20M tokens, ~1M-word tail
+    // vocabulary with 100 head words holding ~30% of the mass — the
+    // unbounded-vocabulary regime the MG sketch exists for. The sketch
+    // pass shuffles ≤ m counters per partial; the exact-count baseline
+    // shuffles the full distinct-term space (~1M keys here; billions on
+    // a real corpus) — the gap between those two is the design argument.
+    val tokens = spark.range(rows * 4)
+      .select(when(pmod(xxhash64(col("id")), lit(100L)) < 30L,
+        concat(lit("h"), pmod(xxhash64(col("id") * 7L), lit(100L))))
+        .otherwise(
+          concat(lit("t"), pmod(xxhash64(col("id") * 13L), lit(1000000L))))
+        .as("t"))
+    time("tokens_mg_topk") {
+      val cand = tokens
+        .agg(agg.MisraGries.misraGries(col("t"), 1024).as("s"))
+        .select(explode(map_keys(col("s"))).as("t"))
+      tokens.join(broadcast(cand), Seq("t"), "left_semi")
+        .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("t").asc).limit(10)
+    }
+    time("tokens_exact_topk")(
+      tokens.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("t").asc).limit(10))
+
+    // Quantized ANN on the same cached 100k-vector corpus: the int8
+    // candidate pass + 40-vector float re-rank vs the float brute force
+    // timed above (emb_brute_cosine).
+    time("emb_quant_ann")(ops.Similarity.annQuantized(emb, 0L, 10))
     spark.stop()
   }
 }
