@@ -218,6 +218,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("heavy_hitters: candidates broadcast back; the token stream never joins by shuffle") {
+    val p = plan("heavy_hitters")
+    // candidate semi-join must be broadcast (≤ m rows), not a shuffled
+    // hash join that would repartition the full token stream
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // top-k over ≤ m recounted candidates: bounded take, no global sort
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ann_quantized: both stages are TakeOrderedAndProject over broadcasts — the corpus never shuffles") {
+    val p = plan("ann_quantized")
+    // absmax row + query row ride broadcasts into the scan pipeline
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(p).nonEmpty, p)
+    // candidate pass and re-rank are bounded takes, never a full sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!"Exchange rangepartitioning".r.findAllIn(p).hasNext, p)
+    // the embedding payload must not hash-shuffle anywhere
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("macd / rsi: all EMAs ride ONE symbol shuffle and ONE sort") {
     // macd chains a second Window (signal over the derived macd line) and
     // rsi a lag + EMA pair — same partitioning/ordering throughout, so
