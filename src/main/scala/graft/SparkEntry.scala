@@ -176,6 +176,14 @@ object SparkEntry {
     "rmse_mae" -> ((s, d) => Rolling.rmseMae(ev(s, d))),
     // W10: ordered 0.8/0.1/0.1 train/val/test split.
     "ordered_split" -> ((s, d) => Rolling.orderedSplit(ev(s, d))),
+    // Leakage-guarded holdout: an embargo gap of rows dropped between
+    // the train cut and the test head (purged-CV discipline for
+    // autocorrelated series); integer-exact bounds.
+    "split_embargo" -> ((s, d) => Rolling.splitEmbargo(ev(s, d))),
+    // Expanding-window walk-forward backtest folds: per-fold train/test
+    // row counts + boundary timestamps, derived from k+1 tiny block rows
+    // — never an exploded per-row fold assignment.
+    "walk_forward" -> ((s, d) => Rolling.walkForward(ev(s, d))),
     // §1.1 metrics table: long-format (split, metric, value) rows.
     "metrics_long" -> ((s, d) => Rolling.metricsLong(ev(s, d))),
     // A4: summary statistics incl. exact quartiles.
@@ -1249,6 +1257,46 @@ object SparkEntry {
         |              count(*) OVER (PARTITION BY event_type) AS n
         |            FROM events))
         |GROUP BY 1, 2""".stripMargin,
+    // Integer-exact bounds (8n//10, +100) — no float fraction at the cut.
+    "split_embargo" ->
+      """SELECT event_type, split, count(*) AS n_rows, sum(value) AS sum_value
+        |FROM (SELECT event_type, value,
+        |        CASE WHEN rn <= n * 8 // 10 THEN 'train'
+        |             WHEN rn <= n * 8 // 10 + 100 THEN 'embargo'
+        |             ELSE 'test' END AS split
+        |      FROM (SELECT event_type, value,
+        |              row_number() OVER (PARTITION BY event_type
+        |                ORDER BY ts, event_id) AS rn,
+        |              count(*) OVER (PARTITION BY event_type) AS n
+        |            FROM events))
+        |GROUP BY 1, 2""".stripMargin,
+    // Same integer block assignment ((rn-1)*(k+1) // n + 1), prefix sums
+    // over the k+1 block rows.
+    "walk_forward" ->
+      """WITH r AS (
+        |  SELECT event_type, ts,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, (rn - 1) * 5 // n + 1 AS block,
+        |    count(*) AS b_rows, max(ts) AS b_end_ts
+        |  FROM r GROUP BY 1, 2),
+        |f AS (
+        |  SELECT event_type, block,
+        |    CAST(sum(b_rows) OVER (PARTITION BY event_type ORDER BY block
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_train,
+        |    lead(b_rows) OVER (PARTITION BY event_type ORDER BY block)
+        |      AS n_test,
+        |    b_end_ts AS train_end_ts,
+        |    lead(b_end_ts) OVER (PARTITION BY event_type ORDER BY block)
+        |      AS test_end_ts
+        |  FROM b)
+        |SELECT event_type, CAST(block AS INTEGER) AS fold, n_train, n_test,
+        |       train_end_ts, test_end_ts
+        |FROM f WHERE block <= 4 AND n_test IS NOT NULL""".stripMargin,
     "summary_stats" ->
       """SELECT count(*) AS n,
         | avg(l_quantity) AS avg_qty, stddev_samp(l_quantity) AS std_qty,

@@ -754,6 +754,72 @@ object Rolling {
       .agg(count(lit(1)).as("n_rows"), sum(col("value")).as("sum_value"))
   }
 
+  /** Ordered train/test split with an EMBARGO gap: `embargoRows` rows
+    * between the train cut and the first test row are dropped outright —
+    * the leakage guard for autocorrelated financial series (a label at
+    * the boundary is correlated with features just before it; a plain
+    * 0.8/0.2 cut trains on information that leaks into the test head).
+    * The purged-CV discipline (López de Prado), reduced to the single
+    * ordered holdout the reference's LSTM split actually uses.
+    *
+    * Bounds are pure integer arithmetic ((8n div 10), + embargoRows), so
+    * fold membership is engine-exact — no float fraction comparisons at
+    * the cut. Same one-window one-aggregate shape as [[orderedSplit]].
+    */
+  def splitEmbargo(events: DataFrame, embargoRows: Int = 100): DataFrame = {
+    // (ts, event_id) order: ts alone could tie, and a tied row_number
+    // would make fold membership partitioning-dependent
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val cnt = Window.partitionBy(col("event_type"))
+    events
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cnt))
+      // `div`, not `/`: Spark's / on longs is true division to double —
+      // a float fraction at the cut is exactly the ambiguity to avoid
+      .withColumn("split",
+        when(col("rn") <= expr("n * 8 div 10"), "train")
+          .when(col("rn") <= expr(s"n * 8 div 10 + $embargoRows"), "embargo")
+          .otherwise("test"))
+      .groupBy(col("event_type"), col("split"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("value")).as("sum_value"))
+  }
+
+  /** Walk-forward validation windows (expanding-window backtest): the
+    * series splits into k+1 contiguous time blocks; fold i trains on
+    * blocks 1..i and tests on block i+1. Block residence is exact
+    * integer arithmetic (((rn−1)(k+1)) div n + 1), so any engine lands
+    * every row in the same block.
+    *
+    * Scale shape: ONE row-number window + one (event_type, block) hash
+    * aggregate reduce the corpus to k+1 tiny block rows per symbol; the
+    * fold table derives from prefix sums over THAT — the per-fold
+    * train/test row counts and boundary timestamps never rescan or
+    * multiply the input (the naive form explodes every row k ways).
+    */
+  def walkForward(events: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 1, s"need at least 1 fold, got $k")
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val cnt = Window.partitionBy(col("event_type"))
+    val blocks = events
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cnt))
+      .withColumn("block", expr(s"(rn - 1) * ${k + 1} div n + 1"))
+      .groupBy(col("event_type"), col("block"))
+      .agg(count(lit(1)).as("b_rows"), max(col("ts")).as("b_end_ts"))
+    val wb = Window.partitionBy(col("event_type")).orderBy(col("block"))
+    blocks
+      .withColumn("cum_rows", sum(col("b_rows")).over(
+        wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_test", lead(col("b_rows"), 1).over(wb))
+      .withColumn("test_end_ts", lead(col("b_end_ts"), 1).over(wb))
+      .filter(col("block") <= k && col("n_test").isNotNull)
+      .select(col("event_type"), col("block").cast("int").as("fold"),
+        col("cum_rows").as("n_train"), col("n_test"),
+        col("b_end_ts").as("train_end_ts"), col("test_end_ts"))
+  }
+
   /** Forward-fill (pandas `ffill`): carry the last non-null value down
     * each symbol's time order — the standard repair for gappy market
     * data before resampling. `last(ignoreNulls)` over an

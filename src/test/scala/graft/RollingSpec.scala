@@ -465,6 +465,57 @@ class RollingSpec extends SparkSpec {
     assert(out("train") == 80L && out("val") == 10L && out("test") == 10L)
   }
 
+  test("splitEmbargo: gap rows vanish between train cut and test head") {
+    val n = 1000
+    val big = (0 until n).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L), "btc", 1.0)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val out = Rolling.splitEmbargo(big, embargoRows = 50).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    // 1000 rows: train = 800, embargo = 50 dropped rows, test = 150
+    assert(out("train") == 800L && out("embargo") == 50L && out("test") == 150L)
+    // embargo larger than the tail: everything past train is embargo
+    val tiny = (0 until 10).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L), "btc", 1.0)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val t = Rolling.splitEmbargo(tiny, embargoRows = 50).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(t("train") == 8L && t("embargo") == 2L && !t.contains("test"))
+  }
+
+  test("walkForward: expanding folds cover the series, hand-computed bounds") {
+    // 100 rows, k=4 → 5 blocks of 20; fold i: train 20i rows, test 20
+    val n = 100
+    val big = (0 until n).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L), "btc", 1.0)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val out = Rolling.walkForward(big, k = 4)
+      .orderBy("fold").collect()
+    assert(out.length == 4)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Int]("fold") == i + 1)
+      assert(r.getAs[Long]("n_train") == 20L * (i + 1), s"fold ${i + 1}")
+      assert(r.getAs[Long]("n_test") == 20L)
+      // train ends at row 20(i+1)−1, test at row 20(i+2)−1 (0-based ids)
+      assert(r.getAs[Timestamp]("train_end_ts").getTime ==
+        1704067200000L + (20L * (i + 1) - 1) * 1000L)
+      assert(r.getAs[Timestamp]("test_end_ts").getTime ==
+        1704067200000L + (20L * (i + 2) - 1) * 1000L)
+    }
+    // uneven split: 103 rows, k=4 → blocks sized by the div formula;
+    // the folds must still tile the series exactly (last test ends at
+    // the final row, train+tests cover every row once)
+    val odd = (0 until 103).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L), "btc", 1.0)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val o = Rolling.walkForward(odd, k = 4).orderBy("fold").collect()
+    assert(o.length == 4)
+    val lastFold = o.last
+    assert(lastFold.getAs[Long]("n_train") + lastFold.getAs[Long]("n_test") == 103L)
+    assert(lastFold.getAs[Timestamp]("test_end_ts").getTime ==
+      1704067200000L + 102L * 1000L)
+  }
+
   test("fillForwardChunked: matches the plain window across chunk sizes, incl. all-null chunks") {
     // 1-hour event spacing with ids spaced so that some 4-hour chunks
     // contain ONLY masked events (id % 7 == 0) — the cross-chunk carry
