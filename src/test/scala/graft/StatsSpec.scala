@@ -60,6 +60,30 @@ class StatsSpec extends SparkSpec {
     assert(one.getLong(0) == 1L && one.isNullAt(5))
   }
 
+  test("summaryShardsExact/mergeSummaryExact: BIT-identical across shard splits") {
+    import org.apache.spark.sql.functions._
+    // cent-grid values (the fixed-point contract of the exact variant)
+    val df = (0 until 5000).map(i => (i.toLong, (i * 37 % 99991) / 100.0))
+      .toDF("id", "v")
+    // decimal accumulation makes every derived double IDENTICAL — not
+    // approximately equal — under any shard split or partitioning
+    val rows = Seq(pmod($"id", lit(7L)), pmod($"id", lit(113L)), lit(0L))
+      .map(shard => Stats.mergeSummaryExact(
+        Stats.summaryShardsExact(df.repartition(5), "v", shard)).head())
+    val first = rows.head
+    rows.tail.foreach { r =>
+      (0 until first.length).foreach { i =>
+        assert(r.get(i) == first.get(i), s"column $i differs across shardings")
+      }
+    }
+    // and it agrees with the generic double variant within float noise
+    val dbl = Stats.mergeSummary(
+      Stats.summaryShards(df, "v", pmod($"id", lit(7L)))).head()
+    assert(first.getLong(0) == dbl.getLong(0))
+    assert(approx(first.getDouble(4), dbl.getDouble(4))) // mean
+    assert(approx(first.getDouble(5), dbl.getDouble(5), 1e-6)) // var
+  }
+
   test("winsorize: hand-computed clamp at exact quantiles; nulls stay null") {
     // values 0..10: p25 = 2.5, p75 = 7.5 → 0,1,2 clamp up; 8,9,10 clamp down
     val df = ((0 to 10).map(i => Some(i.toDouble)) :+ None)
