@@ -239,6 +239,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("split_embargo / walk_forward: symbol-partitioned windows, never single-task") {
+    for (q <- Seq("split_embargo", "walk_forward")) {
+      val p = plan(q)
+      // row_number/count (and walk_forward's block prefix sums) all
+      // partition on event_type — an unpartitioned window would plan an
+      // Exchange SinglePartition and serialize the corpus into one task
+      assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
+      assert(p.contains("Window"), s"$q:\n$p")
+      assert(!p.contains("Join"), s"$q:\n$p")
+    }
+  }
+
   test("macd / rsi: all EMAs ride ONE symbol shuffle and ONE sort") {
     // macd chains a second Window (signal over the derived macd line) and
     // rsi a lag + EMA pair — same partitioning/ordering throughout, so
