@@ -114,4 +114,43 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("Misra-Gries: bounds hold on arbitrary streams, capacities, and split points") {
+    // arbitrary stream over a skewed alphabet, arbitrary m, arbitrary
+    // 3-way split folded separately and merged in both associations —
+    // the three MG guarantees must hold for every generated case
+    val streamGen: Gen[(List[String], Int, Int, Int)] = for {
+      n <- Gen.choose(50, 2000)
+      vocab <- Gen.choose(5, 300)
+      // zipf-ish skew: item index drawn as min of two uniforms
+      items <- Gen.listOfN(n, for {
+        a <- Gen.choose(0, vocab - 1); b <- Gen.choose(0, vocab - 1)
+      } yield s"w${math.min(a, b)}")
+      m <- Gen.choose(2, 64)
+      cut1 <- Gen.choose(0, n)
+      cut2 <- Gen.choose(0, n)
+    } yield (items, m, math.min(cut1, cut2), math.max(cut1, cut2))
+
+    samples(streamGen, 40, 400L).foreach { case (items, m, c1, c2) =>
+      val agg = new graft.agg.MisraGriesAgg(m)
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = items.size.toLong / (m + 1)
+      val (p1, rest) = items.splitAt(c1)
+      val (p2, p3) = rest.splitAt(c2 - c1)
+      val bufs = Seq(p1, p2, p3).map(_.foldLeft(agg.zero)(agg.reduce))
+      for (summary <- Seq(
+        items.foldLeft(agg.zero)(agg.reduce),            // sequential
+        agg.merge(agg.merge(bufs(0), bufs(1)), bufs(2)), // left-assoc
+        agg.merge(bufs(0), agg.merge(bufs(1), bufs(2))))) { // right-assoc
+        assert(summary.size <= m)
+        summary.foreach { case (k, est) =>
+          assert(est >= 1L && est <= exact(k), s"m=$m $k est=$est")
+          assert(exact(k) - est <= bound, s"m=$m $k undercount over bound")
+        }
+        exact.foreach { case (k, c) =>
+          if (c > bound) assert(summary.contains(k), s"m=$m $k lost (freq $c > $bound)")
+        }
+      }
+    }
+  }
 }
