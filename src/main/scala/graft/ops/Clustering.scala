@@ -10,22 +10,30 @@ import org.apache.spark.sql.functions._
   * family is one document): keep one canonical doc per component, drop
   * the rest.
   *
-  * Algorithm: iterative minimum-label propagation. Every node starts
-  * labeled with its own id; each round every node takes the min of its
-  * own label and its neighbors' labels; converged when a round changes
-  * nothing. Each round is one equi-join + groupBy — hash-partitioned on
-  * the node id, no global structure — and `localCheckpoint` truncates
-  * the lineage so the plan doesn't deepen with the iteration count.
+  * Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+  * Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+  * and Beyond", SOCC 2014). Each round rewrites the edge list so that
+  * nodes hook onto ever-smaller labels:
   *
-  * Scale: rounds needed = the largest component's diameter. Near-dup
-  * graphs are dense little clique-ish families (diameter 2–4), not long
-  * chains — so this converges in a handful of rounds on real corpora,
-  * each round a linear shuffle of (id, label) pairs only (8+8 bytes a
-  * row; document payloads never enter the loop). The per-round driver
-  * `count()` is one scalar, not a collect. For adversarial long-chain
-  * graphs the known upgrade is large-star/small-star (O(log n) rounds);
-  * the loop structure below is deliberately the same shape, so that
-  * swap is local.
+  *   - large-star(v): connect every STRICTLY LARGER neighbor of v to the
+  *     minimum of v's closed neighborhood — long tails collapse toward
+  *     local minima in parallel;
+  *   - small-star(v): connect every smaller-or-equal neighbor (and v
+  *     itself) to that minimum — flattens the partial trees into stars.
+  *
+  * Converged when a full round leaves the edge set unchanged; at that
+  * point the edges form a star forest whose center is each component's
+  * minimum id. Round count is O(log n) even on pathological long-chain
+  * graphs (vs. component DIAMETER for plain min-label propagation — the
+  * difference between ~14 rounds and ~10,000 on a 10k-node chain).
+  *
+  * Scale: every round shuffles only (long, long) edge pairs — document
+  * payloads never enter the loop — and `localCheckpoint` truncates the
+  * lineage so plans don't deepen with iteration. Per round the driver
+  * sees two materializations and one scalar fingerprint agg; nothing
+  * proportional to data size is collected. The previous diameter-round
+  * min-label implementation is kept as [[connectedComponentsMinLabel]]
+  * and cross-checked in ClusteringSpec on shared fixtures.
   */
 object Clustering {
 
@@ -34,7 +42,90 @@ object Clustering {
     * `(id, cluster_id)` where `cluster_id` = min node id reachable.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(edges, srcCol, dstCol, maxIter)._1
+
+  /** Same, also reporting how many large-star/small-star rounds ran —
+    * exposed so tests can assert the O(log n) bound on adversarial
+    * fixtures instead of trusting the scaladoc.
+    */
+  private[graft] def connectedComponentsWithRounds(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): (DataFrame, Int) = {
+    // Canonical directed form: (a, b) with a > b, self-loops dropped,
+    // deduped. Orientation is an invariant both steps below preserve.
+    var e = edges
+      .select(col(srcCol).cast("long").as("x"), col(dstCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("a"), least(col("x"), col("y")).as("b"))
+      .distinct()
+      .localCheckpoint()
+
+    // Edge-set fingerprint: (count, xor of per-edge 64-bit hashes). Edges
+    // are distinct within a round, so xor is order- and partition-stable;
+    // one scalar agg per round replaces a full except() comparison.
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)).as("c"),
+        coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var fp = fingerprint(e)
+    var iter = 0
+    var converged = fp._1 == 0L // no edges → star forest vacuously
+    while (!converged && iter < maxIter) {
+      // Large-star. Work on the symmetric view; for each node a with
+      // closed-neighborhood min m = least(a, min b), re-point every
+      // strictly larger neighbor at m. Output keeps a > b orientation
+      // because m <= a < neighbor.
+      val sym = e.select(col("a"), col("b"))
+        .unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val nmin = sym.groupBy(col("a")).agg(min(col("b")).as("nm"))
+      val large = sym.join(nmin, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), least(col("a"), col("nm")).as("b"))
+        .distinct()
+        .localCheckpoint() // referenced twice by small-star: pin it
+
+      // Small-star. Edges point big→small, so grouping by the big end
+      // sees exactly the smaller neighbors; hook them (and the big end)
+      // onto the group minimum. Both emitted shapes keep a > b.
+      val smin = large.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val relinked = large.join(smin, "a")
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+      val hooked = smin.select(col("a"), col("m").as("b"))
+      val next = relinked.unionByName(hooked).distinct().localCheckpoint()
+
+      // Converged only when BOTH steps were no-ops (the paper's
+      // termination condition) — a fixpoint of the composition alone
+      // would not prove star-forest shape.
+      val lfp = fingerprint(large)
+      val nfp = fingerprint(next)
+      converged = lfp == fp && nfp == fp
+      fp = nfp
+      e = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents: no convergence in $maxIter rounds")
+
+    // Star forest: children are the a side, roots only ever on the b side.
+    // Every node from the original edge list appears exactly once.
+    val labels = e.select(col("a").as("id"), col("b").as("cluster_id"))
+      .unionByName(e.select(col("b").as("id"), col("b").as("cluster_id")).distinct())
+    (labels, iter)
+  }
+
+  /** Reference implementation: iterative minimum-label propagation
+    * (label = min of own + neighbor labels per round; rounds = component
+    * diameter). Kept as the independently-derived cross-check for the
+    * large-star/small-star path — same output contract, different
+    * algorithm family. Do not use on long-chain graphs at scale.
+    */
+  private[graft] def connectedComponentsMinLabel(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 200): DataFrame = {
     val sym = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .unionByName(edges
@@ -59,7 +150,7 @@ object Clustering {
       labels = stepped.select(col("id"), col("next").as("label"))
       iter += 1
     }
-    require(changed == 0, s"connectedComponents: no convergence in $maxIter rounds")
+    require(changed == 0, s"connectedComponentsMinLabel: no convergence in $maxIter rounds")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

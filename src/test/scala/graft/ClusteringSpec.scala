@@ -22,7 +22,7 @@ class ClusteringSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
-  test("connectedComponents: long chain converges (diameter = rounds)") {
+  test("connectedComponents: long chain converges (not diameter-bound)") {
     // a 30-node path: worst case for min-label propagation — the label
     // must walk the whole chain; proves the loop really iterates to
     // fixpoint rather than stopping after a fixed round count
@@ -30,6 +30,49 @@ class ClusteringSpec extends SparkSpec {
     val comp = Clustering.connectedComponents(edges, "doc_a", "doc_b").collect()
     assert(comp.length == 30)
     assert(comp.forall(_.getLong(1) == 0L))
+  }
+
+  test("connectedComponents: adversarial 10k-node chain converges in O(log n) rounds") {
+    // the scale-killer case for diameter-round propagation: a single
+    // 10,000-node path has diameter 9,999. Large-star/small-star must
+    // close it in logarithmic rounds — the whole point of the upgrade.
+    val n = 10000L
+    val edges = spark.range(n - 1).selectExpr("id as doc_a", "id + 1 as doc_b")
+    val (comp, rounds) =
+      Clustering.connectedComponentsWithRounds(edges, "doc_a", "doc_b")
+    val rows = comp.collect()
+    assert(rows.length == n)
+    assert(rows.forall(_.getLong(1) == 0L), "all nodes must label to the chain min")
+    // log2(10000) ≈ 13.3; the paper bounds rounds at O(log n) with a
+    // small constant. 2*log2(n) is a generous but still logarithmic cap.
+    val cap = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt
+    assert(rounds <= cap, s"expected <= $cap rounds on a ${n}-node chain, took $rounds")
+  }
+
+  test("connectedComponents: agrees with min-label reference on random graphs") {
+    // cross-check the two-phase algorithm against the independently
+    // derived diameter-round implementation on seeded random pair lists
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val m = 200 + trial * 100
+      val edges = Seq.fill(m)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("doc_a", "doc_b")
+      val fast = Clustering.connectedComponents(edges, "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ref = Clustering.connectedComponentsMinLabel(edges, "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == ref, s"trial $trial: two-phase and min-label disagree")
+    }
+  }
+
+  test("connectedComponents: empty and self-loop-only edge lists") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Clustering.connectedComponents(empty, "doc_a", "doc_b").count() == 0L)
+    // self-loops carry no connectivity; dropped entirely (no-edge nodes
+    // are not emitted, matching the dedup contract: uncontested = kept)
+    val selfs = Seq((3L, 3L), (7L, 7L)).toDF("doc_a", "doc_b")
+    assert(Clustering.connectedComponents(selfs, "doc_a", "doc_b").count() == 0L)
   }
 
   test("dedupClusters: canonical keep flag + component sizes") {
