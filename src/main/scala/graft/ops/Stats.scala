@@ -113,13 +113,21 @@ object Stats {
     * same broadcast-bounds template as [[histogram]]. Nulls stay null
     * (Spark's `greatest` would otherwise swallow them). The bound
     * columns are exported so the clamp arithmetic itself is oracled.
+    *
+    * `precomputed`: a 1-row (q_lo, q_hi) frame from a shared bounds
+    * artifact — a curation run that winsorizes AND robust-scales the same
+    * column should sort it once, not once per consumer (see
+    * SparkEntry's price-bounds artifact); when absent the bounds are
+    * computed here as before.
     */
   def winsorize(df: DataFrame, valueCol: String,
-                lo: Double, hi: Double): DataFrame = {
+                lo: Double, hi: Double,
+                precomputed: Option[DataFrame] = None): DataFrame = {
     require(lo >= 0.0 && lo < hi && hi <= 1.0,
       s"need 0 <= lo < hi <= 1, got lo=$lo hi=$hi")
-    val bounds = exactPercentilesScale(df, valueCol,
-      Seq("q_lo" -> lo, "q_hi" -> hi)).select("q_lo", "q_hi")
+    val bounds = precomputed.getOrElse(
+      exactPercentilesScale(df, valueCol,
+        Seq("q_lo" -> lo, "q_hi" -> hi)).select("q_lo", "q_hi"))
     df.crossJoin(broadcast(bounds))
       .withColumn("winsorized",
         when(col(valueCol).isNotNull,
@@ -133,11 +141,16 @@ object Stats {
     * quartiles from the range-sort path, one broadcast 1-row cross join,
     * codegen projection; a degenerate IQR of 0 (over half the values
     * identical) scales to 0.0 rather than dividing by zero.
+    *
+    * `precomputed`: a 1-row (med, iqr) frame from a shared bounds
+    * artifact (same contract as [[winsorize]]'s).
     */
-  def robustScale(df: DataFrame, valueCol: String): DataFrame = {
-    val q = exactPercentilesScale(df, valueCol,
-        Seq("p25" -> 0.25, "med" -> 0.5, "p75" -> 0.75))
-      .select(col("med"), (col("p75") - col("p25")).as("iqr"))
+  def robustScale(df: DataFrame, valueCol: String,
+                  precomputed: Option[DataFrame] = None): DataFrame = {
+    val q = precomputed.getOrElse(
+      exactPercentilesScale(df, valueCol,
+          Seq("p25" -> 0.25, "med" -> 0.5, "p75" -> 0.75))
+        .select(col("med"), (col("p75") - col("p25")).as("iqr")))
     df.crossJoin(broadcast(q))
       .withColumn("scaled",
         when(col("iqr") === 0.0, lit(0.0))

@@ -105,6 +105,16 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
+  /** Per-doc token counts, as a standalone frame — the shareable
+    * derived-column artifact behind [[lengthBuckets]] (and anything else
+    * that needs corpus length statistics): tokenize once, persist the
+    * tiny (doc_id, n_tokens) table, let every consumer read THAT instead
+    * of re-splitting the full text column.
+    */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      size(toks).cast("double").as("n_tokens"))
+
   /** Quality scoring: stopword ratio, length, lexical diversity — the
     * standard cheap pre-filter heuristics of a training-data pipeline.
     */
@@ -215,13 +225,20 @@ object TextAnalysis {
     * scale). Boundaries at p ∈ {.25,.5,.75} over integer token counts
     * interpolate to exact binary fractions, so any engine reproduces the
     * same cut points bit-for-bit.
+    *
+    * `counts` / `bounds`: optional precomputed (doc_id, n_tokens) rows
+    * and 1-row (p25, p50, p75) cuts from shared artifacts — a curation
+    * run should tokenize the corpus and sort the counts once, not once
+    * per consumer (SparkEntry persists both via its scratch cache).
     */
-  def lengthBuckets(documents: DataFrame): DataFrame = {
-    val t = documents.select(col("doc_id"),
-      size(toks).cast("double").as("n_tokens"))
-    val q = Stats.exactPercentilesScale(t, "n_tokens",
-      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
-      .select("p25", "p50", "p75")
+  def lengthBuckets(documents: DataFrame,
+                    counts: Option[DataFrame] = None,
+                    bounds: Option[DataFrame] = None): DataFrame = {
+    val t = counts.getOrElse(tokenCounts(documents))
+    val q = bounds.getOrElse(
+      Stats.exactPercentilesScale(t, "n_tokens",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+        .select("p25", "p50", "p75"))
     t.crossJoin(broadcast(q))
       .select(col("doc_id"), col("n_tokens"),
         when(col("n_tokens") <= col("p25"), lit("q1"))
@@ -265,14 +282,23 @@ object TextAnalysis {
     * (lang, tier). Same boundary-parity contract as [[lengthBuckets]]
     * (identical quality doubles → identical interpolated cuts in any
     * engine).
+    *
+    * `scores` / `tierBounds`: optional precomputed (doc_id, quality) rows
+    * and 1-row (p25, p50, p75) cuts — without them the quality formula
+    * runs twice (once under the bounds sort, once for the tier map);
+    * a persisted per-doc score artifact collapses that to one pass.
     */
-  def qualityTiers(documents: DataFrame): DataFrame = {
-    val q = qualityScore(documents).select(col("doc_id"), col("quality"))
+  def qualityTiers(documents: DataFrame,
+                   scores: Option[DataFrame] = None,
+                   tierBounds: Option[DataFrame] = None): DataFrame = {
+    val q = scores.getOrElse(
+      qualityScore(documents).select(col("doc_id"), col("quality")))
     val docs = documents.select(col("doc_id"), col("lang"), col("n_chars"))
       .join(q, Seq("doc_id"))
-    val bounds = Stats.exactPercentilesScale(q, "quality",
-      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
-      .select("p25", "p50", "p75")
+    val bounds = tierBounds.getOrElse(
+      Stats.exactPercentilesScale(q, "quality",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+        .select("p25", "p50", "p75"))
     docs.crossJoin(broadcast(bounds))
       .select(col("lang"), col("n_chars"), col("quality"),
         when(col("quality") <= col("p25"), lit("t1"))
