@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.execution.{CollectLimitExec, FileSourceScanExec, GlobalLimitExec, InputAdapter, SparkPlan, TakeOrderedAndProjectExec, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+
+/** Automatic plan lint over EVERY registered query: the hand-picked
+  * guards in PlanShapeSpec cover ~20% of the surface; this sweep pins
+  * the three scale-killer plan properties for all of it, so a refactor
+  * can't silently regress a query the named guards don't cover.
+  *
+  * Rules, per query, on the AQE-less physical plan at sf0.001 (plan
+  * SHAPE is under test, not data volume):
+  *
+  *   1. no CartesianProduct ever, and no BroadcastNestedLoopJoin except
+  *      the whitelisted 1-row/bounded-broadcast patterns (a scalar
+  *      bounds row or a single query vector riding a broadcast into a
+  *      map-side projection is the CORRECT plan — the broadcast side is
+  *      provably tiny, so "nested loop" degenerates to a map);
+  *   2. no single-partition funnel: a Window/WindowGroupLimit with an
+  *      empty partitionSpec, or a SinglePartition shuffle feeding
+  *      anything except a final scalar aggregate or a limit, serializes
+  *      the corpus through one task at 100 TB;
+  *   3. pruned ReadSchema: a scan of a base table that reads EVERY
+  *      column means pruning broke — only whitelisted whole-row
+  *      operators (row dedup, full-document emitters) may.
+  *
+  * Whitelists are explicit and per-query with the reason inline; adding
+  * an entry is a reviewed design decision, not a lint mute.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries allowed a BroadcastNestedLoopJoin — every entry's broadcast
+    * side must be 1-row or bounded by construction.
+    */
+  private val allowBnlj: Map[String, String] = Map(
+    "ann_md5" -> "1-row query vector broadcast; NLJ degenerates to a scored map over the corpus",
+    "ann_quantized" -> "1-row query vector broadcast (int8 candidate pass + exact rerank)",
+    "ann_ivf_md5" -> "1-row query vector broadcast against cells / seed assignment",
+    "cosine_topk" -> "1-row query vector broadcast (brute-force baseline)",
+    "bm25_score" -> "1-row corpus stats (N, avgdl) broadcast",
+    "histogram_price" -> "1-row min/max bounds broadcast into the codegen bin map",
+    "kl_drift" -> "1-row distribution totals broadcast",
+    "unigram_logprob" -> "1-row corpus token total broadcast",
+    "salient_terms" -> "1-row corpus totals broadcast",
+    "distinctive_terms" -> "1-row corpus totals broadcast",
+    "winsorize_price" -> "1-row shared percentile-bounds artifact broadcast",
+    "robust_scale" -> "1-row shared percentile-bounds artifact broadcast",
+    "length_buckets" -> "1-row shared percentile-bounds artifact broadcast",
+    "quality_tiers" -> "1-row shared percentile-bounds artifact broadcast",
+    "ngram_jaccard" -> "bounded brute-force oracle baseline: <=500 docs by construction feeds the theta self-join",
+  )
+
+  /** Queries allowed a single-partition funnel (global window / sort):
+    * either a deliberately-kept reference-parity form whose scale-safe
+    * twin is registered alongside, or a window over a provably bounded
+    * intermediate (never the corpus).
+    */
+  private val allowSingleFunnel: Map[String, String] = Map(
+    "ohlc_rowbucket" -> "W1 reference-parity global row_number; scale-safe twin ohlc_rowbucket_scale registered alongside",
+    "heavy_hitters" -> "window over the <=m=1024 Misra-Gries candidate recounts, not the corpus",
+    "ann_ivf_md5" -> "row_number over the nlist seed rows (deterministic centroid ids), bounded by nlist",
+  )
+
+  /** Queries allowed to read a base table's full column set. */
+  private val allowFullScan: Map[String, String] = Map(
+    "dedup_rows" -> "whole-row dedup compares every column by definition",
+    "dedup_incremental" -> "emits surviving full documents; every column is payload",
+    "dedup_incremental_bloom" -> "emits surviving full documents; every column is payload",
+  )
+
+  // Base-table widths, read once from the parquet footers themselves so
+  // the lint tracks the generator, not a hardcoded copy of the schema.
+  private lazy val tableWidths: Map[String, Int] = {
+    val dir = new java.io.File(sf)
+    dir.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+      f.getName.stripSuffix(".parquet") ->
+        spark.read.parquet(f.getPath).schema.size
+    }.toMap
+  }
+
+  /** Walk the tree tracking the nearest STRUCTURAL parent — codegen
+    * wrappers (WholeStageCodegen, InputAdapter) are transparent, so an
+    * exchange feeding `InputAdapter -> WholeStageCodegen(HashAggregate)`
+    * classifies by the aggregate, not the plumbing.
+    */
+  private def walk(node: SparkPlan, parent: Option[SparkPlan],
+                   onExchange: (ShuffleExchangeExec, Option[SparkPlan]) => Unit): Unit = {
+    node match {
+      case ex: ShuffleExchangeExec if ex.outputPartitioning == SinglePartition =>
+        onExchange(ex, parent)
+      case _ => ()
+    }
+    val nextParent = node match {
+      case _: InputAdapter | _: WholeStageCodegenExec => parent
+      case _ => Some(node)
+    }
+    node.children.foreach(walk(_, nextParent, onExchange))
+  }
+
+  private def lint(name: String, plan: SparkPlan): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+
+    plan.foreach {
+      case _: CartesianProductExec =>
+        out += "CartesianProduct"
+      case _: BroadcastNestedLoopJoinExec if !allowBnlj.contains(name) =>
+        out += "BroadcastNestedLoopJoin (not whitelisted)"
+      case w: WindowExec if w.partitionSpec.isEmpty && !allowSingleFunnel.contains(name) =>
+        out += "global Window (empty partitionSpec)"
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty && !allowSingleFunnel.contains(name) =>
+        out += "global WindowGroupLimit (empty partitionSpec)"
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString)
+          .filter(_.contains("/testdata/"))
+          .flatMap { p =>
+            val base = p.split('/').last.stripSuffix(".parquet")
+            tableWidths.get(base).map(base -> _)
+          }
+          .foreach { case (table, width) =>
+            if (s.output.size >= width && width >= 5 && !allowFullScan.contains(name))
+              out += s"unpruned scan of $table (reads all $width columns)"
+          }
+      case _ => ()
+    }
+
+    // single-partition shuffles: fine only under a final scalar
+    // aggregate or a limit (rows reaching them are O(partitions) or O(k))
+    walk(plan, None, (_, parent) => parent match {
+      case Some(_: HashAggregateExec | _: SortAggregateExec |
+                _: ObjectHashAggregateExec | _: GlobalLimitExec |
+                _: CollectLimitExec | _: TakeOrderedAndProjectExec) => ()
+      case other if !allowSingleFunnel.contains(name) =>
+        out += s"SinglePartition exchange feeding ${other.map(_.nodeName).getOrElse("<root>")}"
+      case _ => ()
+    })
+    out.toSeq
+  }
+
+  test("every registered query passes the scale-plan lint") {
+    // dedicated session: AQE off so the REAL physical tree (not an
+    // AdaptiveSparkPlan wrapper) is walkable, without leaking the
+    // setting to suites sharing the JVM-wide session
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val plan = fn(s, sf).queryExecution.executedPlan
+          lint(name, plan).map(v => s"$name: $v")
+        } catch {
+          case e: Throwable => Seq(s"$name: plan construction failed: ${e.getMessage}")
+        }
+    }
+    assert(violations.isEmpty,
+      s"\n${violations.size} plan-lint violations:\n${violations.mkString("\n")}")
+
+    // every whitelist entry must still be registered — a renamed or
+    // removed query must not leave a dangling exemption behind
+    val registered = SparkEntry.queries.keySet
+    val dangling = (allowBnlj.keySet ++ allowSingleFunnel.keySet ++
+      allowFullScan.keySet).diff(registered)
+    assert(dangling.isEmpty, s"whitelist entries for unregistered queries: $dangling")
+  }
+}
