@@ -719,6 +719,16 @@ object SparkEntry {
     "dedup_clusters_lsh" -> ((s, d) => Clustering.dedupClusters(
       Similarity.minhashNearDupPersisted(
         Tables.documents(s, d), cleanedTempDir("minhash_cc") + "/shingle_hashes"))),
+    // Bounded-id-window twin of the LSH closure: the identical compose
+    // (persisted shingle artifact → band join → exact verify →
+    // components) over doc_id < 1500, so the DuckDB all-pairs closure
+    // oracle stays feasible at sf0.1 — the unbounded twin above is only
+    // oracle-checkable at the sf0.01 gate scale (12.5M pairs of ~100-hash
+    // lists at sf0.1 is hours in DuckDB; 1.1M is not).
+    "dedup_clusters_lsh_window" -> ((s, d) => Clustering.dedupClusters(
+      Similarity.minhashNearDupPersisted(
+        Tables.documents(s, d).filter(col("doc_id") < 1500),
+        cleanedTempDir("minhash_cc_w") + "/shingle_hashes"))),
     // Z-order clustered layout roundtrip: events written clustered by the
     // Morton interleave of (value, user_id), then a 2-D box query over
     // the layout. The RESULT is layout-independent (the oracle filters
@@ -2449,6 +2459,36 @@ object SparkEntry {
         |    list_distinct(list_transform(generate_series(1, len(w) - 2),
         |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(a.s || b.s)) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.3),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+        |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+        |SELECT doc_id, cluster_id,
+        | CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+        | doc_id = cluster_id AS keep
+        |FROM comp""".stripMargin,
+    // The bounded twin's closure: identical to dedup_clusters_lsh with
+    // the same doc_id cap the Spark side applies — small enough that
+    // DuckDB computes it at sf0.1, not just the sf0.01 gate scale.
+    "dedup_clusters_lsh_window" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |        WHERE doc_id < 1500)
         |  WHERE len(w) >= 3),
         |pairs AS (
         |  SELECT doc_a, doc_b FROM (
