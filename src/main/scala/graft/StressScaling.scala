@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-ratio evidence for the heavy COMPOSITIONS (not part of the
+  * driver contract): runs each of the four most expensive bench chains —
+  * the LSH near-dup miner, the full dedup closure, the curation
+  * pipeline, and the IVF build+probe — at bench scale (sf0.1-shaped
+  * synthetic data) and at 10× that, and prints the wall-time ratio
+  * against the 10× data ratio. The 2× bench envelope only validates
+  * sf0.1; this is the measured answer to "does the composition stay
+  * linear when the corpus grows", which the 100 TB design claims
+  * otherwise argue only from plan shape.
+  *
+  * Output: one `STRESS_SCALING {json}` line per (query, scale) plus a
+  * final `STRESS_RATIOS {json}` summary — redirect to
+  * `bench/r{N}_stress_scaling.json` for the committed artifact.
+  *
+  * Usage: `sbt 'runMain graft.StressScaling [baseDocs]'` (default 5000
+  * docs / 10k vectors at 1×, matching the sf0.1 table shapes).
+  */
+object StressScaling {
+
+  /** sf0.1-shaped synthetic corpus: ~40-token docs from a 10k-word
+    * vocabulary, every 100th doc an exact copy of its left neighbor
+    * (planted dup families for the miners), built relationally — same
+    * generator family as [[Stress]].
+    */
+  private def docs(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map(i =>
+          concat(lit("w"), pmod(xxhash64(
+            (col("id") - when(pmod(col("id"), lit(100)) === 99L, lit(1L))
+              .otherwise(lit(0L))) * 1000003L + i),
+            lit(10000L)))): _*).as("text"),
+        concat(lit("l"), pmod(col("id"), lit(5))).as("lang"),
+        concat(lit("s"), pmod(col("id"), lit(7))).as("source"),
+        lit(200L).as("n_chars"))
+
+  /** sf0.1-shaped embeddings: 64-dim float vectors in 32 planted
+    * clusters (centroid + noise), cached so the synthetic expressions
+    * behave like the parquet scan a real corpus is (see [[Stress]]).
+    */
+  private def embeddings(spark: SparkSession, n: Long): DataFrame = {
+    def comp(i: Int) = {
+      val centroid = (pmod(xxhash64(pmod(col("id"), lit(32L)) * 1000003L + i),
+        lit(2001L)) - 1000L) / 1000.0
+      val noise = (pmod(xxhash64(col("id") * 999983L + i),
+        lit(2001L)) - 1000L) / 5000.0
+      (centroid + noise).cast("float")
+    }
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      concat(lit("c"), pmod(col("id"), lit(32L))).as("label"),
+      array((0 until 64).map(comp): _*).as("embedding")).cache()
+  }
+
+  private def tmp(kind: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_scaling_$kind").toString + "/a"
+
+  def main(args: Array[String]): Unit = {
+    val baseDocs = args.headOption.map(_.toLong).getOrElse(5000L)
+    val baseVecs = baseDocs * 2 // sf0.1: 5k docs, 10k vectors
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed(f: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // one warmup pass so 1× timings aren't JIT/codegen-dominated (which
+    // would deflate the measured ratios)
+    timed(ops.Similarity.exactDedup(docs(spark, 1000L)))
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Map[Long, Double]]()
+    def record(name: String, scale: Long, rows: Long, sec: Double): Unit = {
+      results(name) = results.getOrElse(name, Map.empty) + (scale -> sec)
+      println(f"""STRESS_SCALING {"query":"$name","scale":$scale,"rows":$rows,"sec":$sec%.2f}""")
+    }
+
+    // 1× ≈ sf0.1; 10× shows the overhead-dominated regime (ratios ≈ 1 =
+    // fixed costs still dominate); 100× (500k docs / 1M vectors) is the
+    // data-dominated regime where the 10×→100× ratio is the real
+    // linearity verdict.
+    for (scale <- Seq(1L, 10L, 100L)) {
+      val nDocs = baseDocs * scale
+      val d = docs(spark, nDocs).localCheckpoint() // materialized like a real table scan
+      record("minhash_neardup", scale, nDocs, timed(
+        ops.Similarity.minhashNearDupPersisted(d, tmp("mh") )))
+      record("dedup_clusters_lsh", scale, nDocs, timed(
+        ops.Clustering.dedupClusters(
+          ops.Similarity.minhashNearDupPersisted(d, tmp("mhcc")))))
+      record("curation_full", scale, nDocs, timed(
+        ops.Pipeline.curationFull(d)))
+
+      val nVecs = baseVecs * scale
+      val emb = embeddings(spark, nVecs)
+      val layout = tmp("ivf")
+      val t0 = System.nanoTime()
+      val cents = ops.Ivf.writeIvfLayout(emb, layout)
+      val q = spark.read.parquet(layout).filter(col("vec_id") === 0L)
+        .select(col("embedding")).head()
+        .getAs[scala.collection.Seq[Float]](0).toArray
+      ops.Ivf.ivfProbe(spark, layout, cents, q, 10, nprobe = 2,
+        excludeId = Some(0L)).write.format("noop").mode("overwrite").save()
+      record("ann_ivf", scale, nVecs, (System.nanoTime() - t0) / 1e9)
+      emb.unpersist()
+    }
+
+    val ratios = results.map { case (name, byScale) =>
+      val r10 = byScale(10L) / byScale(1L)
+      val r100 = byScale(100L) / byScale(10L)
+      s""""$name":{"sec_1x":${f"${byScale(1L)}%.2f"},"sec_10x":${f"${byScale(10L)}%.2f"},"sec_100x":${f"${byScale(100L)}%.2f"},"ratio_10x":${f"$r10%.2f"},"ratio_100x_vs_10x":${f"$r100%.2f"}}"""
+    }.mkString("{", ",", "}")
+    println(s"""STRESS_RATIOS {"step_data_ratio":10,"base_docs":$baseDocs,"queries":$ratios}""")
+    spark.stop()
+  }
+}
