@@ -222,9 +222,11 @@ object SparkEntry {
     "rmse_mae" -> ((s, d) => Rolling.rmseMae(ev(s, d))),
     // W10: ordered 0.8/0.1/0.1 train/val/test split.
     "ordered_split" -> ((s, d) => Rolling.orderedSplit(ev(s, d))),
-    // Leakage-guarded holdout: an embargo gap of rows dropped between
-    // the train cut and the test head (purged-CV discipline for
-    // autocorrelated series); integer-exact bounds.
+    // Leakage-guarded holdout: the embargo gap between the train cut
+    // and the test head is labeled as its own split group — excluded
+    // from train AND test, but reported so the guard is auditable
+    // (purged-CV discipline for autocorrelated series); integer-exact
+    // bounds.
     "split_embargo" -> ((s, d) => Rolling.splitEmbargo(ev(s, d))),
     // Expanding-window walk-forward backtest folds: per-fold train/test
     // row counts + boundary timestamps, derived from k+1 tiny block rows
@@ -1022,13 +1024,17 @@ object SparkEntry {
          |    AS atr
          |FROM pre p LEFT JOIN carry c
          |  ON p.event_type = c.event_type AND c.blk = p.blk - 1""".stripMargin
-    // Shared hourly close-bar CTE (the ma_* family's input series and the
-    // range join's window derivation; the as-of oracles key their bars
-    // differently — bucket_end / negated bstart — and stay inline).
+    // Shared hourly bar CTE — the single definition every
+    // hourly-indicator oracle builds on (ma_* family, OBV, Amihud,
+    // stochastic): the full OHLCV superset, of which each consumer names
+    // only the columns it uses (the rest are inert). The as-of oracles
+    // key their bars differently — bucket_end / negated bstart — and
+    // stay inline.
     val hourlyClose =
       """WITH hourly AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
-        |         arg_max(value, ts) AS close
+        |         arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+        |         arg_max(value, ts) AS close, sum(value) AS volume
         |  FROM events GROUP BY 1, 2)""".stripMargin
     val base = Map(
     "ohlc_hourly" ->
@@ -1110,12 +1116,8 @@ object SparkEntry {
     "macd_chunked" -> macdOracle,
     "rsi_chunked" -> rsiOracle,
     "atr" -> atrOracle,
-    "obv" ->
-      """WITH hourly AS (
-        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
-        |    arg_max(value, ts) AS close, sum(value) AS volume
-        |  FROM events GROUP BY 1, 2),
-        |s AS (
+    "obv" -> (hourlyClose + ",\n" +
+      """s AS (
         |  SELECT bucket, event_type,
         |    coalesce(sign(close - lag(close) OVER w), 0) * volume AS signed_vol
         |  FROM hourly
@@ -1123,7 +1125,7 @@ object SparkEntry {
         |SELECT bucket, event_type, signed_vol,
         |  sum(signed_vol) OVER (PARTITION BY event_type ORDER BY bucket
         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obv
-        |FROM s""".stripMargin,
+        |FROM s""".stripMargin),
     // drawdown twins share one oracle: the chunked form is bit-identical
     // (max and division re-associate losslessly)
     "drawdown" -> drawdownOracle,
@@ -1192,12 +1194,8 @@ object SparkEntry {
         |    sqrt(greatest(cnt * sxx - sx * sx, 0) *
         |         greatest(cnt * syy - sy * sy, 0)) AS autocorr
         |FROM s""".stripMargin,
-    "amihud" ->
-      """WITH hourly AS (
-        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
-        |    event_type, arg_max(value, ts) AS close, sum(value) AS volume
-        |  FROM events GROUP BY 1, 2),
-        |r AS (
+    "amihud" -> (hourlyClose + ",\n" +
+      """r AS (
         |  SELECT bucket, event_type,
         |    abs(close / lag(close) OVER w - 1) / volume AS illiq_bar
         |  FROM hourly
@@ -1205,7 +1203,7 @@ object SparkEntry {
         |SELECT bucket, event_type, illiq_bar,
         |  avg(illiq_bar) OVER (PARTITION BY event_type ORDER BY bucket
         |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS illiq
-        |FROM r""".stripMargin,
+        |FROM r""".stripMargin),
     "seasonality_grid" ->
       """SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
         |  CAST(hour(ts) AS INTEGER) AS hr, event_type,
@@ -1237,12 +1235,8 @@ object SparkEntry {
         |         greatest(cnt * syy - sy * sy, 0)) AS corr_xy,
         |  (cnt * sxy - sx * sy) / greatest(cnt * sxx - sx * sx, 0) AS beta_yx
         |FROM s""".stripMargin,
-    "stochastic" ->
-      """WITH hourly AS (
-        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
-        |    max(value) AS high, min(value) AS low, arg_max(value, ts) AS close
-        |  FROM events GROUP BY 1, 2),
-        |k AS (
+    "stochastic" -> (hourlyClose + ",\n" +
+      """k AS (
         |  SELECT bucket, event_type, close,
         |    100.0 * (close - min(low) OVER wk)
         |      / nullif(max(high) OVER wk - min(low) OVER wk, 0) AS pct_k
@@ -1252,7 +1246,7 @@ object SparkEntry {
         |SELECT bucket, event_type, close, pct_k,
         |  avg(pct_k) OVER (PARTITION BY event_type ORDER BY bucket
         |                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS pct_d
-        |FROM k""".stripMargin,
+        |FROM k""".stripMargin),
     "ma_crossover" -> (hourlyClose + ",\n" +
       """m AS (
         |  SELECT bucket, event_type, close,

@@ -754,11 +754,16 @@ object Rolling {
       .agg(count(lit(1)).as("n_rows"), sum(col("value")).as("sum_value"))
   }
 
-  /** Ordered train/test split with an EMBARGO gap: `embargoRows` rows
-    * between the train cut and the first test row are dropped outright —
-    * the leakage guard for autocorrelated financial series (a label at
+  /** Ordered train/test split with an EMBARGO gap: the `embargoRows`
+    * rows between the train cut and the first test row are LABELED as a
+    * third "embargo" split group (counts and sums reported like the
+    * other two) and thereby excluded from both train and test — the
+    * leakage guard for autocorrelated financial series (a label at
     * the boundary is correlated with features just before it; a plain
     * 0.8/0.2 cut trains on information that leaks into the test head).
+    * Keeping the embargoed rows visible in the output, rather than
+    * silently dropping them, makes the guard itself auditable: the
+    * three groups partition the input exactly.
     * The purged-CV discipline (López de Prado), reduced to the single
     * ordered holdout the reference's LSTM split actually uses.
     *
@@ -796,6 +801,14 @@ object Rolling {
     * fold table derives from prefix sums over THAT — the per-fold
     * train/test row counts and boundary timestamps never rescan or
     * multiply the input (the naive form explodes every row k ways).
+    *
+    * Contract for tiny groups: a group with fewer than k+1 rows cannot
+    * fill every block — the integer block assignment then leaves some
+    * block numbers EMPTY (e.g. n=3, k=4 lands rows in blocks 1, 2, 4),
+    * `lead` pairs each present block with the NEXT PRESENT one, and
+    * fewer than k folds emerge. That degraded-folds behavior is the
+    * intended semantics (it matches the oracle's identical arithmetic);
+    * callers needing exactly k folds must ensure n >= k+1 per group.
     */
   def walkForward(events: DataFrame, k: Int = 4): DataFrame = {
     require(k >= 1, s"need at least 1 fold, got $k")

@@ -549,13 +549,30 @@ object Similarity {
     * hash-matches REGARDLESS of quantization recall; recall itself
     * (top-k equal to the exact brute force) is pinned in SimilaritySpec
     * against [[cosineTopK]] on the testdata.
+    *
+    * Degenerate corpora: an all-zero corpus (absmax 0 — quantization
+    * scale undefined) fails with a NAMED in-plan error rather than an
+    * opaque ANSI cast failure; an empty corpus returns an empty result
+    * when the optimizer folds it away (LocalRelation) and the named
+    * error otherwise.
     */
   def annQuantized(embeddings: DataFrame, queryId: Long, k: Int,
                    rerankFactor: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val embD = transform(col("embedding"), x => x.cast("double"))
+    // Degenerate-corpus guard: an empty or all-zero corpus gives a
+    // null/0 absmax, and 127.0/am would then ANSI-throw deep inside the
+    // quantize cast with an opaque message. The guard lives INSIDE the
+    // consumed column (not a separate assert column Catalyst could
+    // prune away), so the failure is immediate and named.
     val am = embeddings.agg(
-      max(array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        max(array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+          .as("am0"))
+      .select(when(col("am0").isNotNull && col("am0") > 0.0, col("am0"))
+        .otherwise(raise_error(concat(
+          lit("annQuantized: empty or all-zero embedding corpus (absmax="),
+          coalesce(col("am0").cast("string"), lit("null")),
+          lit(") — quantization scale undefined"))).cast("double"))
         .as("am"))
     val quantized = embeddings
       .crossJoin(broadcast(am))

@@ -141,6 +141,28 @@ class SimilaritySpec extends SparkSpec {
     assert(quant == brute, s"quant=$quant brute=$brute")
   }
 
+  test("annQuantized: degenerate corpora fail with a NAMED error or return empty — never an ANSI cast error") {
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // all-zero corpus: the absmax row EXISTS and is 0 — the in-plan guard
+    // must raise the named error instead of an opaque divide/cast failure
+    val zeros = Seq((0L, Seq.fill(8)(0.0f), 0), (1L, Seq.fill(8)(0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[Exception] { Similarity.annQuantized(zeros, 0L, 5).collect() }
+    assert(messages(e).exists(_.contains("annQuantized")),
+      s"expected the named degenerate-corpus error, got: $e")
+    // empty corpus: an empty LocalRelation constant-folds the whole plan
+    // away (PropagateEmptyRelation) before the guard can run — the
+    // documented contract is an empty result; a parquet-backed empty
+    // corpus takes the guard path instead. Either way, never an ANSI cast.
+    val empty = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+    try assert(Similarity.annQuantized(empty, 0L, 5).collect().isEmpty)
+    catch { case e: Exception =>
+      assert(messages(e).exists(_.contains("annQuantized")),
+        s"expected empty result or the named error, got: $e")
+    }
+  }
+
   test("md5 ANN twins: buckets match an independent reimplementation; results = brute force over the candidate set") {
     val rnd = new scala.util.Random(5)
     val dim = 64
