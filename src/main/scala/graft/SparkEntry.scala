@@ -402,6 +402,16 @@ object SparkEntry {
     // text occurring >1 time anywhere is dropped everywhere, docs
     // reassemble in order. Only 16-byte hashes carry the multiplicity.
     "dedup_spans" -> ((s, d) => TextAnalysis.dedupSpans(Tables.documents(s, d), 10)),
+    // Count-Min sketch point-frequency estimates (md5-bucketed, fully
+    // oracle-able) with exact recount per probe term; w=16 is sized so
+    // the synthetic 31-term vocabulary shows BOTH behaviors in the gate:
+    // collision-free estimates (= exact) and one-sided overestimates.
+    "cms_profile" -> ((s, d) => TextAnalysis.cmsProfile(Tables.documents(s, d),
+      Seq("join", "hash", "scan", "column", "merge", "slow", "zzzqx"), 4, 16)),
+    // Lee et al. exact-substring dedup at sliding 8-token-window
+    // granularity: a window duplicated across >= 2 distinct docs marks
+    // its span; per-doc union coverage via one lag over dup starts.
+    "substring_dedup" -> ((s, d) => TextAnalysis.substringDedup(Tables.documents(s, d), 8)),
     // BM25 topical scoring (retrieval-style curation slice); log-free
     // Robertson idf + fixed-order term addition keep doubles engine-exact.
     "bm25_score" -> ((s, d) =>
@@ -602,6 +612,9 @@ object SparkEntry {
     // at any SF. (The old bound of 100 made the result vacuously empty —
     // every near-dup pair straddles the id range.)
     "ngram_jaccard" -> ((s, d) => Similarity.ngramJaccard(Tables.documents(s, d), 500L, 0.1)),
+    // Asymmetric containment over the same bounded id range: catches the
+    // quote-inclusion/superset family whose symmetric Jaccard is tiny.
+    "containment_pairs" -> ((s, d) => Similarity.containmentPairs(Tables.documents(s, d), 500L, 0.8)),
     "simhash" -> ((s, d) => Similarity.simhash(Tables.documents(s, d))),
     // Engine-agnostic md5-keyed signature twins — fully oracle-able,
     // unlike the xxhash64-seeded fast paths above.
@@ -686,6 +699,9 @@ object SparkEntry {
     // float means aren't cross-engine exact), integer-quantized distance
     // assignment, nprobe-cell probe — cell membership fully oracle-able.
     "ann_ivf_md5" -> ((s, d) => Ivf.annIvfMd5(Tables.embeddings(s, d), 0L, 10)),
+    // SemDeDup over the same deterministic cells: within-cell cosine
+    // pairs >= 0.4, greedy-by-id removal list — fully hash-oracle-able.
+    "semantic_dedup" -> ((s, d) => Ivf.semanticDedup(Tables.embeddings(s, d), 0.4, 8)),
     // LLM tier — multimodal binary-column plumbing (stubbed decode).
     "multimodal_meta" -> ((s, d) => Multimodal.decodeMeta(Tables.documents(s, d))),
     "frame_sample" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d), 100)),
@@ -2087,6 +2103,25 @@ object SparkEntry {
         |      / len(list_distinct(a.s || b.s)) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.1""".stripMargin,
+    // Same bounded shingle sets, asymmetric containment |A∩B|/min(|A|,|B|).
+    // DuckDB intersects string shingles where Spark intersects their
+    // 64-bit hashes — set sizes agree up to hash collisions (~1e-13/pair),
+    // the accepted ngram_jaccard precedent.
+    "containment_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |        WHERE doc_id < 500)
+        |  WHERE len(w) >= 3)
+        |SELECT doc_a, doc_b, n_a, n_b, containment FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(a.s) AS INTEGER) AS n_a, CAST(len(b.s) AS INTEGER) AS n_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / least(len(a.s), len(b.s)) AS containment
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE containment >= 0.8""".stripMargin,
     "repetition_ngram" ->
       """SELECT doc_id,
         | CAST(len(w) AS INTEGER) AS n_tokens,
@@ -2115,6 +2150,53 @@ object SparkEntry {
         | CAST(count(*) AS INTEGER) AS n_spans,
         | CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_dropped
         |FROM v GROUP BY 1""".stripMargin,
+    // CMS mirror: same md5 row:token buckets, min over d=4 rows, exact
+    // recount of the probe terms; estimate >= exact by construction.
+    "cms_profile" ->
+      """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
+        |probe(term) AS (VALUES ('join'), ('hash'), ('scan'), ('column'),
+        |                       ('merge'), ('slow'), ('zzzqx')),
+        |counters AS (
+        |  SELECT j, b, count(*) AS c FROM (
+        |    SELECT j,
+        |      ('0x' || substr(md5(concat(CAST(j AS VARCHAR), ':', t)), 1, 15))::BIGINT % 16 AS b
+        |    FROM toks, UNNEST([0, 1, 2, 3]) AS u(j))
+        |  GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT term, j,
+        |    ('0x' || substr(md5(concat(CAST(j AS VARCHAR), ':', term)), 1, 15))::BIGINT % 16 AS b
+        |  FROM probe, UNNEST([0, 1, 2, 3]) AS u(j)),
+        |est AS (SELECT term, min(coalesce(c, 0)) AS cms_estimate
+        |        FROM pr LEFT JOIN counters USING (j, b) GROUP BY 1),
+        |ex AS (SELECT t AS term, count(*) AS exact_count FROM toks JOIN probe ON t = term GROUP BY 1)
+        |SELECT term, coalesce(exact_count, 0) AS exact_count, cms_estimate,
+        |  cms_estimate - coalesce(exact_count, 0) AS overestimate
+        |FROM est LEFT JOIN ex USING (term)""".stripMargin,
+    // Sliding 8-token windows; a window is duplicated iff it occurs in
+    // >= 2 DISTINCT docs; covered = union of [s, s+8) via the lag-gap
+    // trick (gap >= 8 contributes 8 tokens, else gap).
+    "substring_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |win AS (
+        |  SELECT doc_id, i AS s, md5(array_to_string(w[i:i+7], ' ')) AS h
+        |  FROM d, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+        |  WHERE len(w) >= 8),
+        |dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM win)
+        |        GROUP BY h HAVING count(*) >= 2),
+        |ds AS (SELECT win.doc_id, s,
+        |         s - lag(s) OVER (PARTITION BY win.doc_id ORDER BY s) AS gap
+        |       FROM win JOIN dup USING (h)),
+        |cov AS (SELECT doc_id, count(*) AS dw,
+        |          sum(CASE WHEN gap IS NULL OR gap >= 8 THEN 8 ELSE gap END) AS cv
+        |        FROM ds GROUP BY 1)
+        |SELECT d.doc_id,
+        | CAST(len(w) AS INTEGER) AS n_tokens,
+        | CAST(len(w) - 7 AS INTEGER) AS n_windows,
+        | CAST(coalesce(dw, 0) AS INTEGER) AS dup_windows,
+        | CAST(coalesce(cv, 0) AS INTEGER) AS covered_tokens,
+        | CAST(coalesce(cv, 0) AS DOUBLE) / len(w) AS dup_frac
+        |FROM d LEFT JOIN cov USING (doc_id)
+        |WHERE len(w) >= 8""".stripMargin,
     "contamination" ->
       """WITH d AS (
         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 2),
@@ -2314,6 +2396,30 @@ object SparkEntry {
         |FROM q JOIN a USING (vec_id) JOIN pc ON (a.m % 8) = pc.cid, qv
         |WHERE q.vec_id != 0
         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // SemDeDup twin: the ann_ivf_md5 cell CTEs verbatim, then within-cell
+    // cosine pairs >= 0.4 grouped into the greedy-by-id removal list.
+    "semantic_dedup" ->
+      """WITH q AS (SELECT vec_id, embedding,
+        |             list_transform(embedding,
+        |               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qe
+        |           FROM embeddings),
+        |c AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+        |             qe AS ce
+        |      FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |a AS (SELECT vec_id,
+        |        min(CAST(list_sum(list_transform(generate_series(1, len(qe)),
+        |              i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT) * 8 + cid) AS m
+        |      FROM q, c GROUP BY 1),
+        |cells AS (SELECT q.vec_id, (a.m % 8) AS cid, q.embedding::DOUBLE[] AS emb
+        |          FROM q JOIN a USING (vec_id))
+        |SELECT vec_id, cid, min(keep_id) AS dup_of, max(cosine) AS max_cosine FROM (
+        |  SELECT y.vec_id, y.cid, x.vec_id AS keep_id,
+        |    list_dot_product(x.emb, y.emb)
+        |      / (sqrt(list_sum(list_transform(x.emb, v -> v * v)))
+        |         * sqrt(list_sum(list_transform(y.emb, v -> v * v)))) AS cosine
+        |  FROM cells x JOIN cells y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+        |WHERE cosine >= 0.4
+        |GROUP BY 1, 2""".stripMargin,
     // Text payloads are no known media container → fmt 'raw' + the
     // documented pseudo-dimension fallback; real PNG/JPEG/GIF header
     // parsing is spec-pinned (no image bytes in the oracle tables).

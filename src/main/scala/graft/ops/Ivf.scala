@@ -173,28 +173,55 @@ object Ivf {
     * frame and the query row ride as broadcasts; the ×nlist assignment
     * blowup carries only (vec_id, m) per the payload discipline above.
     */
-  def annIvfMd5(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
-                nlist: Int = 8, nprobe: Int = 2): DataFrame = {
-    GraftFunctions.register(embeddings.sparkSession)
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.Column
-    val quant = embeddings.select(col("vec_id"), col("embedding"),
+  /** 2^20 floor-quantization of the embedding to BIGINT coordinates —
+    * the arithmetic any engine reproduces bit-for-bit (see [[annIvfMd5]]).
+    */
+  private def quantized(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding"),
       transform(col("embedding"),
         x => floor(x.cast("double") * lit(1048576.0)).cast("long")).as("qe"))
-    val w = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-    val cents = quant
+
+  /** Integer squared distance over the quantized coordinates. */
+  private def intD2(a: org.apache.spark.sql.Column,
+                    b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** md5-seeded deterministic cells: the `nlist` vectors with the
+    * smallest `md5(vec_id)` become (cid, ce=quantized centroid). The
+    * row_number window is bounded by nlist — never the corpus.
+    */
+  private def md5SeedCells(quant: DataFrame, nlist: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    quant
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nlist)
       .withColumn("cid", row_number().over(w).cast("long") - 1L)
       .select(col("cid"), col("qe").as("ce"))
-    def d2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x)
-    val assigned = quant.select(col("vec_id"), col("qe"))
+  }
+
+  /** Nearest-cell assignment by INTEGER squared distance, the lower-cid
+    * tie-break encoded into the same exact arithmetic as
+    * `min(d2·nlist + cid)`. Payload discipline: the ×nlist blowup
+    * carries only (vec_id, m). Returns (aid, cid).
+    */
+  private def md5CellAssign(quant: DataFrame, cents: DataFrame,
+                            nlist: Int): DataFrame =
+    quant.select(col("vec_id"), col("qe"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"),
-        (d2(col("qe"), col("ce")) * nlist + col("cid")).as("m"))
+        (intD2(col("qe"), col("ce")) * nlist + col("cid")).as("m"))
       .groupBy(col("vec_id")).agg(min(col("m")).as("m"))
       .select(col("vec_id").as("aid"), pmod(col("m"), lit(nlist.toLong)).as("cid"))
+
+  def annIvfMd5(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
+                nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    import org.apache.spark.sql.Column
+    val quant = quantized(embeddings)
+    val cents = md5SeedCells(quant, nlist)
+    def d2(a: Column, b: Column): Column = intD2(a, b)
+    val assigned = md5CellAssign(quant, cents, nlist)
     val qrow = quant.filter(col("vec_id") === queryId)
       .select(col("qe").as("q_qe"), col("embedding").as("q_emb"))
     val qcells = cents.crossJoin(broadcast(qrow))
@@ -212,6 +239,56 @@ object Ivf {
             sqrt(dotF(col("q_emb"), col("q_emb"))))).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** SemDeDup semantic deduplication (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * 2023): cluster the embedding space, then prune near-identical
+    * vectors WITHIN each cluster — the within-cell m² pairing makes
+    * web-scale semantic dedup tractable where corpus-wide all-pairs
+    * cosine is not, at the cost of missing duplicates the clustering
+    * splits across cells (the paper's accepted approximation).
+    *
+    * This form is deterministic end-to-end so the whole path is
+    * hash-oracle-able (the md5-twin discipline of [[annIvfMd5]], whose
+    * integer-exact cell machinery it shares): md5-seeded cells, BIGINT
+    * quantized assignment, then exact double cosine within cells. The
+    * dedup contract is greedy-by-id: a vector is REMOVED iff some
+    * lower-id vector in its cell has cosine ≥ `threshold` with it
+    * (chains prune transitively: in a~b~c with a≁c, both b and c go —
+    * each duplicates a lower-id survivor-or-casualty, matching the
+    * paper's "keep one representative per near-dup neighborhood").
+    * Returns the removal list (vec_id, cid, dup_of = lowest duplicated
+    * partner, max_cosine = tightest duplication), ready to anti-join
+    * against the corpus.
+    *
+    * Shape at 100 TB: assignment is the one broadcast-join pass; the
+    * pair join is an EQUI-join on cid (sort-merge, never a cartesian)
+    * whose per-cell m² cost is bounded by sizing nlist ∝ n/target —
+    * the same knob [[Similarity.embNearDupAuto]] documents — and the
+    * embedding rides into exactly one join, with only (ids, cid,
+    * cosine) surviving the pairing.
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.4,
+                    nlist: Int = 8): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val quant = quantized(embeddings)
+    val assigned = md5CellAssign(quant, md5SeedCells(quant, nlist), nlist)
+    val cells = embeddings
+      .join(assigned, col("vec_id") === col("aid"))
+      .select(col("vec_id"), col("cid"), col("embedding"))
+    def dotF(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("graft_dot", a, b)
+    cells.as("x").join(cells.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("vec_id"), col("x.cid").as("cid"),
+        col("x.vec_id").as("keep_id"),
+        (dotF(col("x.embedding"), col("y.embedding")) /
+          (sqrt(dotF(col("x.embedding"), col("x.embedding"))) *
+            sqrt(dotF(col("y.embedding"), col("y.embedding"))))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(min(col("keep_id")).as("dup_of"), max(col("cosine")).as("max_cosine"))
   }
 
   /** Steady-state probe: nearest `nprobe` cells chosen driver-side from

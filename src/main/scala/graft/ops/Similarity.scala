@@ -333,6 +333,36 @@ object Similarity {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric containment near-dup — the subset case symmetric Jaccard
+    * misses: a short document quoted wholesale inside a long one has
+    * J = |A|/|B| (tiny when |B| ≫ |A|) but containment
+    * C = |A∩B| / min(|A|, |B|) ≈ 1. Flags the pair when either side is
+    * nearly contained in the other — the "quote inclusion / superset
+    * page" family a training-corpus dedup must catch that [[ngramJaccard]]
+    * and the LSH path (tuned for symmetric overlap) score far below
+    * threshold.
+    *
+    * Same bounded brute-force contract as [[ngramJaccard]] (an id-capped
+    * labeled baseline, not a production path — the production route is
+    * the banded-LSH candidate join with this containment formula swapped
+    * into the verify step): hashed 3-gram shingle SETS as primitive long
+    * arrays, |A∩B| via one array_intersect per pair, min via `least`.
+    */
+  def containmentPairs(documents: DataFrame, maxDocId: Long,
+                       threshold: Double): DataFrame = {
+    val sh = shingleRows(documents.filter(col("doc_id") < maxDocId))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(pmod(xxhash64(col("s")), lit(MinhashP))).as("sh"))
+      .withColumn("n", size(col("sh")))
+    sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        (col("inter") / least(col("a.n"), col("b.n"))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum ±1 weighted by

@@ -590,6 +590,123 @@ object TextAnalysis {
         sum(when(col("occ") > 1, 1).otherwise(0)).cast("int").as("n_dropped"))
   }
 
+  /** Count–Min sketch frequency profile (Cormode & Muthukrishnan,
+    * J. Algorithms 2005) — the point-query complement to the Misra–Gries
+    * heavy-hitter path: where MG answers "which terms are frequent", CMS
+    * answers "how frequent is THIS term" for any term, with the one-sided
+    * guarantee estimate ≥ exact (collisions only ever ADD) and
+    * estimate ≤ exact + εN with probability 1−δ for d = ⌈ln 1/δ⌉ rows of
+    * w = ⌈e/ε⌉ counters.
+    *
+    * Spark-first formulation: the d×w counter matrix IS a bounded-
+    * cardinality hash aggregate — each token explodes to its d (row,
+    * bucket) coordinates and ONE `groupBy` builds every counter with
+    * map-side combine, O(d·w) state per task regardless of vocabulary
+    * (the same bound that makes MG viable). No custom Aggregator needed:
+    * the sketch's merge IS the aggregate's partial merge. Probing joins
+    * the (tiny) probe×d bucket table against the ≤ d·w counters and takes
+    * `min` per term.
+    *
+    * Bucket hashing is md5-derived (`row:token` → first 15 hex chars →
+    * BIGINT mod w) — engine-portable arithmetic, so unlike classically
+    * seeded sketches the WHOLE estimate path is hash-oracle-able.
+    * Returns (term, exact_count, cms_estimate, overestimate ≥ 0) per
+    * probe term; `exact_count` comes from a filtered recount of the ≤
+    * |probe| terms (the MG-style recount discipline).
+    */
+  def cmsProfile(documents: DataFrame, probe: Seq[String],
+                 d: Int = 4, w: Int = 64): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1 rows and w >= 2 counters, got d=$d w=$w")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    def bucket(t: org.apache.spark.sql.Column, j: Int) =
+      pmod(conv(substring(md5(concat(lit(s"$j:"), t)), 1, 15), 16, 10)
+        .cast("long"), lit(w.toLong))
+    val tokens = documents.select(explode(toks).as("t"))
+    val counters = tokens
+      .select(posexplode(array((0 until d).map(j => bucket(col("t"), j)): _*))
+        .as(Seq("j", "b")))
+      .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
+    val probeRows = probe.toDF("term")
+      .select(col("term"),
+        posexplode(array((0 until d).map(j => bucket(col("term"), j)): _*))
+          .as(Seq("j", "b")))
+    val est = probeRows.join(counters, Seq("j", "b"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_estimate"))
+    val exact = tokens.filter(col("t").isin(probe: _*))
+      .groupBy(col("t").as("term")).agg(count(lit(1)).as("exact_count"))
+    est.join(exact, Seq("term"), "left")
+      .select(col("term"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+        col("cms_estimate"),
+        (col("cms_estimate") - coalesce(col("exact_count"), lit(0L)))
+          .as("overestimate"))
+  }
+
+  /** Cross-document duplicated-substring profile — the exact-substring
+    * dedup stage of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ACL 2022), at token-window granularity:
+    * every `k`-token sliding window is fingerprinted, a window is
+    * DUPLICATED iff its text occurs in ≥ 2 distinct documents (within-doc
+    * repetition is [[repetitionNgram]]'s job), and each document reports
+    * how much of it is covered by duplicated spans. Where [[dedupSpans]]
+    * drops disjoint fixed spans, the sliding window catches duplicated
+    * passages at ANY alignment — the case C4-style span dedup misses.
+    *
+    * Returns (doc_id, n_tokens, n_windows, dup_windows, covered_tokens,
+    * dup_frac) for every document with ≥ k tokens; `covered_tokens` is
+    * the exact size of the union of the duplicated [s, s+k) intervals,
+    * computed from one `lag` over dup window starts: a window whose
+    * predecessor starts g < k positions back contributes g new tokens,
+    * otherwise k — no interval list ever materializes.
+    *
+    * Shape at 100 TB: the window fingerprints ride ONE array `transform`
+    * per document and explode to (doc_id, start, 16-byte key) rows — the
+    * window text itself never leaves the row it was sliced from. The
+    * cross-corpus multiplicity is a hash aggregate on the key (map-side
+    * combined after the per-doc dedup), the coverage pass is a window
+    * partitioned BY DOCUMENT (never a global funnel), and the final join
+    * back to per-doc token counts is id+ints only. A full suffix-array
+    * (the paper's exact construction) orders all corpus positions
+    * globally; the k-gram formulation trades sub-k-token matches for an
+    * embarrassingly parallel plan — the standard production trade.
+    */
+  def substringDedup(documents: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    val base = documents
+      .withColumn("w", toks)
+      .filter(size(col("w")) >= k)
+    val win = base
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
+          s => md5(concat_ws(" ", slice(col("w"), s, lit(k))))))
+          .as(Seq("pos", "h")))
+      .select(col("doc_id"), (col("pos") + 1).as("s"), col("h"))
+    val dup = win.dropDuplicates("doc_id", "h")
+      .groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("h"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s"))
+    val cov = win.join(dup, Seq("h"))
+      .select(col("doc_id"), col("s"))
+      .withColumn("gap", col("s") - lag(col("s"), 1).over(byDoc))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("dup_windows"),
+        sum(when(col("gap").isNull || col("gap") >= k, k)
+          .otherwise(col("gap"))).cast("int").as("covered_tokens"))
+    base
+      .select(col("doc_id"), size(col("w")).as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - (k - 1)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0)).as("dup_windows"),
+        coalesce(col("covered_tokens"), lit(0)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0)).cast("double") /
+          col("n_tokens")).as("dup_frac"))
+  }
+
   /** Fixed-width token spans of the lowercased text: full `n`-token
     * chunks plus the natural-length tail. Pure codegen'd slice/concat.
     */

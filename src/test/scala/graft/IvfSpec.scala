@@ -155,4 +155,37 @@ class IvfSpec extends SparkSpec {
     // the probe is genuinely partial: candidates exclude some corpus cells
     assert(cellOf.values.toSet.diff(probeCells).nonEmpty)
   }
+
+  test("semanticDedup: greedy-by-id removal of exact duplicates, chains prune transitively, uniques survive") {
+    // one-hot duplicates land in the same cell by construction (identical
+    // vectors quantize identically) and their cosine is exactly 1.0
+    val e0 = Array(1f, 0f, 0f, 0f); val e1 = Array(0f, 1f, 0f, 0f)
+    val emb = Seq(
+      (0L, e0, 0), (1L, e1, 1), (2L, Array(0f, 0f, 1f, 0f), 2),
+      (3L, e0, 0),                       // dup of 0
+      (4L, Array(0f, 0f, 0f, 1f), 3),
+      (5L, e1, 1),                       // dup of 1
+      (6L, Array(1f, 1f, 0f, 0f), 4),    // cos 0.707 to e0: below threshold
+      (7L, e0, 0)                        // dup of 0 AND of 3 -> dup_of = 0
+    ).toDF("vec_id", "embedding", "label")
+    val out = Ivf.semanticDedup(emb, threshold = 0.999, nlist = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(3L, 5L, 7L))
+    assert(out(3L) == ((0L, 1.0)))
+    assert(out(5L) == ((1L, 1.0)))
+    assert(out(7L) == ((0L, 1.0)))   // min lower partner, not 3
+  }
+
+  test("semanticDedup on real testdata: removals reference lower-id survivors-or-casualties above threshold") {
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Ivf.semanticDedup(emb, 0.4, 8).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) < r.getLong(0))   // dup_of is a lower id
+      assert(r.getDouble(3) >= 0.4)
+      assert(r.getLong(1) >= 0L && r.getLong(1) < 8L)
+    }
+    // removal list names each vector at most once
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
 }

@@ -54,6 +54,8 @@ class PlanLintSpec extends SparkSpec {
     "length_buckets" -> "1-row shared percentile-bounds artifact broadcast",
     "quality_tiers" -> "1-row shared percentile-bounds artifact broadcast",
     "ngram_jaccard" -> "bounded brute-force oracle baseline: <=500 docs by construction feeds the theta self-join",
+    "containment_pairs" -> "bounded brute-force baseline: <=500 docs by construction feeds the theta self-join",
+    "semantic_dedup" -> "nlist-row centroid table broadcast into the cell-assignment map (same pattern as ann_ivf_md5)",
   )
 
   /** Queries allowed a single-partition funnel (global window / sort):
@@ -65,6 +67,7 @@ class PlanLintSpec extends SparkSpec {
     "ohlc_rowbucket" -> "W1 reference-parity global row_number; scale-safe twin ohlc_rowbucket_scale registered alongside",
     "heavy_hitters" -> "window over the <=m=1024 Misra-Gries candidate recounts, not the corpus",
     "ann_ivf_md5" -> "row_number over the nlist seed rows (deterministic centroid ids), bounded by nlist",
+    "semantic_dedup" -> "row_number over the nlist seed rows (shared ann_ivf_md5 cell machinery), bounded by nlist",
   )
 
   /** Queries allowed to read a base table's full column set. */

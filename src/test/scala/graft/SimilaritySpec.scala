@@ -82,6 +82,25 @@ class SimilaritySpec extends SparkSpec {
     assert(approx(got, expected))
   }
 
+  test("containmentPairs: full quote inclusion scores 1.0 where jaccard stays small") {
+    val cdocs = Seq(
+      (0L, "a b c d e"),                    // 3 shingles, all inside doc 1
+      (1L, "z z a b c d e w w q"),          // 8 shingles (superset page)
+      (2L, "p p p p p")                     // unrelated
+    ).toDF("doc_id", "text")
+    val rows = Similarity.containmentPairs(cdocs, 10L, 0.8).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)) == ((0L, 1L, 3, 8)))
+    assert(r.getDouble(4) == 1.0)
+    // the same pair's symmetric jaccard (3/8) is far below any dedup
+    // threshold — the asymmetric metric is what catches it
+    val j = Similarity.ngramJaccard(cdocs, 10L, 0.0)
+      .filter(col("doc_a") === 0L && col("doc_b") === 1L)
+      .select("jaccard").as[Double].head()
+    assert(approx(j, 3.0 / 8))
+  }
+
   test("simhash: hamming(near-dup) < hamming(unrelated); identical texts equal") {
     val s = Similarity.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -31,6 +31,56 @@ class TextAnalysisSpec extends SparkSpec {
   }
   import spark.implicits._
 
+  test("cmsProfile: equals a sequential CMS reimplementation; overestimate one-sided; absent term counts zero") {
+    val docs = Seq(
+      (0L, "a a a b c"),
+      (1L, "a b b d e f"),
+      (2L, "c c g h a")
+    ).toDF("doc_id", "text")
+    val probe = Seq("a", "b", "c", "zz")
+    val d = 3; val w = 4 // tiny width forces collisions
+    val got = graft.ops.TextAnalysis.cmsProfile(docs, probe, d, w).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // sequential reimplementation with the same md5 bucket arithmetic
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(t: String, j: Int): Long = {
+      val hex = md.digest(s"$j:$t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % w
+    }
+    val tokens = Seq("a a a b c", "a b b d e f", "c c g h a")
+      .flatMap(_.split(" "))
+    val counters = (for { t <- tokens; j <- 0 until d }
+      yield (j, bucket(t, j))).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val exact = tokens.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    probe.foreach { term =>
+      val est = (0 until d).map(j => counters.getOrElse((j, bucket(term, j)), 0L)).min
+      val ex = exact.getOrElse(term, 0L)
+      assert(got(term) == ((ex, est, est - ex)), s"term=$term")
+      assert(est >= ex) // the CMS one-sided guarantee
+    }
+    assert(got("zz")._1 == 0L)
+  }
+
+  test("substringDedup: cross-doc windows flagged at any alignment, coverage unions overlaps, within-doc repeats don't count") {
+    val docs = Seq(
+      (1L, "a b c d e f"),             // shares "a b c","b c d" with doc 2
+      (2L, "x y a b c d z"),           // ...at a different alignment
+      (3L, "m n o m n o m n o"),       // repeats only WITHIN itself
+      (4L, "q r")                      // < k tokens: excluded
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.substringDedup(docs, 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5)))).toMap
+    // doc 1: dup starts {1,2} -> covered = 3 + 1 = 4 of 6 tokens
+    assert(out(1L) == ((6, 4, 2, 4, 4.0 / 6)))
+    // doc 2: same two windows at starts {3,4} -> covered 4 of 7
+    assert(out(2L) == ((7, 5, 2, 4, 4.0 / 7)))
+    // doc 3: "m n o" occurs 3x but in ONE doc -> nothing flagged
+    assert(out(3L) == ((9, 7, 0, 0, 0.0)))
+    assert(!out.contains(4L))
+  }
+
   test("repetitionScore: hand-computed fractions for spammy vs clean text") {
     val docs = Seq(
       (0L, "spam spam spam spam", "en", "s", 19L), // 4 toks / 1 uniq; 2 ngrams / 1 uniq
