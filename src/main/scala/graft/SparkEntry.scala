@@ -702,6 +702,10 @@ object SparkEntry {
     // SemDeDup over the same deterministic cells: within-cell cosine
     // pairs >= 0.4, greedy-by-id removal list — fully hash-oracle-able.
     "semantic_dedup" -> ((s, d) => Ivf.semanticDedup(Tables.embeddings(s, d), 0.4, 8)),
+    // Product-quantization ANN: 8x16 md5-seeded codebook, BIGINT encode
+    // + ADC candidate scoring (8-byte codes, 32x scan compression),
+    // exact cosine re-rank — candidate set integer-exact in any engine.
+    "ann_pq" -> ((s, d) => Ivf.annPq(Tables.embeddings(s, d), 0L, 10)),
     // LLM tier — multimodal binary-column plumbing (stubbed decode).
     "multimodal_meta" -> ((s, d) => Multimodal.decodeMeta(Tables.documents(s, d))),
     "frame_sample" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d), 100)),
@@ -2395,6 +2399,42 @@ object SparkEntry {
         |      * sqrt(list_sum(list_transform(q_emb, x -> x * x)))) AS cosine
         |FROM q JOIN a USING (vec_id) JOIN pc ON (a.m % 8) = pc.cid, qv
         |WHERE q.vec_id != 0
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // PQ-ADC mirror: md5-seeded codebook slices, BIGINT subspace encode
+    // (ties into the min-encoding), query lookup table, ADC sum, exact
+    // cosine re-rank of the 40 ADC survivors.
+    "ann_pq" ->
+      """WITH q AS (SELECT vec_id, label, embedding,
+        |             list_transform(embedding,
+        |               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qe
+        |           FROM embeddings),
+        |seeds AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+        |                 qe AS ce
+        |          FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |cb AS (SELECT code, j, ce[(j*8+1):(j*8+8)] AS cw
+        |       FROM seeds, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS u(j)),
+        |sub AS (SELECT vec_id, j, qe[(j*8+1):(j*8+8)] AS sv
+        |        FROM q, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS u(j)),
+        |enc AS (SELECT vec_id, j,
+        |          min(CAST(list_sum(list_transform(generate_series(1, 8),
+        |                i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) AS BIGINT) * 16 + code) AS mm
+        |        FROM sub JOIN cb USING (j) GROUP BY 1, 2),
+        |qsub AS (SELECT j, sv AS qv FROM sub WHERE vec_id = 0),
+        |qlut AS (SELECT cb.j, cb.code,
+        |           CAST(list_sum(list_transform(generate_series(1, 8),
+        |             i -> (qv[i] - cw[i]) * (qv[i] - cw[i]))) AS BIGINT) AS qd2
+        |         FROM cb JOIN qsub ON cb.j = qsub.j),
+        |adc AS (SELECT enc.vec_id, sum(qd2) AS adc
+        |        FROM enc JOIN qlut ON enc.j = qlut.j AND (enc.mm % 16) = qlut.code
+        |        GROUP BY 1),
+        |cand AS (SELECT vec_id FROM adc WHERE vec_id != 0
+        |         ORDER BY adc ASC, vec_id ASC LIMIT 40),
+        |qv2 AS (SELECT embedding::DOUBLE[] AS q_emb FROM q WHERE vec_id = 0)
+        |SELECT q.vec_id, q.label,
+        | list_dot_product(q.embedding::DOUBLE[], q_emb)
+        |   / (sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x * x)))
+        |      * sqrt(list_sum(list_transform(q_emb, x -> x * x)))) AS cosine
+        |FROM q JOIN cand USING (vec_id), qv2
         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
     // SemDeDup twin: the ann_ivf_md5 cell CTEs verbatim, then within-cell
     // cosine pairs >= 0.4 grouped into the greedy-by-id removal list.

@@ -4,9 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scaling-ratio evidence for the heavy COMPOSITIONS (not part of the
-  * driver contract): runs each of the four most expensive bench chains —
+  * driver contract): runs the most expensive bench chains —
   * the LSH near-dup miner, the full dedup closure, the curation
-  * pipeline, and the IVF build+probe — at bench scale (sf0.1-shaped
+  * pipeline, the IVF build+probe, plus the round-10 additions
+  * (sliding-window substring dedup, CMS at production width, and
+  * SemDeDup with nlist scaled ∝ n) — at bench scale (sf0.1-shaped
   * synthetic data) and at 10× that, and prints the wall-time ratio
   * against the 10× data ratio. The 2× bench envelope only validates
   * sf0.1; this is the measured answer to "does the composition stay
@@ -102,6 +104,14 @@ object StressScaling {
           ops.Similarity.minhashNearDupPersisted(d, tmp("mhcc")))))
       record("curation_full", scale, nDocs, timed(
         ops.Pipeline.curationFull(d)))
+      // Sliding-window substring dedup: ~33 window rows per 40-token doc
+      // through one hash agg + one doc-partitioned lag — expected linear.
+      record("substring_dedup", scale, nDocs, timed(
+        ops.TextAnalysis.substringDedup(d, 8)))
+      // CMS at production width: d×token-volume codegen md5 rows into a
+      // d·w-bounded aggregate — the sketch's whole point is linearity.
+      record("cms_profile", scale, nDocs, timed(
+        ops.TextAnalysis.cmsProfile(d, Seq("w1", "w17", "w123", "zzz"), 4, 1024)))
 
       val nVecs = baseVecs * scale
       val emb = embeddings(spark, nVecs)
@@ -114,6 +124,12 @@ object StressScaling {
       ops.Ivf.ivfProbe(spark, layout, cents, q, 10, nprobe = 2,
         excludeId = Some(0L)).write.format("noop").mode("overwrite").save()
       record("ann_ivf", scale, nVecs, (System.nanoTime() - t0) / 1e9)
+      // SemDeDup with the honest scale knob: nlist ∝ n keeps within-cell
+      // pairs at n·target (linear) while assignment pays n·nlist — the
+      // documented trade; target 1250 matches the sf0.1 cell shape.
+      val nlist = math.max(8L, nVecs / 1250L).toInt
+      record("semantic_dedup", scale, nVecs, timed(
+        ops.Ivf.semanticDedup(emb, 0.95, nlist)))
       emb.unpersist()
     }
 

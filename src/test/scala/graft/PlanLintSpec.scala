@@ -56,6 +56,7 @@ class PlanLintSpec extends SparkSpec {
     "ngram_jaccard" -> "bounded brute-force oracle baseline: <=500 docs by construction feeds the theta self-join",
     "containment_pairs" -> "bounded brute-force baseline: <=500 docs by construction feeds the theta self-join",
     "semantic_dedup" -> "nlist-row centroid table broadcast into the cell-assignment map (same pattern as ann_ivf_md5)",
+    "ann_pq" -> "1-row query vector broadcast into the exact-cosine re-rank of the bounded ADC candidate set",
   )
 
   /** Queries allowed a single-partition funnel (global window / sort):
@@ -68,6 +69,7 @@ class PlanLintSpec extends SparkSpec {
     "heavy_hitters" -> "window over the <=m=1024 Misra-Gries candidate recounts, not the corpus",
     "ann_ivf_md5" -> "row_number over the nlist seed rows (deterministic centroid ids), bounded by nlist",
     "semantic_dedup" -> "row_number over the nlist seed rows (shared ann_ivf_md5 cell machinery), bounded by nlist",
+    "ann_pq" -> "row_number over the `codes` seed rows (md5 codebook), bounded by codes",
   )
 
   /** Queries allowed to read a base table's full column set. */
