@@ -629,6 +629,9 @@ object SparkEntry {
     // LLM tier — embeddings / similarity search.
     "emb_stats" -> ((s, d) => Similarity.embeddingStats(Tables.embeddings(s, d))),
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d), 0L, 10)),
+    // Batched retrieval: every vec_id % 97 == 0 vector is a query, each
+    // keeps its own top-5 via the q_id-partitioned group-limit window.
+    "ann_batch" -> ((s, d) => Similarity.cosineTopKBatch(Tables.embeddings(s, d), 97L, 5)),
     // Int8-quantized two-stage ANN: integer-dot candidates (4× smaller
     // scanned payload at corpus scale), exact float-cosine re-rank of the
     // 4k survivors. The oracle mirrors the two-stage algorithm (both
@@ -2320,6 +2323,19 @@ object SparkEntry {
         |      * sqrt(list_sum(list_transform(qe, x -> x * x)))) AS cosine
         |FROM embeddings, q WHERE vec_id != 0
         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // Batched retrieval mirror: per-query rank over the same cosine.
+    "ann_batch" ->
+      """SELECT q_id, vec_id, label, cosine, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT q_id, vec_id, label, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM (
+        |    SELECT q.vec_id AS q_id, e.vec_id, e.label,
+        |      list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+        |        / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
+        |           * sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x * x)))) AS cosine
+        |    FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id % 97 = 0) q
+        |    WHERE e.vec_id != q.vec_id))
+        |WHERE rank <= 5""".stripMargin,
     // The quantized two-stage mirror: absmax (order-free max), the same
     // quantize expression (one multiply, one divide, half-away round —
     // both engines round .5 away from zero on doubles), integer dot as

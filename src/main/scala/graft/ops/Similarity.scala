@@ -563,6 +563,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched top-k cosine retrieval — the production shape of similarity
+    * scoring: MANY query vectors against the corpus at once, each keeping
+    * its own top `k`. [[cosineTopK]]'s single-query TakeOrderedAndProject
+    * doesn't generalize (one global heap can't hold per-query ranks);
+    * the per-query group-limit does: a `row_number` window PARTITIONED BY
+    * the query id, which Spark executes as WindowGroupLimit — every
+    * partition keeps only its running top-k, nothing global.
+    *
+    * The query set rides ONE broadcast into a scored map over the corpus
+    * (|Q|·n scored pairs carrying (q_id, vec_id, cosine) only — the
+    * corpus embedding is read once and never shuffles; only the ranked
+    * ≤ |Q|·k survivors leave the map). This registered form scores
+    * brute-force — the labeled-oracle baseline; at 100 TB each query
+    * routes through an ANN candidate stage first ([[annMd5]] buckets,
+    * [[graft.ops.Ivf.annPq]] codes) and this operator ranks the
+    * candidates, same plan either way.
+    */
+  def cosineTopKBatch(embeddings: DataFrame, queryMod: Long, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val q = embeddings.filter(pmod(col("vec_id"), lit(queryMod)) === 0L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    embeddings
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        (dotF(col("embedding"), col("q_emb")) /
+          (l2F(col("embedding")) * l2F(col("q_emb"))))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Int8-quantized cosine top-k: scalar quantization (symmetric absmax
     * scale, q = round(127·x/absmax)) shrinks the scanned payload 4× vs
     * float32 — at 100 TB of embeddings the scan is bandwidth-bound, so the

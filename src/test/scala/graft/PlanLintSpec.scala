@@ -57,6 +57,7 @@ class PlanLintSpec extends SparkSpec {
     "containment_pairs" -> "bounded brute-force baseline: <=500 docs by construction feeds the theta self-join",
     "semantic_dedup" -> "nlist-row centroid table broadcast into the cell-assignment map (same pattern as ann_ivf_md5)",
     "ann_pq" -> "1-row query vector broadcast into the exact-cosine re-rank of the bounded ADC candidate set",
+    "ann_batch" -> "query-set broadcast (n/97 rows) into the scored map; labeled brute baseline, ANN candidate routes are the production path",
   )
 
   /** Queries allowed a single-partition funnel (global window / sort):

@@ -82,6 +82,20 @@ class SimilaritySpec extends SparkSpec {
     assert(approx(got, expected))
   }
 
+  test("cosineTopKBatch: every query's ranked block equals its single-query top-k") {
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val batch = Similarity.cosineTopKBatch(emb, 17L, 4).collect()
+    val qids = batch.map(_.getLong(0)).distinct.sorted
+    assert(qids.length > 1) // genuinely batched
+    qids.foreach { q =>
+      val single = Similarity.cosineTopK(emb, q, 4).collect()
+        .map(r => (r.getLong(0), r.getDouble(2)))
+      val block = batch.filter(_.getLong(0) == q).sortBy(_.getInt(4))
+        .map(r => (r.getLong(1), r.getDouble(3)))
+      assert(block.toSeq == single.toSeq, s"q=$q")
+    }
+  }
+
   test("containmentPairs: full quote inclusion scores 1.0 where jaccard stays small") {
     val cdocs = Seq(
       (0L, "a b c d e"),                    // 3 shingles, all inside doc 1
