@@ -615,6 +615,11 @@ object SparkEntry {
     // Asymmetric containment over the same bounded id range: catches the
     // quote-inclusion/superset family whose symmetric Jaccard is tiny.
     "containment_pairs" -> ((s, d) => Similarity.containmentPairs(Tables.documents(s, d), 500L, 0.8)),
+    // Cross-modal adjudication: the lexical pair list annotated with the
+    // corresponding embeddings' cosine (inner join on the shared id
+    // space; the <500 id bound sits inside every SF's embedding range).
+    "dedup_ensemble" -> ((s, d) => Similarity.dedupEnsemble(
+      Tables.documents(s, d), Tables.embeddings(s, d), 500L, 0.1)),
     "simhash" -> ((s, d) => Similarity.simhash(Tables.documents(s, d))),
     // Engine-agnostic md5-keyed signature twins — fully oracle-able,
     // unlike the xxhash64-seeded fast paths above.
@@ -2110,6 +2115,30 @@ object SparkEntry {
         |      / len(list_distinct(a.s || b.s)) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.1""".stripMargin,
+    // The lexical pair CTE from ngram_jaccard + one embedding join per
+    // side, cosine with the cosine_topk formula.
+    "dedup_ensemble" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |        WHERE doc_id < 500)
+        |  WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT doc_a, doc_b, jaccard FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(a.s || b.s)) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.1)
+        |SELECT doc_a, doc_b, jaccard,
+        |  list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+        |    / (sqrt(list_sum(list_transform(ea.embedding::DOUBLE[], x -> x * x)))
+        |       * sqrt(list_sum(list_transform(eb.embedding::DOUBLE[], x -> x * x)))) AS cosine
+        |FROM pairs
+        |JOIN embeddings ea ON doc_a = ea.vec_id
+        |JOIN embeddings eb ON doc_b = eb.vec_id""".stripMargin,
     // Same bounded shingle sets, asymmetric containment |A∩B|/min(|A|,|B|).
     // DuckDB intersects string shingles where Spark intersects their
     // 64-bit hashes — set sizes agree up to hash collisions (~1e-13/pair),

@@ -563,6 +563,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Cross-modal near-dup adjudication: lexical candidate pairs (n-gram
+    * Jaccard) annotated with the SEMANTIC similarity of the same
+    * documents' embeddings — the multi-signal curation stage that
+    * separates true near-dups (high overlap AND high cosine) from
+    * template/boilerplate collisions (high overlap, low cosine —
+    * shared scaffolding around different content). Runs on the bounded
+    * lexical baseline here; in production the pair source is the
+    * banded-LSH miner and this stage is one id-equi-join per side
+    * against the embedding table — pairs carry (ids, jaccard, cosine)
+    * only, never two payloads.
+    */
+  def dedupEnsemble(documents: DataFrame, embeddings: DataFrame,
+                    maxDocId: Long, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    ngramJaccard(documents, maxDocId, threshold)
+      .join(e.as("ea"), col("doc_a") === col("ea.vec_id"))
+      .join(e.as("eb"), col("doc_b") === col("eb.vec_id"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        (dotF(col("ea.embedding"), col("eb.embedding")) /
+          (l2F(col("ea.embedding")) * l2F(col("eb.embedding")))).as("cosine"))
+  }
+
   /** Batched top-k cosine retrieval — the production shape of similarity
     * scoring: MANY query vectors against the corpus at once, each keeping
     * its own top `k`. [[cosineTopK]]'s single-query TakeOrderedAndProject

@@ -58,6 +58,7 @@ class PlanLintSpec extends SparkSpec {
     "semantic_dedup" -> "nlist-row centroid table broadcast into the cell-assignment map (same pattern as ann_ivf_md5)",
     "ann_pq" -> "1-row query vector broadcast into the exact-cosine re-rank of the bounded ADC candidate set",
     "ann_batch" -> "query-set broadcast (n/97 rows) into the scored map; labeled brute baseline, ANN candidate routes are the production path",
+    "dedup_ensemble" -> "bounded ngram_jaccard baseline (<=500 docs) feeds the theta self-join; embedding joins are equi-joins",
   )
 
   /** Queries allowed a single-partition funnel (global window / sort):

@@ -115,6 +115,22 @@ class SimilaritySpec extends SparkSpec {
     assert(approx(j, 3.0 / 8))
   }
 
+  test("dedupEnsemble: lexical pairs carry their embeddings' cosine verdict") {
+    val d = Seq(
+      (0L, "a b c d e"), (1L, "a b c d x"), (2L, "q r s t u")
+    ).toDF("doc_id", "text")
+    val e = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.dedupEnsemble(d, e, 10L, 0.1).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) == ((0L, 1L)))
+    // shingles {abc,bcd,cde} vs {abc,bcd,cdx}: 2 shared of 4 distinct
+    assert(approx(r.getDouble(2), 0.5))
+    assert(r.getDouble(3) == 1.0) // identical one-hot embeddings
+  }
+
   test("simhash: hamming(near-dup) < hamming(unrelated); identical texts equal") {
     val s = Similarity.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
