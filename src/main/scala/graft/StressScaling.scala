@@ -124,19 +124,27 @@ object StressScaling {
       ops.Ivf.ivfProbe(spark, layout, cents, q, 10, nprobe = 2,
         excludeId = Some(0L)).write.format("noop").mode("overwrite").save()
       record("ann_ivf", scale, nVecs, (System.nanoTime() - t0) / 1e9)
-      // SemDeDup with the honest scale knob: nlist ∝ n keeps within-cell
-      // pairs at n·target (linear) while assignment pays n·nlist — the
-      // documented trade; target 1250 matches the sf0.1 cell shape.
+      // SemDeDup: with the linearity knob nlist ∝ n the FLAT form's
+      // assignment is n·nlist = quadratic — measured 6.6×/10× at 1M
+      // vectors (837 s; kept at 1×/10× as the anti-baseline). The
+      // hierarchical form routes coarse-then-fine (n·2√nlist) with the
+      // same leaf target, so it runs at every scale.
       val nlist = math.max(8L, nVecs / 1250L).toInt
-      record("semantic_dedup", scale, nVecs, timed(
-        ops.Ivf.semanticDedup(emb, 0.95, nlist)))
+      if (scale <= 10L)
+        record("semantic_dedup_flat", scale, nVecs, timed(
+          ops.Ivf.semanticDedup(emb, 0.95, nlist)))
+      val side = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+      record("semantic_dedup_hier", scale, nVecs, timed(
+        ops.Ivf.semanticDedupHier(emb, 0.95, side, side)))
       emb.unpersist()
     }
 
     val ratios = results.map { case (name, byScale) =>
       val r10 = byScale(10L) / byScale(1L)
-      val r100 = byScale(100L) / byScale(10L)
-      s""""$name":{"sec_1x":${f"${byScale(1L)}%.2f"},"sec_10x":${f"${byScale(10L)}%.2f"},"sec_100x":${f"${byScale(100L)}%.2f"},"ratio_10x":${f"$r10%.2f"},"ratio_100x_vs_10x":${f"$r100%.2f"}}"""
+      val tail = byScale.get(100L).map { s100 =>
+        s""","sec_100x":${f"$s100%.2f"},"ratio_100x_vs_10x":${f"${s100 / byScale(10L)}%.2f"}"""
+      }.getOrElse("")
+      s""""$name":{"sec_1x":${f"${byScale(1L)}%.2f"},"sec_10x":${f"${byScale(10L)}%.2f"},"ratio_10x":${f"$r10%.2f"}$tail}"""
     }.mkString("{", ",", "}")
     println(s"""STRESS_RATIOS {"step_data_ratio":10,"base_docs":$baseDocs,"queries":$ratios}""")
     spark.stop()

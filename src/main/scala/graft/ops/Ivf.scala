@@ -291,6 +291,63 @@ object Ivf {
       .agg(min(col("keep_id")).as("dup_of"), max(col("cosine")).as("max_cosine"))
   }
 
+  /** Hierarchical SemDeDup — the scale fix for [[semanticDedup]]'s
+    * assignment cost, measured super-linear in the stress harness
+    * (flat nearest-of-nlist assignment is n·nlist work; with the
+    * linearity knob nlist ∝ n that's quadratic — 6.6× wall per 10× data
+    * at 1M vectors). Two-level routing in the IMI / hierarchical-k-means
+    * style: `coarse` md5-seeded top-level cells (n·coarse assignment),
+    * then `fine` seeds chosen PER coarse cell (the cell's smallest-md5
+    * members — a doc-partitioned row_number, never global) and each
+    * vector refines only against its own cell's seeds (n·fine work,
+    * joined on the coarse id — an EQUI-join, so the fine stage never
+    * broadcasts the corpus against all seeds). Total assignment
+    * n·(coarse+fine) = n·2√nlist with leaves the same ~n/(coarse·fine)
+    * target size, so the within-leaf m² pair stage stays linear.
+    *
+    * Same deterministic contract as [[semanticDedup]] (md5 seeds,
+    * BIGINT quantized argmin, greedy-by-id removal); `cell` in the
+    * output is the flattened leaf id `cid·fine + fid`. Leaf membership
+    * differs from the flat form's (any balanced partition is a valid
+    * SemDeDup clustering — the paper's k-means is itself only a
+    * partitioner), so both forms carry their own oracle.
+    */
+  def semanticDedupHier(embeddings: DataFrame, threshold: Double,
+                        coarse: Int, fine: Int): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val quant = quantized(embeddings)
+    val a1 = md5CellAssign(quant, md5SeedCells(quant, coarse), coarse)
+    val q1 = quant.join(a1, col("vec_id") === col("aid")).drop("aid")
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val f = q1.withColumn("fid", row_number().over(wf).cast("long") - 1L)
+      .filter(col("fid") < fine)
+      .select(col("cid"), col("fid"), col("qe").as("fe"))
+    val a2 = q1.select(col("vec_id"), col("cid"), col("qe"))
+      .join(broadcast(f), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        (intD2(col("qe"), col("fe")) * fine + col("fid")).as("m"))
+      .groupBy(col("vec_id"), col("cid")).agg(min(col("m")).as("m"))
+      .select(col("vec_id").as("bid"),
+        (col("cid") * fine + pmod(col("m"), lit(fine.toLong))).as("cell"))
+    val cells = embeddings
+      .join(a2, col("vec_id") === col("bid"))
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    def dotF(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("graft_dot", a, b)
+    cells.as("x").join(cells.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("vec_id"), col("x.cell").as("cell"),
+        col("x.vec_id").as("keep_id"),
+        (dotF(col("x.embedding"), col("y.embedding")) /
+          (sqrt(dotF(col("x.embedding"), col("x.embedding"))) *
+            sqrt(dotF(col("y.embedding"), col("y.embedding"))))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(min(col("keep_id")).as("dup_of"), max(col("cosine")).as("max_cosine"))
+  }
+
   /** Product-quantization ANN (Jégou, Douze & Schmid, "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011) with
     * asymmetric distance computation (ADC): the embedding splits into

@@ -222,6 +222,33 @@ class IvfSpec extends SparkSpec {
     assert(out(7L) == ((0L, 1.0)))   // min lower partner, not 3
   }
 
+  test("semanticDedupHier: identical vectors co-locate through both levels; greedy removal matches the flat form on the fixture") {
+    val e0 = Array(1f, 0f, 0f, 0f); val e1 = Array(0f, 1f, 0f, 0f)
+    val emb = Seq(
+      (0L, e0, 0), (1L, e1, 1), (2L, Array(0f, 0f, 1f, 0f), 2),
+      (3L, e0, 0), (4L, Array(0f, 0f, 0f, 1f), 3),
+      (5L, e1, 1), (6L, Array(1f, 1f, 0f, 0f), 4), (7L, e0, 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Ivf.semanticDedupHier(emb, threshold = 0.999, coarse = 2, fine = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(3L, 5L, 7L))
+    assert(out(3L) == ((0L, 1.0)))
+    assert(out(5L) == ((1L, 1.0)))
+    assert(out(7L) == ((0L, 1.0)))
+  }
+
+  test("semanticDedupHier on real testdata: valid removal list over the 2-level leaves") {
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Ivf.semanticDedupHier(emb, 0.4, 4, 2).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) < r.getLong(0))
+      assert(r.getDouble(3) >= 0.4)
+      assert(r.getLong(1) >= 0L && r.getLong(1) < 8L) // cell = cid*2+fid
+    }
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
   test("semanticDedup on real testdata: removals reference lower-id survivors-or-casualties above threshold") {
     val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rows = Ivf.semanticDedup(emb, 0.4, 8).collect()
