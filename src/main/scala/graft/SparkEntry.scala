@@ -713,6 +713,10 @@ object SparkEntry {
     // Two-level SemDeDup (the measured scale fix: assignment n·2√nlist
     // instead of n·nlist): 4 coarse cells × 2 per-cell fine seeds.
     "semantic_dedup_hier" -> ((s, d) => Ivf.semanticDedupHier(Tables.embeddings(s, d), 0.4, 4, 2)),
+    // Size-capped SemDeDup: leaves over cap=50 split by a content-hash
+    // salt (exact dups always co-locate) — the worst-case skew guard;
+    // cap deliberately small here so the salting is exercised in-gate.
+    "semantic_dedup_capped" -> ((s, d) => Ivf.semanticDedupCapped(Tables.embeddings(s, d), 0.4, 4, 2, 50)),
     // Product-quantization ANN: 8x16 md5-seeded codebook, BIGINT encode
     // + ADC candidate scoring (8-byte codes, 32x scan compression),
     // exact cosine re-rank — candidate set integer-exact in any engine.
@@ -2448,6 +2452,47 @@ object SparkEntry {
         |FROM q JOIN a USING (vec_id) JOIN pc ON (a.m % 8) = pc.cid, qv
         |WHERE q.vec_id != 0
         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // Capped mirror: the hier cell CTEs + per-cell salt counts and the
+    // content-hash salt, pairs within (cell, salt).
+    "semantic_dedup_capped" ->
+      """WITH q AS (SELECT vec_id, embedding,
+        |             list_transform(embedding,
+        |               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qe
+        |           FROM embeddings),
+        |c1 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+        |              qe AS ce
+        |       FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+        |a1 AS (SELECT vec_id,
+        |         min(CAST(list_sum(list_transform(generate_series(1, len(qe)),
+        |               i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT) * 4 + cid) AS m
+        |       FROM q, c1 GROUP BY 1),
+        |q1 AS (SELECT q.vec_id, q.embedding, q.qe, (a1.m % 4) AS cid
+        |       FROM q JOIN a1 USING (vec_id)),
+        |f AS (SELECT cid,
+        |        row_number() OVER (PARTITION BY cid
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS fid,
+        |        qe AS fe
+        |      FROM q1 QUALIFY fid < 2),
+        |a2 AS (SELECT q1.vec_id, q1.cid,
+        |         min(CAST(list_sum(list_transform(generate_series(1, len(qe)),
+        |               i -> (qe[i] - fe[i]) * (qe[i] - fe[i]))) AS BIGINT) * 2 + fid) AS m
+        |       FROM q1 JOIN f USING (cid) GROUP BY 1, 2),
+        |cells AS (SELECT q1.vec_id, (q1.cid * 2 + (a2.m % 2)) AS cell,
+        |                 q1.embedding::DOUBLE[] AS emb, q1.qe
+        |          FROM q1 JOIN a2 ON q1.vec_id = a2.vec_id AND q1.cid = a2.cid),
+        |ns AS (SELECT cell, (count(*) + 49) // 50 AS nsalt FROM cells GROUP BY 1),
+        |salted AS (SELECT vec_id, cells.cell, emb,
+        |             ('0x' || substr(md5(array_to_string(qe, ',')), 1, 15))::BIGINT % nsalt AS salt
+        |           FROM cells JOIN ns ON cells.cell = ns.cell)
+        |SELECT vec_id, cell, min(keep_id) AS dup_of, max(cosine) AS max_cosine FROM (
+        |  SELECT y.vec_id, y.cell, x.vec_id AS keep_id,
+        |    list_dot_product(x.emb, y.emb)
+        |      / (sqrt(list_sum(list_transform(x.emb, v -> v * v)))
+        |         * sqrt(list_sum(list_transform(y.emb, v -> v * v)))) AS cosine
+        |  FROM salted x JOIN salted y ON x.cell = y.cell AND x.salt = y.salt
+        |                             AND x.vec_id < y.vec_id)
+        |WHERE cosine >= 0.4
+        |GROUP BY 1, 2""".stripMargin,
     // Hierarchical SemDeDup mirror: coarse argmin, per-cell fine seeds
     // via the partitioned row_number, fine argmin, within-leaf pairs.
     "semantic_dedup_hier" ->

@@ -136,6 +136,12 @@ object StressScaling {
       val side = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
       record("semantic_dedup_hier", scale, nVecs, timed(
         ops.Ivf.semanticDedupHier(emb, 0.95, side, side)))
+      // The skew guard: md5-seeded leaves are Zipf-ish (measured max
+      // 11,331 vs median 661 at 1M vectors), and all pairs of one leaf
+      // land on ONE reducer; capping splits oversized leaves by a
+      // content-hash salt, bounding per-task pair work at ~cap².
+      record("semantic_dedup_capped", scale, nVecs, timed(
+        ops.Ivf.semanticDedupCapped(emb, 0.95, side, side, 2500)))
       emb.unpersist()
     }
 

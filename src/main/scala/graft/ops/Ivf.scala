@@ -312,8 +312,12 @@ object Ivf {
     * SemDeDup clustering — the paper's k-means is itself only a
     * partitioner), so both forms carry their own oracle.
     */
-  def semanticDedupHier(embeddings: DataFrame, threshold: Double,
-                        coarse: Int, fine: Int): DataFrame = {
+  /** The two-level cell-assignment stage of [[semanticDedupHier]],
+    * exposed for skew diagnostics and the capped variant: returns
+    * (vec_id, cell, embedding) with `cell = cid·fine + fid`.
+    */
+  private[graft] def semanticDedupHierCells(embeddings: DataFrame,
+                                            coarse: Int, fine: Int): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     val quant = quantized(embeddings)
     val a1 = md5CellAssign(quant, md5SeedCells(quant, coarse), coarse)
@@ -331,13 +335,65 @@ object Ivf {
       .groupBy(col("vec_id"), col("cid")).agg(min(col("m")).as("m"))
       .select(col("vec_id").as("bid"),
         (col("cid") * fine + pmod(col("m"), lit(fine.toLong))).as("cell"))
-    val cells = embeddings
+    embeddings
       .join(a2, col("vec_id") === col("bid"))
       .select(col("vec_id"), col("cell"), col("embedding"))
+  }
+
+  def semanticDedupHier(embeddings: DataFrame, threshold: Double,
+                        coarse: Int, fine: Int): DataFrame = {
+    val cells = semanticDedupHierCells(embeddings, coarse, fine)
     def dotF(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       call_function("graft_dot", a, b)
     cells.as("x").join(cells.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("vec_id"), col("x.cell").as("cell"),
+        col("x.vec_id").as("keep_id"),
+        (dotF(col("x.embedding"), col("y.embedding")) /
+          (sqrt(dotF(col("x.embedding"), col("x.embedding"))) *
+            sqrt(dotF(col("y.embedding"), col("y.embedding"))))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(min(col("keep_id")).as("dup_of"), max(col("cosine")).as("max_cosine"))
+  }
+
+  /** Size-capped SemDeDup — the skew guard on top of
+    * [[semanticDedupHier]]: md5-data-point seeds make leaf sizes Zipf-ish
+    * (measured at 1M vectors / 841 leaves: median 661, max 11,331 — one
+    * leaf = ~64M ordered pairs in a SINGLE sort-merge task, since all
+    * pairs of one join key land on one reducer). Any leaf larger than
+    * `cap` splits into `ceil(size/cap)` salted sub-leaves, bounding
+    * per-task pair work at ~cap² REGARDLESS of the seed distribution —
+    * the worst-case guarantee a 100 TB run needs, where "usually
+    * balanced" is not a plan.
+    *
+    * The salt hashes the QUANTIZED CONTENT (md5 over the comma-joined
+    * 2^20-quantized coordinates), not the vector id: byte-identical
+    * embeddings always share a salt, so exact-duplicate recall survives
+    * capping unconditionally; only near-dups inside an oversized leaf
+    * can split across salts — the documented recall trade, bounded by
+    * how far above `cap` the leaf was. All salt arithmetic is the
+    * engine-portable md5→BIGINT path (the CMS bucket discipline), so
+    * the whole operator stays hash-oracle-able.
+    */
+  def semanticDedupCapped(embeddings: DataFrame, threshold: Double,
+                          coarse: Int, fine: Int, cap: Int): DataFrame = {
+    require(cap >= 2, s"cap must be >= 2, got $cap")
+    val cells = semanticDedupHierCells(embeddings, coarse, fine)
+    val nsalt = cells.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+      .select(col("cell"), expr(s"(cnt + ${cap - 1}) div $cap").as("nsalt"))
+    val contentKey = concat_ws(",", transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1048576.0)).cast("long").cast("string")))
+    val salted = cells.join(broadcast(nsalt), Seq("cell"))
+      .withColumn("salt",
+        pmod(conv(substring(md5(contentKey), 1, 15), 16, 10).cast("long"),
+          col("nsalt")))
+      .select(col("vec_id"), col("cell"), col("salt"), col("embedding"))
+    def dotF(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("graft_dot", a, b)
+    salted.as("x").join(salted.as("y"),
+        col("x.cell") === col("y.cell") && col("x.salt") === col("y.salt") &&
+          col("x.vec_id") < col("y.vec_id"))
       .select(col("y.vec_id").as("vec_id"), col("x.cell").as("cell"),
         col("x.vec_id").as("keep_id"),
         (dotF(col("x.embedding"), col("y.embedding")) /

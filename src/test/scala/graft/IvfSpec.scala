@@ -237,6 +237,27 @@ class IvfSpec extends SparkSpec {
     assert(out(7L) == ((0L, 1.0)))
   }
 
+  test("semanticDedupCapped: inactive cap reproduces hier exactly; forced splitting still finds every exact duplicate") {
+    val e0 = Array(1f, 0f, 0f, 0f); val e1 = Array(0f, 1f, 0f, 0f)
+    val emb = Seq(
+      (0L, e0, 0), (1L, e1, 1), (2L, Array(0f, 0f, 1f, 0f), 2),
+      (3L, e0, 0), (4L, Array(0f, 0f, 0f, 1f), 3),
+      (5L, e1, 1), (6L, Array(1f, 1f, 0f, 0f), 4), (7L, e0, 0)
+    ).toDF("vec_id", "embedding", "label")
+    // cap far above every leaf: nsalt = 1 everywhere -> bit-identical to hier
+    val hier = Ivf.semanticDedupHier(emb, 0.999, 2, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    val wide = Ivf.semanticDedupCapped(emb, 0.999, 2, 2, 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(wide.toSeq == hier.toSeq)
+    // cap=2 forces splitting, but identical embeddings share the content
+    // salt, so every exact duplicate is still removed
+    val tight = Ivf.semanticDedupCapped(emb, 0.999, 2, 2, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tight.keySet == Set(3L, 5L, 7L))
+    assert(tight(3L) == 0L && tight(5L) == 1L && tight(7L) == 0L)
+  }
+
   test("semanticDedupHier on real testdata: valid removal list over the 2-level leaves") {
     val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rows = Ivf.semanticDedupHier(emb, 0.4, 4, 2).collect()

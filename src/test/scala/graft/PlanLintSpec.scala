@@ -60,6 +60,7 @@ class PlanLintSpec extends SparkSpec {
     "ann_batch" -> "query-set broadcast (n/97 rows) into the scored map; labeled brute baseline, ANN candidate routes are the production path",
     "dedup_ensemble" -> "bounded ngram_jaccard baseline (<=500 docs) feeds the theta self-join; embedding joins are equi-joins",
     "semantic_dedup_hier" -> "coarse-cell centroid broadcast (bounded by `coarse`) into the level-1 assignment map",
+    "semantic_dedup_capped" -> "coarse-cell centroid broadcast (bounded by `coarse`) into the level-1 assignment map",
   )
 
   /** Queries allowed a single-partition funnel (global window / sort):
@@ -74,6 +75,7 @@ class PlanLintSpec extends SparkSpec {
     "semantic_dedup" -> "row_number over the nlist seed rows (shared ann_ivf_md5 cell machinery), bounded by nlist",
     "ann_pq" -> "row_number over the `codes` seed rows (md5 codebook), bounded by codes",
     "semantic_dedup_hier" -> "row_number over the `coarse` seed rows; the fine-seed window is cid-PARTITIONED, never global",
+    "semantic_dedup_capped" -> "row_number over the `coarse` seed rows; the fine-seed window is cid-PARTITIONED, never global",
   )
 
   /** Queries allowed to read a base table's full column set. */
