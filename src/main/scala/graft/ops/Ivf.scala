@@ -277,17 +277,32 @@ object Ivf {
     val cells = embeddings
       .join(assigned, col("vec_id") === col("aid"))
       .select(col("vec_id"), col("cid"), col("embedding"))
+    greedyPairRemoval(cells, Seq("cid"), "cid", threshold)
+  }
+
+  /** Within-group greedy pair phase shared by the SemDeDup family.
+    * `cells` must carry (vec_id, joinKeys..., embedding). Each vector's
+    * norm is computed ONCE per row here (n sqrt-of-dots, not 2 per m²
+    * pair) and pairs multiply the two precomputed norms — the SAME IEEE
+    * operations in the same order as inlining `sqrt(dot(x,x))` per pair,
+    * so results (and every oracle) are bit-identical while the dominant
+    * m² phase drops from 3 dot products per pair to 1.
+    */
+  private def greedyPairRemoval(cells: DataFrame, joinKeys: Seq[String],
+                                outKey: String, threshold: Double): DataFrame = {
     def dotF(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       call_function("graft_dot", a, b)
-    cells.as("x").join(cells.as("y"),
-        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("y.vec_id").as("vec_id"), col("x.cid").as("cid"),
+    val withNorm = cells.withColumn("nrm",
+      sqrt(dotF(col("embedding"), col("embedding"))))
+    val cond = joinKeys.map(k => col(s"x.$k") === col(s"y.$k"))
+      .reduce(_ && _) && col("x.vec_id") < col("y.vec_id")
+    withNorm.as("x").join(withNorm.as("y"), cond)
+      .select(col("y.vec_id").as("vec_id"), col(s"x.$outKey").as(outKey),
         col("x.vec_id").as("keep_id"),
         (dotF(col("x.embedding"), col("y.embedding")) /
-          (sqrt(dotF(col("x.embedding"), col("x.embedding"))) *
-            sqrt(dotF(col("y.embedding"), col("y.embedding"))))).as("cosine"))
+          (col("x.nrm") * col("y.nrm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .groupBy(col("vec_id"), col("cid"))
+      .groupBy(col("vec_id"), col(outKey))
       .agg(min(col("keep_id")).as("dup_of"), max(col("cosine")).as("max_cosine"))
   }
 
@@ -341,21 +356,9 @@ object Ivf {
   }
 
   def semanticDedupHier(embeddings: DataFrame, threshold: Double,
-                        coarse: Int, fine: Int): DataFrame = {
-    val cells = semanticDedupHierCells(embeddings, coarse, fine)
-    def dotF(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      call_function("graft_dot", a, b)
-    cells.as("x").join(cells.as("y"),
-        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("y.vec_id").as("vec_id"), col("x.cell").as("cell"),
-        col("x.vec_id").as("keep_id"),
-        (dotF(col("x.embedding"), col("y.embedding")) /
-          (sqrt(dotF(col("x.embedding"), col("x.embedding"))) *
-            sqrt(dotF(col("y.embedding"), col("y.embedding"))))).as("cosine"))
-      .filter(col("cosine") >= threshold)
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(min(col("keep_id")).as("dup_of"), max(col("cosine")).as("max_cosine"))
-  }
+                        coarse: Int, fine: Int): DataFrame =
+    greedyPairRemoval(semanticDedupHierCells(embeddings, coarse, fine),
+      Seq("cell"), "cell", threshold)
 
   /** Size-capped SemDeDup — the skew guard on top of
     * [[semanticDedupHier]]: md5-data-point seeds make leaf sizes Zipf-ish
@@ -389,19 +392,7 @@ object Ivf {
         pmod(conv(substring(md5(contentKey), 1, 15), 16, 10).cast("long"),
           col("nsalt")))
       .select(col("vec_id"), col("cell"), col("salt"), col("embedding"))
-    def dotF(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      call_function("graft_dot", a, b)
-    salted.as("x").join(salted.as("y"),
-        col("x.cell") === col("y.cell") && col("x.salt") === col("y.salt") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("y.vec_id").as("vec_id"), col("x.cell").as("cell"),
-        col("x.vec_id").as("keep_id"),
-        (dotF(col("x.embedding"), col("y.embedding")) /
-          (sqrt(dotF(col("x.embedding"), col("x.embedding"))) *
-            sqrt(dotF(col("y.embedding"), col("y.embedding"))))).as("cosine"))
-      .filter(col("cosine") >= threshold)
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(min(col("keep_id")).as("dup_of"), max(col("cosine")).as("max_cosine"))
+    greedyPairRemoval(salted, Seq("cell", "salt"), "cell", threshold)
   }
 
   /** Product-quantization ANN (Jégou, Douze & Schmid, "Product
