@@ -721,6 +721,9 @@ object SparkEntry {
     // + ADC candidate scoring (8-byte codes, 32x scan compression),
     // exact cosine re-rank — candidate set integer-exact in any engine.
     "ann_pq" -> ((s, d) => Ivf.annPq(Tables.embeddings(s, d), 0L, 10)),
+    // The FAISS production composition: coarse IVF route (nprobe cells)
+    // then PQ-ADC over only those cells, exact rerank of 40 survivors.
+    "ann_ivfpq" -> ((s, d) => Ivf.annIvfPq(Tables.embeddings(s, d), 0L, 10)),
     // LLM tier — multimodal binary-column plumbing (stubbed decode).
     "multimodal_meta" -> ((s, d) => Multimodal.decodeMeta(Tables.documents(s, d))),
     "frame_sample" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d), 100)),
@@ -2529,6 +2532,54 @@ object SparkEntry {
         |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id)
         |WHERE cosine >= 0.4
         |GROUP BY 1, 2""".stripMargin,
+    // IVF-PQ mirror: the ann_ivf_md5 route CTEs + the ann_pq codebook
+    // CTEs, PQ pass restricted to the probed cells' vectors.
+    "ann_ivfpq" ->
+      """WITH q AS (SELECT vec_id, label, embedding,
+        |             list_transform(embedding,
+        |               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qe
+        |           FROM embeddings),
+        |c AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+        |             qe AS ce
+        |      FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |a AS (SELECT vec_id,
+        |        min(CAST(list_sum(list_transform(generate_series(1, len(qe)),
+        |              i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT) * 8 + cid) AS m
+        |      FROM q, c GROUP BY 1),
+        |qv AS (SELECT qe AS q_qe, embedding::DOUBLE[] AS q_emb FROM q WHERE vec_id = 0),
+        |pc AS (SELECT cid FROM c, qv
+        |       ORDER BY CAST(list_sum(list_transform(generate_series(1, len(q_qe)),
+        |                 i -> (q_qe[i] - ce[i]) * (q_qe[i] - ce[i]))) AS BIGINT), cid
+        |       LIMIT 2),
+        |probed AS (SELECT q.vec_id, q.qe FROM q JOIN a USING (vec_id)
+        |           JOIN pc ON (a.m % 8) = pc.cid WHERE q.vec_id != 0),
+        |seeds AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+        |                 qe AS ce
+        |          FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |cb AS (SELECT code, j, ce[(j*8+1):(j*8+8)] AS cw
+        |       FROM seeds, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS u(j)),
+        |sub AS (SELECT vec_id, j, qe[(j*8+1):(j*8+8)] AS sv
+        |        FROM probed, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS u(j)),
+        |enc AS (SELECT vec_id, j,
+        |          min(CAST(list_sum(list_transform(generate_series(1, 8),
+        |                i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) AS BIGINT) * 16 + code) AS mm
+        |        FROM sub JOIN cb USING (j) GROUP BY 1, 2),
+        |qsub AS (SELECT j, q_qe[(j*8+1):(j*8+8)] AS qv2
+        |         FROM qv, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS u(j)),
+        |qlut AS (SELECT cb.j, cb.code,
+        |           CAST(list_sum(list_transform(generate_series(1, 8),
+        |             i -> (qv2[i] - cw[i]) * (qv2[i] - cw[i]))) AS BIGINT) AS qd2
+        |         FROM cb JOIN qsub ON cb.j = qsub.j),
+        |adc AS (SELECT enc.vec_id, sum(qd2) AS adc
+        |        FROM enc JOIN qlut ON enc.j = qlut.j AND (enc.mm % 16) = qlut.code
+        |        GROUP BY 1),
+        |cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 40)
+        |SELECT q.vec_id, q.label,
+        | list_dot_product(q.embedding::DOUBLE[], q_emb)
+        |   / (sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x * x)))
+        |      * sqrt(list_sum(list_transform(q_emb, x -> x * x)))) AS cosine
+        |FROM q JOIN cand USING (vec_id), qv
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
     // PQ-ADC mirror: md5-seeded codebook slices, BIGINT subspace encode
     // (ties into the min-encoding), query lookup table, ADC sum, exact
     // cosine re-rank of the 40 ADC survivors.

@@ -423,6 +423,11 @@ object Ivf {
     * min. ADC joins the (m·codes)-row query lookup table — a broadcast —
     * and one hash aggregate sums the m per-subspace terms.
     */
+  /** (j, subvector) rows of a quantized vector: m slices of width ds. */
+  private def pqSubs(v: org.apache.spark.sql.Column, m: Int, ds: Int) =
+    posexplode(transform(sequence(lit(0), lit(m - 1)),
+      j => slice(v, j * ds + 1, lit(ds))))
+
   def annPq(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
             m: Int = 8, codes: Int = 16, candidates: Int = 40): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
@@ -430,9 +435,7 @@ object Ivf {
     val dim = 64 // testdata embedding width; subspace width below
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val ds = dim / m
-    def subs(v: org.apache.spark.sql.Column) =
-      posexplode(transform(sequence(lit(0), lit(m - 1)),
-        j => slice(v, j * ds + 1, lit(ds))))
+    def subs(v: org.apache.spark.sql.Column) = pqSubs(v, m, ds)
     // codebook: (j, code, cw) — the seed vectors' subvector slices
     val cb = md5SeedCells(quant, codes)
       .select(col("cid").as("code"), subs(col("ce")).as(Seq("j", "cw")))
@@ -452,6 +455,76 @@ object Ivf {
       .groupBy(col("vec_id")).agg(sum(col("qd2")).as("adc"))
     val cand = adc.filter(col("vec_id") =!= queryId)
       .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(candidates)
+      .select(col("vec_id"))
+    val qrow = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    def dotF(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("graft_dot", a, b)
+    embeddings.join(cand, Seq("vec_id"))
+      .crossJoin(broadcast(qrow))
+      .select(col("vec_id"), col("label"),
+        (dotF(col("embedding"), col("q_emb")) /
+          (sqrt(dotF(col("embedding"), col("embedding"))) *
+            sqrt(dotF(col("q_emb"), col("q_emb"))))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** IVF-PQ — the composition FAISS ships as its production index
+    * (coarse inverted file × product quantizer, Jégou et al. TPAMI'11
+    * §V): the query routes to its `nprobe` nearest coarse cells, the
+    * PQ-ADC pass scores ONLY those cells' vectors through the lookup
+    * table, and the exact-cosine re-rank touches the `candidates`
+    * survivors. At 100 TB this is the index shape that works: the
+    * coarse route prunes the scan to ~nprobe/nlist of the corpus
+    * (directory pruning in the layout form, [[ivfProbe]]), the PQ codes
+    * cut the scanned bytes 32×, and the raw vectors are read only for
+    * the top-`candidates` rows.
+    *
+    * Deterministic end-to-end by composing the two md5-twin machines
+    * ([[annIvfMd5]] cells, [[annPq]] codebook) — every stage before the
+    * final cosine is BIGINT arithmetic, so the candidate set is
+    * hash-checkable in any engine.
+    */
+  def annIvfPq(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
+               nlist: Int = 8, nprobe: Int = 2,
+               m: Int = 8, codes: Int = 16, candidates: Int = 40): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val quant = quantized(embeddings)
+    val dim = 64
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val ds = dim / m
+    def subs(v: org.apache.spark.sql.Column) = pqSubs(v, m, ds)
+    // coarse route: assignment + the query's nprobe nearest cells
+    val cents = md5SeedCells(quant, nlist)
+    val assigned = md5CellAssign(quant, cents, nlist)
+    val qrowQ = quant.filter(col("vec_id") === queryId)
+      .select(col("qe").as("q_qe"))
+    val qcells = cents.crossJoin(broadcast(qrowQ))
+      .orderBy(intD2(col("q_qe"), col("ce")), col("cid"))
+      .limit(nprobe)
+      .select(col("cid"))
+    // the pruned scan: only probed cells' vectors reach the PQ pass
+    val probed = quant.filter(col("vec_id") =!= queryId)
+      .join(assigned, col("vec_id") === col("aid"))
+      .join(broadcast(qcells), Seq("cid"))
+      .select(col("vec_id"), col("qe"))
+    val cb = md5SeedCells(quant, codes)
+      .select(col("cid").as("code"), subs(col("ce")).as(Seq("j", "cw")))
+    val enc = probed.select(col("vec_id"), subs(col("qe")).as(Seq("j", "sv")))
+      .join(broadcast(cb), Seq("j"))
+      .select(col("vec_id"), col("j"),
+        (intD2(col("sv"), col("cw")) * codes + col("code")).as("mm"))
+      .groupBy(col("vec_id"), col("j")).agg(min(col("mm")).as("mm"))
+      .select(col("vec_id"), col("j"), pmod(col("mm"), lit(codes.toLong)).as("code"))
+    val qsub = quant.filter(col("vec_id") === queryId)
+      .select(subs(col("qe")).as(Seq("qj", "qv")))
+    val qlut = cb.join(broadcast(qsub), col("j") === col("qj"))
+      .select(col("j"), col("code"), intD2(col("qv"), col("cw")).as("qd2"))
+    val adc = enc.join(broadcast(qlut), Seq("j", "code"))
+      .groupBy(col("vec_id")).agg(sum(col("qd2")).as("adc"))
+    val cand = adc.orderBy(col("adc").asc, col("vec_id").asc)
       .limit(candidates)
       .select(col("vec_id"))
     val qrow = embeddings.filter(col("vec_id") === queryId)

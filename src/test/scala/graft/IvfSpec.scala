@@ -202,6 +202,56 @@ class IvfSpec extends SparkSpec {
     assert(cand.size < rows.length / 2)
   }
 
+  test("annIvfPq: ADC scores only the probed cells; equals the sequential IVF-PQ composition") {
+    val emb = planted(4, 50, 64)
+    val got = Ivf.annIvfPq(emb, queryId = 0L, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val rows = emb.collect().map(r => (r.getLong(0),
+      r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val quant = rows.map { case (id, e) =>
+      id -> e.map(x => math.floor(x.toDouble * 1048576.0).toLong) }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def slice8(v: Array[Long], j: Int) = v.slice(j * 8, j * 8 + 8)
+    val ordered = rows.map(_._1).sortBy(id => (h(id), id))
+    // coarse: 8 cells, query's 2 nearest
+    val cells8 = ordered.take(8).map(quant).zipWithIndex
+    val cellOf = quant.map { case (id, qe) =>
+      id -> cells8.map { case (ce, cid) => (d2(qe, ce), cid) }.min._2 }
+    val probeCells = cells8.map { case (ce, cid) => (d2(quant(0L), ce), cid) }
+      .sorted.take(2).map(_._2).toSet
+    // PQ: 16-seed codebook, encode probed vectors, ADC rank
+    val seeds = ordered.take(16).map(quant)
+    def code(v: Array[Long], j: Int): Int =
+      (seeds.zipWithIndex.map { case (s, c) =>
+        d2(slice8(v, j), slice8(s, j)) * 16 + c }.min % 16).toInt
+    val qlut = (0 until 8).map { j =>
+      seeds.map(s => d2(slice8(quant(0L), j), slice8(s, j))) }
+    val probedIds = rows.map(_._1).filter(id => id != 0L && probeCells(cellOf(id)))
+    val cand = probedIds.map { id =>
+      id -> (0 until 8).map(j => qlut(j)(code(quant(id), j))).sum }
+      .sortBy { case (id, a) => (a, id) }.take(40).map(_._1).toSet
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qEmb = rows.find(_._1 == 0L).get._2
+    val want = rows.filter(r => cand(r._1))
+      .map { case (id, e) => (id, cos(e, qEmb)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq,
+      s"got=${got.toSeq} want=${want.toSeq}")
+    got.zip(want).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-12) }
+    // the route genuinely prunes: some corpus cells are never scanned
+    assert(probedIds.size < rows.length - 1)
+  }
+
   test("semanticDedup: greedy-by-id removal of exact duplicates, chains prune transitively, uniques survive") {
     // one-hot duplicates land in the same cell by construction (identical
     // vectors quantize identically) and their cosine is exactly 1.0
