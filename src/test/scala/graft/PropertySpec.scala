@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.ops.{Resample, Rolling}
+import graft.ops.{Resample, Rolling, Similarity, TextAnalysis}
 
 /** ScalaCheck properties (SURVEY §5.2.3): resample invariants on generated
   * gapless series, scaler round-trip, shuffle-invariance. Generators are
@@ -151,6 +151,77 @@ class PropertySpec extends SparkSpec {
           if (c > bound) assert(summary.contains(k), s"m=$m $k lost (freq $c > $bound)")
         }
       }
+    }
+  }
+
+  // ---- round-10 text/sketch operators on generated corpora ----
+
+  private val corpusGen: Gen[Seq[(Long, String)]] = for {
+    nDocs <- Gen.choose(4, 10)
+    docs <- Gen.listOfN(nDocs, for {
+      n <- Gen.choose(3, 25)
+      toks <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff"))
+    } yield toks.mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("substringDedup equals a sequential reference on generated corpora") {
+    val k = 3
+    samples(corpusGen, 6, 300L).foreach { docs =>
+      val out = TextAnalysis.substringDedup(docs.toDF("doc_id", "text"), k)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))))
+        .toMap
+      // sequential reference: same tokenization, distinct-per-doc window
+      // texts, cross-doc duplication, lag-gap interval union
+      val toks = docs.map { case (id, t) => id -> t.toLowerCase.split(" ").toSeq }
+      val wins = toks.collect { case (id, w) if w.length >= k =>
+        id -> w.sliding(k).map(_.mkString(" ")).toVector }
+      val dupTexts = wins.flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      wins.foreach { case (id, ws) =>
+        val starts = ws.zipWithIndex.collect { case (w, i) if dupTexts(w) => i + 1 }
+        val covered = starts.foldLeft((0, Option.empty[Int])) {
+          case ((acc, prev), st) =>
+            val add = prev match { case Some(pv) if st - pv < k => st - pv; case _ => k }
+            (acc + add, Some(st))
+        }._1
+        val n = toks.toMap.apply(id).length
+        assert(out(id) == ((n, ws.length, starts.length, covered)), s"doc=$id")
+      }
+      assert(out.keySet == wins.map(_._1).toSet)
+    }
+  }
+
+  test("containmentPairs: a doc embedded verbatim in another always scores exactly 1.0") {
+    val gen = for {
+      a <- Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff"))
+      p <- Gen.choose(0, 6).flatMap(Gen.listOfN(_, Gen.oneOf("xx", "yy", "zz")))
+      sfx <- Gen.choose(0, 6).flatMap(Gen.listOfN(_, Gen.oneOf("xx", "yy", "zz")))
+    } yield (a.mkString(" "), (p ++ a ++ sfx).mkString(" "))
+    samples(gen, 8, 400L).foreach { case (aTxt, bTxt) =>
+      val docs = Seq((0L, aTxt), (1L, bTxt)).toDF("doc_id", "text")
+      val rows = Similarity.containmentPairs(docs, 10L, 0.9).collect()
+      assert(rows.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L &&
+        r.getDouble(4) == 1.0), s"a=[$aTxt] b=[$bTxt] rows=${rows.toSeq}")
+    }
+  }
+
+  test("cmsProfile: one-sided guarantee on generated corpora and probes") {
+    samples(corpusGen, 6, 500L).foreach { docs =>
+      val probe = Seq("aa", "cc", "ff", "absent")
+      val out = TextAnalysis.cmsProfile(docs.toDF("doc_id", "text"), probe, 3, 8)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val exact = docs.flatMap(_._2.split(" ")).groupBy(identity)
+        .map { case (t, v) => t -> v.size.toLong }
+      probe.foreach { t =>
+        val (ex, est, over) = out(t)
+        assert(ex == exact.getOrElse(t, 0L))
+        assert(est >= ex)          // collisions only ever ADD
+        assert(over == est - ex)
+      }
+      assert(out("absent")._1 == 0L)
     }
   }
 }
