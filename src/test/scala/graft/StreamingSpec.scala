@@ -752,6 +752,54 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSet == (0L until 1000L).toSet)
   }
 
+  test("streaming CMS: counter state carries across micro-batches; final estimates equal the batch fold and stay one-sided") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val all = (0 until 600).map { i =>
+      val lang = Seq("en", "de", "fr")(i % 3)
+      val w1 = words((i % 21) % words.length)
+      val w2 = words((i * i % 13) % words.length)
+      (i.toLong, lang, s"$w1 $w2")
+    }
+    val dir = Files.createTempDirectory("graft_cms_").toString
+    all.grouped(200).foreach { chunk =>
+      chunk.toDF("doc_id", "lang", "text")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      Thread.sleep(1500)
+    }
+    val docs = all.toDF("doc_id", "lang", "text")
+    val probe = Seq("alpha", "delta", "zeta", "missing")
+    val q = graft.stream.StreamingCms
+      .cmsProbe(spark, s"$dir/in", docs.schema, probe, d = 3, w = 16,
+        maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("cms_t")
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("cms_t").count() >= 9) // >=3 emissions per language
+    val streamed = spark.table("cms_t")
+      .groupBy("group")
+      .agg(max("n_tokens").as("n_tokens"),
+        max_by(col("estimates"), col("n_tokens")).as("estimates"))
+      .collect()
+      .map(r => r.getAs[String]("group") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[collection.Seq[Long]]("estimates").toSeq)))
+      .toMap
+    val batch = graft.stream.StreamingCms.cmsProbeBatch(
+      all.map { case (_, lang, text) => (lang, text) }, probe, d = 3, w = 16)
+    assert(streamed.keySet == Set("en", "de", "fr"))
+    streamed.foreach { case (g, (n, ests)) =>
+      val (bn, bEsts) = batch(g)
+      assert(n == bn, s"$g token count")
+      assert(ests == bEsts, s"$g estimates must equal the batch fold")
+      // one-sided guarantee vs the true per-group counts
+      val exact = all.filter(_._2 == g)
+        .flatMap(_._3.split(" ")).groupBy(identity).view.mapValues(_.size.toLong)
+      probe.zip(ests).foreach { case (t, est) =>
+        assert(est >= exact.getOrElse(t, 0L), s"$g/$t one-sided") }
+    }
+  }
+
   test("streaming top-k: MG state carries across micro-batches to the exact batch top-k") {
     // 3 langs × small vocab (≪ m) — the sketch is then exact, so the
     // final emission must EQUAL the batch top-k. Three chunked drops with
