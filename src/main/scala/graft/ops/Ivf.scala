@@ -148,6 +148,27 @@ object Ivf {
 
   def centroidsDir(layoutDir: String): String = layoutDir + "_centroids"
 
+  /** Incremental index maintenance: append a new vector batch to an
+    * existing IVF layout. The batch assigns against the PERSISTED
+    * centroid artifact — no retraining, no touch of the resident data —
+    * and appends cell-partitioned files, so probes see old+new rows
+    * immediately and the write cost is proportional to the batch, not
+    * the corpus. This is the lake steady state: one training run, then
+    * append-only maintenance; centroid DRIFT is the documented limit —
+    * when the appended fraction grows large enough that cells stop
+    * matching the data distribution, retrain via [[writeIvfLayout]]
+    * (cell-size monitoring makes the trigger observable: a cell
+    * absorbing a disproportionate share of appends is the drift
+    * signal).
+    */
+  def appendToLayout(newVectors: DataFrame, layoutDir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val centroids = readCentroids(spark, layoutDir)
+    assignCells(newVectors, centroids, spark)
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(layoutDir)
+  }
+
   /** Load the centroid artifact back (nlist rows — a driver-side array). */
   def readCentroids(spark: SparkSession, layoutDir: String): Array[Array[Float]] =
     spark.read.parquet(centroidsDir(layoutDir))

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.ops.{Ivf, Similarity}
 
@@ -45,6 +46,40 @@ class IvfSpec extends SparkSpec {
     val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
       .map(_.getName).filter(_.startsWith("cid="))
     assert(dirs.length > 1, dirs.mkString(","))
+  }
+
+  test("ivf append: new batch assigns against the persisted centroids; probes see old+new exactly") {
+    val emb = planted(4, 50, 8)
+    val first = emb.filter(col("vec_id") < 100L)
+    val second = emb.filter(col("vec_id") >= 100L)
+    val dir = Files.createTempDirectory("graft_ivf_app").toString + "/layout"
+    val cents = Ivf.writeIvfLayout(first, dir, nlist = 4, iters = 3)
+    Ivf.appendToLayout(second, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 200L)
+    // every resident row — original AND appended — is nearest-centroid
+    // w.r.t. the PERSISTED artifact (appends never retrain)
+    val persisted = Ivf.readCentroids(spark, dir)
+    assert(persisted.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    val norms = persisted.map(_.map(v => v.toDouble * v).sum)
+    back.select("vec_id", "embedding", "cid").collect().foreach { r =>
+      val x = r.getAs[scala.collection.Seq[Float]]("embedding")
+      val want = persisted.indices.map { cid =>
+        var dot = 0.0
+        for (i <- x.indices) dot += x(i).toDouble * persisted(cid)(i).toDouble
+        (norms(cid) - 2.0 * dot, cid)
+      }.min._2
+      assert(r.getAs[Int]("cid") == want, s"vec ${r.getLong(0)}")
+    }
+    // an all-cells probe over the appended layout = brute force over
+    // old+new (exactness is assignment-independent at nprobe = nlist)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getAs[scala.collection.Seq[Float]](0).toArray
+    val got = Ivf.ivfProbe(spark, dir, persisted, q, 10, nprobe = 4,
+      excludeId = Some(0L)).collect().map(_.getLong(0)).toSeq
+    val brute = graft.ops.Similarity.cosineTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == brute)
   }
 
   test("ivf probe: directory pruning + exact within probed cells; all-cells = brute force") {
