@@ -412,6 +412,9 @@ object SparkEntry {
     // granularity: a window duplicated across >= 2 distinct docs marks
     // its span; per-doc union coverage via one lag over dup starts.
     "substring_dedup" -> ((s, d) => TextAnalysis.substringDedup(Tables.documents(s, d), 8)),
+    // ...and the removal step: covered positions dropped, survivors
+    // reassemble in order (range anti-join per document).
+    "substring_dedup_apply" -> ((s, d) => TextAnalysis.substringDedupApply(Tables.documents(s, d), 8)),
     // BM25 topical scoring (retrieval-style curation slice); log-free
     // Robertson idf + fixed-order term addition keep doubles engine-exact.
     "bm25_score" -> ((s, d) =>
@@ -2149,6 +2152,30 @@ object SparkEntry {
         |FROM pairs
         |JOIN embeddings ea ON doc_a = ea.vec_id
         |JOIN embeddings eb ON doc_b = eb.vec_id""".stripMargin,
+    // Removal mirror: positions covered by a dup-window start (NOT
+    // EXISTS over the [p-7, p] range) drop; string_agg reassembles.
+    "substring_dedup_apply" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |win AS (
+        |  SELECT doc_id, i AS s, md5(array_to_string(w[i:i+7], ' ')) AS h
+        |  FROM d, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+        |  WHERE len(w) >= 8),
+        |dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM win)
+        |        GROUP BY h HAVING count(*) >= 2),
+        |ds AS (SELECT win.doc_id, s FROM win JOIN dup USING (h)),
+        |toks AS (SELECT doc_id, p, w[p] AS tok
+        |         FROM d, UNNEST(generate_series(1, len(w))) AS t(p)
+        |         WHERE len(w) >= 8),
+        |kept AS (SELECT toks.doc_id, p, tok FROM toks
+        |         WHERE NOT EXISTS (SELECT 1 FROM ds WHERE ds.doc_id = toks.doc_id
+        |                           AND ds.s BETWEEN toks.p - 7 AND toks.p))
+        |SELECT d2.doc_id,
+        |  coalesce(string_agg(tok, ' ' ORDER BY p), '') AS clean_text,
+        |  CAST(len(w) AS INTEGER) AS n_tokens,
+        |  CAST(len(w) - count(tok) AS INTEGER) AS removed_tokens
+        |FROM (SELECT doc_id, w FROM d WHERE len(w) >= 8) d2
+        |LEFT JOIN kept ON d2.doc_id = kept.doc_id
+        |GROUP BY d2.doc_id, len(w)""".stripMargin,
     // Same bounded shingle sets, asymmetric containment |A∩B|/min(|A|,|B|).
     // DuckDB intersects string shingles where Spark intersects their
     // 64-bit hashes — set sizes agree up to hash collisions (~1e-13/pair),

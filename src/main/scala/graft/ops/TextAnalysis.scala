@@ -672,11 +672,11 @@ object TextAnalysis {
     * globally; the k-gram formulation trades sub-k-token matches for an
     * embarrassingly parallel plan — the standard production trade.
     */
-  def substringDedup(documents: DataFrame, k: Int = 8): DataFrame = {
-    require(k >= 2, s"window must span at least 2 tokens, got $k")
-    val base = documents
-      .withColumn("w", toks)
-      .filter(size(col("w")) >= k)
+  /** (doc_id, s) rows of every k-token window start whose window text
+    * occurs in ≥ 2 distinct documents — the shared discovery stage of
+    * [[substringDedup]] (profile) and [[substringDedupApply]] (rewrite).
+    */
+  private def dupWindowStarts(base: DataFrame, k: Int): DataFrame = {
     val win = base
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
@@ -687,10 +687,17 @@ object TextAnalysis {
       .groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
       .select(col("h"))
+    win.join(dup, Seq("h")).select(col("doc_id"), col("s"))
+  }
+
+  def substringDedup(documents: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    val base = documents
+      .withColumn("w", toks)
+      .filter(size(col("w")) >= k)
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("s"))
-    val cov = win.join(dup, Seq("h"))
-      .select(col("doc_id"), col("s"))
+    val cov = dupWindowStarts(base, k)
       .withColumn("gap", col("s") - lag(col("s"), 1).over(byDoc))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("dup_windows"),
@@ -705,6 +712,47 @@ object TextAnalysis {
         coalesce(col("covered_tokens"), lit(0)).as("covered_tokens"),
         (coalesce(col("covered_tokens"), lit(0)).cast("double") /
           col("n_tokens")).as("dup_frac"))
+  }
+
+  /** The removal step of Lee et al.'s exact-substring dedup — the
+    * transform [[substringDedup]] profiles: every token position covered
+    * by a cross-document duplicated k-window is DROPPED and survivors
+    * reassemble in order (the sliding-window analogue of
+    * [[dedupSpans]]'s fixed-span removal). Returns (doc_id, clean_text,
+    * n_tokens, removed_tokens); a fully-duplicated document yields ''.
+    *
+    * Shape: coverage is decided by a per-document range ANTI-join of
+    * token positions against the dup window starts (`s ∈ [p−k+1, p]`) —
+    * equi on doc_id, so the theta part evaluates within one join key,
+    * bounded by document length; reassembly is one `collect_list` per
+    * document, the same bound the input row already carries.
+    */
+  def substringDedupApply(documents: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    val base = documents
+      .withColumn("w", toks)
+      .filter(size(col("w")) >= k)
+    val starts = dupWindowStarts(base, k).withColumnRenamed("doc_id", "sd")
+    val tokRows = base
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+    val kept = tokRows.join(starts,
+        col("sd") === col("doc_id") &&
+          col("s").between(col("p") - (k - 1), col("p")),
+        "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("kept"))
+    base.select(col("doc_id"), size(col("w")).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("kept"), lit(0L)))
+          .cast("int").as("removed_tokens"))
   }
 
   /** Fixed-width token spans of the lowercased text: full `n`-token

@@ -79,6 +79,15 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 3: "m n o" occurs 3x but in ONE doc -> nothing flagged
     assert(out(3L) == ((9, 7, 0, 0, 0.0)))
     assert(!out.contains(4L))
+
+    // the removal step on the same corpus: covered positions drop,
+    // survivors reassemble in order, untouched docs pass through
+    val applied = graft.ops.TextAnalysis.substringDedupApply(docs, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(applied(1L) == (("e f", 6, 4)))
+    assert(applied(2L) == (("x y z", 7, 4)))
+    assert(applied(3L) == (("m n o m n o m n o", 9, 0)))
+    assert(!applied.contains(4L))
   }
 
   test("repetitionScore: hand-computed fractions for spammy vs clean text") {
