@@ -716,6 +716,9 @@ object SparkEntry {
     // Two-level SemDeDup (the measured scale fix: assignment n·2√nlist
     // instead of n·nlist): 4 coarse cells × 2 per-cell fine seeds.
     "semantic_dedup_hier" -> ((s, d) => Ivf.semanticDedupHier(Tables.embeddings(s, d), 0.4, 4, 2)),
+    // SemDeDup neighborhood graph -> connected components (the
+    // Clustering terminal stage the LSH lexical path also ends on).
+    "semantic_clusters" -> ((s, d) => Ivf.semanticClusters(Tables.embeddings(s, d), 0.4, 8)),
     // Size-capped SemDeDup: leaves over cap=50 split by a content-hash
     // salt (exact dups always co-locate) — the worst-case skew guard;
     // cap deliberately small here so the salting is exercised in-gate.
@@ -2482,6 +2485,40 @@ object SparkEntry {
         |FROM q JOIN a USING (vec_id) JOIN pc ON (a.m % 8) = pc.cid, qv
         |WHERE q.vec_id != 0
         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // Cluster mirror: the semantic_dedup cell CTEs -> pair list ->
+    // recursive-CTE closure (the dedup_clusters_lsh pattern).
+    "semantic_clusters" ->
+      """WITH RECURSIVE q AS (SELECT vec_id, embedding,
+        |             list_transform(embedding,
+        |               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qe
+        |           FROM embeddings),
+        |c AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+        |             qe AS ce
+        |      FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |a AS (SELECT vec_id,
+        |        min(CAST(list_sum(list_transform(generate_series(1, len(qe)),
+        |              i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT) * 8 + cid) AS m
+        |      FROM q, c GROUP BY 1),
+        |cells AS (SELECT q.vec_id, (a.m % 8) AS cid, q.embedding::DOUBLE[] AS emb
+        |          FROM q JOIN a USING (vec_id)),
+        |pairs AS (
+        |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b FROM cells x JOIN cells y
+        |  ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |  WHERE list_dot_product(x.emb, y.emb)
+        |      / (sqrt(list_sum(list_transform(x.emb, v -> v * v)))
+        |         * sqrt(list_sum(list_transform(y.emb, v -> v * v)))) >= 0.4),
+        |edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+        |          UNION ALL SELECT vec_b, vec_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+        |comp AS (SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+        |SELECT vec_id, cluster_id,
+        | CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+        | vec_id = cluster_id AS keep
+        |FROM comp""".stripMargin,
     // Capped mirror: the hier cell CTEs + per-cell salt counts and the
     // content-hash salt, pairs within (cell, salt).
     "semantic_dedup_capped" ->

@@ -309,8 +309,12 @@ object Ivf {
     * so results (and every oracle) are bit-identical while the dominant
     * m² phase drops from 3 dot products per pair to 1.
     */
-  private def greedyPairRemoval(cells: DataFrame, joinKeys: Seq[String],
-                                outKey: String, threshold: Double): DataFrame = {
+  /** The raw within-group pair list (vec_a < vec_b, group key, cosine ≥
+    * threshold) — the SemDeDup neighborhood graph, shared by the greedy
+    * removal and the cluster composition.
+    */
+  private def cellPairs(cells: DataFrame, joinKeys: Seq[String],
+                        outKey: String, threshold: Double): DataFrame = {
     def dotF(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       call_function("graft_dot", a, b)
     val withNorm = cells.withColumn("nrm",
@@ -318,13 +322,40 @@ object Ivf {
     val cond = joinKeys.map(k => col(s"x.$k") === col(s"y.$k"))
       .reduce(_ && _) && col("x.vec_id") < col("y.vec_id")
     withNorm.as("x").join(withNorm.as("y"), cond)
-      .select(col("y.vec_id").as("vec_id"), col(s"x.$outKey").as(outKey),
-        col("x.vec_id").as("keep_id"),
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col(s"x.$outKey").as(outKey),
         (dotF(col("x.embedding"), col("y.embedding")) /
           (col("x.nrm") * col("y.nrm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  private def greedyPairRemoval(cells: DataFrame, joinKeys: Seq[String],
+                                outKey: String, threshold: Double): DataFrame =
+    cellPairs(cells, joinKeys, outKey, threshold)
+      .select(col("vec_b").as("vec_id"), col(outKey),
+        col("vec_a").as("keep_id"), col("cosine"))
       .groupBy(col("vec_id"), col(outKey))
       .agg(min(col("keep_id")).as("dup_of"), max(col("cosine")).as("max_cosine"))
+
+  /** SemDeDup neighborhood graph → connected components: where the
+    * greedy removal keeps "one per lower-id chain", the cluster view
+    * names every semantic near-dup FAMILY (the [[graft.ops.Clustering]]
+    * terminal stage the LSH lexical path already ends on), with the
+    * canonical min-id representative as `keep`. Components only ever
+    * span within cells — the SemDeDup approximation carried through.
+    */
+  def semanticClusters(embeddings: DataFrame, threshold: Double = 0.4,
+                       nlist: Int = 8): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val quant = quantized(embeddings)
+    val assigned = md5CellAssign(quant, md5SeedCells(quant, nlist), nlist)
+    val cells = embeddings
+      .join(assigned, col("vec_id") === col("aid"))
+      .select(col("vec_id"), col("cid"), col("embedding"))
+    graft.ops.Clustering
+      .dedupClusters(cellPairs(cells, Seq("cid"), "cid", threshold),
+        "vec_a", "vec_b")
+      .withColumnRenamed("doc_id", "vec_id")
   }
 
   /** Hierarchical SemDeDup — the scale fix for [[semanticDedup]]'s

@@ -322,6 +322,25 @@ class IvfSpec extends SparkSpec {
     assert(out(7L) == ((0L, 1.0)))
   }
 
+  test("semanticClusters: near-dup families become components with min-id representatives") {
+    val e0 = Array(1f, 0f, 0f, 0f); val e1 = Array(0f, 1f, 0f, 0f)
+    val emb = Seq(
+      (0L, e0, 0), (1L, e1, 1), (2L, Array(0f, 0f, 1f, 0f), 2),
+      (3L, e0, 0), (4L, Array(0f, 0f, 0f, 1f), 3),
+      (5L, e1, 1), (6L, Array(1f, 1f, 0f, 0f), 4), (7L, e0, 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Ivf.semanticClusters(emb, threshold = 0.999, nlist = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // only graph members appear: {0,3,7} and {1,5}
+    assert(out.keySet == Set(0L, 1L, 3L, 5L, 7L))
+    assert(out(0L) == ((0L, 3L, true)))
+    assert(out(3L) == ((0L, 3L, false)))
+    assert(out(7L) == ((0L, 3L, false)))
+    assert(out(1L) == ((1L, 2L, true)))
+    assert(out(5L) == ((1L, 2L, false)))
+  }
+
   test("semanticDedupCapped: inactive cap reproduces hier exactly; forced splitting still finds every exact duplicate") {
     val e0 = Array(1f, 0f, 0f, 0f); val e1 = Array(0f, 1f, 0f, 0f)
     val emb = Seq(

@@ -62,6 +62,7 @@ class PlanLintSpec extends SparkSpec {
     "dedup_ensemble" -> "bounded ngram_jaccard baseline (<=500 docs) feeds the theta self-join; embedding joins are equi-joins",
     "semantic_dedup_hier" -> "coarse-cell centroid broadcast (bounded by `coarse`) into the level-1 assignment map",
     "semantic_dedup_capped" -> "coarse-cell centroid broadcast (bounded by `coarse`) into the level-1 assignment map",
+    "semantic_clusters" -> "nlist-row centroid table broadcast into the cell-assignment map (same pattern as semantic_dedup)",
   )
 
   /** Queries allowed a single-partition funnel (global window / sort):
@@ -78,6 +79,7 @@ class PlanLintSpec extends SparkSpec {
     "ann_ivfpq" -> "row_number over the nlist/codes seed rows, bounded by max(nlist, codes)",
     "semantic_dedup_hier" -> "row_number over the `coarse` seed rows; the fine-seed window is cid-PARTITIONED, never global",
     "semantic_dedup_capped" -> "row_number over the `coarse` seed rows; the fine-seed window is cid-PARTITIONED, never global",
+    "semantic_clusters" -> "row_number over the nlist seed rows (shared cell machinery), bounded by nlist",
   )
 
   /** Queries allowed to read a base table's full column set. */
