@@ -415,6 +415,16 @@ object SparkEntry {
     // ...and the removal step: covered positions dropped, survivors
     // reassemble in order (range anti-join per document).
     "substring_dedup_apply" -> ((s, d) => TextAnalysis.substringDedupApply(Tables.documents(s, d), 8)),
+    // ...and the continuous-ingest form: the odd-id batch dedups its
+    // windows against the even-id corpus' persisted fingerprint artifact
+    // plus itself — the resident corpus is never re-tokenized.
+    "substring_dedup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val dir = scratch("window_hashes", d)(p =>
+        TextAnalysis.writeWindowHashes(docs.filter(col("doc_id") % 2 === 0), p))
+      TextAnalysis.substringDedupIncremental(docs.filter(col("doc_id") % 2 === 1), dir)
+    }),
     // BM25 topical scoring (retrieval-style curation slice); log-free
     // Robertson idf + fixed-order term addition keep doubles engine-exact.
     "bm25_score" -> ((s, d) =>
@@ -2155,6 +2165,33 @@ object SparkEntry {
         |FROM pairs
         |JOIN embeddings ea ON doc_a = ea.vec_id
         |JOIN embeddings eb ON doc_b = eb.vec_id""".stripMargin,
+    // Incremental mirror: corpus fingerprints from the even-id docs,
+    // batch windows duplicated iff in-corpus OR >=2 distinct batch docs.
+    "substring_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |corpus AS (SELECT DISTINCT md5(array_to_string(w[i:i+7], ' ')) AS h
+        |           FROM (SELECT w FROM d WHERE doc_id % 2 = 0 AND len(w) >= 8) c,
+        |                UNNEST(generate_series(1, len(w) - 7)) AS t(i)),
+        |nb AS (SELECT doc_id, w FROM d WHERE doc_id % 2 = 1 AND len(w) >= 8),
+        |win AS (SELECT doc_id, i AS s, md5(array_to_string(w[i:i+7], ' ')) AS h
+        |        FROM nb, UNNEST(generate_series(1, len(w) - 7)) AS t(i)),
+        |bdup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM win)
+        |         GROUP BY h HAVING count(*) >= 2),
+        |ds0 AS (SELECT DISTINCT doc_id, s FROM win
+        |        WHERE h IN (SELECT h FROM corpus) OR h IN (SELECT h FROM bdup)),
+        |ds AS (SELECT doc_id, s,
+        |         s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) AS gap
+        |       FROM ds0),
+        |cov AS (SELECT doc_id, count(*) AS dw,
+        |          sum(CASE WHEN gap IS NULL OR gap >= 8 THEN 8 ELSE gap END) AS cv
+        |        FROM ds GROUP BY 1)
+        |SELECT nb.doc_id,
+        | CAST(len(w) AS INTEGER) AS n_tokens,
+        | CAST(len(w) - 7 AS INTEGER) AS n_windows,
+        | CAST(coalesce(dw, 0) AS INTEGER) AS dup_windows,
+        | CAST(coalesce(cv, 0) AS INTEGER) AS covered_tokens,
+        | CAST(coalesce(cv, 0) AS DOUBLE) / len(w) AS dup_frac
+        |FROM nb LEFT JOIN cov USING (doc_id)""".stripMargin,
     // Removal mirror: positions covered by a dup-window start (NOT
     // EXISTS over the [p-7, p] range) drop; string_agg reassembles.
     "substring_dedup_apply" ->

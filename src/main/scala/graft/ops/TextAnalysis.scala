@@ -676,28 +676,35 @@ object TextAnalysis {
     * occurs in ≥ 2 distinct documents — the shared discovery stage of
     * [[substringDedup]] (profile) and [[substringDedupApply]] (rewrite).
     */
-  private def dupWindowStarts(base: DataFrame, k: Int): DataFrame = {
-    val win = base
+  /** (doc_id, s, h) rows: every k-window start and its md5 fingerprint. */
+  private def windowRows(base: DataFrame, k: Int): DataFrame =
+    base
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
           s => md5(concat_ws(" ", slice(col("w"), s, lit(k))))))
           .as(Seq("pos", "h")))
       .select(col("doc_id"), (col("pos") + 1).as("s"), col("h"))
-    val dup = win.dropDuplicates("doc_id", "h")
+
+  /** Window keys occurring in ≥ 2 distinct docs of the SAME frame. */
+  private def crossDocDupKeys(win: DataFrame): DataFrame =
+    win.dropDuplicates("doc_id", "h")
       .groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
       .select(col("h"))
-    win.join(dup, Seq("h")).select(col("doc_id"), col("s"))
+
+  private def dupWindowStarts(base: DataFrame, k: Int): DataFrame = {
+    val win = windowRows(base, k)
+    win.join(crossDocDupKeys(win), Seq("h")).select(col("doc_id"), col("s"))
   }
 
-  def substringDedup(documents: DataFrame, k: Int = 8): DataFrame = {
-    require(k >= 2, s"window must span at least 2 tokens, got $k")
-    val base = documents
-      .withColumn("w", toks)
-      .filter(size(col("w")) >= k)
+  /** The per-document coverage profile over a (doc_id, s) dup-start
+    * frame — the shared tail of the substring-dedup family.
+    */
+  private def coverageProfile(base: DataFrame, starts: DataFrame,
+                              k: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("s"))
-    val cov = dupWindowStarts(base, k)
+    val cov = starts
       .withColumn("gap", col("s") - lag(col("s"), 1).over(byDoc))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("dup_windows"),
@@ -712,6 +719,47 @@ object TextAnalysis {
         coalesce(col("covered_tokens"), lit(0)).as("covered_tokens"),
         (coalesce(col("covered_tokens"), lit(0)).cast("double") /
           col("n_tokens")).as("dup_frac"))
+  }
+
+  def substringDedup(documents: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    val base = documents
+      .withColumn("w", toks)
+      .filter(size(col("w")) >= k)
+    coverageProfile(base, dupWindowStarts(base, k), k)
+  }
+
+  /** Write the corpus's DISTINCT k-window fingerprints as a parquet
+    * artifact (16-byte keys only — the standing "seen spans" set of a
+    * continuous ingest, the substring analogue of
+    * [[graft.ops.Similarity.writeCorpusKeys]]).
+    */
+  def writeWindowHashes(documents: DataFrame, dir: String, k: Int = 8): Unit =
+    windowRows(documents.withColumn("w", toks).filter(size(col("w")) >= k), k)
+      .select(col("h")).distinct()
+      .write.mode("overwrite").parquet(dir)
+
+  /** Incremental substring dedup — the continuous-ingest form of
+    * [[substringDedup]]: a NEW batch's window is duplicated iff its text
+    * already exists in the persisted corpus artifact (one semi-join of
+    * 16-byte keys against the artifact scan — the resident corpus is
+    * never re-tokenized) OR occurs in ≥ 2 distinct docs within the batch
+    * itself. Returns the same per-document coverage profile, over the
+    * new batch only.
+    */
+  def substringDedupIncremental(newDocs: DataFrame, artifactDir: String,
+                                k: Int = 8): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    val spark = newDocs.sparkSession
+    val base = newDocs.withColumn("w", toks).filter(size(col("w")) >= k)
+    val win = windowRows(base, k)
+    val corpusHits = win
+      .join(spark.read.parquet(artifactDir), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("s"))
+    val batchHits = win.join(crossDocDupKeys(win), Seq("h"))
+      .select(col("doc_id"), col("s"))
+    coverageProfile(base,
+      corpusHits.unionByName(batchHits).dropDuplicates("doc_id", "s"), k)
   }
 
   /** The removal step of Lee et al.'s exact-substring dedup — the

@@ -90,6 +90,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!applied.contains(4L))
   }
 
+  test("substringDedupIncremental: batch windows flag against the persisted artifact and within-batch, corpus never re-read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_winh_").toString + "/h"
+    val corpus = Seq((10L, "a b c d e")).toDF("doc_id", "text")
+    graft.ops.TextAnalysis.writeWindowHashes(corpus, dir, 3)
+    val batch = Seq(
+      (1L, "z z a b c z"),   // "a b c" hits the corpus artifact at s=3
+      (2L, "p q r s"),       // clean
+      (4L, "x y w q"),       // shares "x y w" with doc 5 (within-batch)
+      (5L, "t x y w")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.substringDedupIncremental(batch, dir, 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(3), r.getInt(4)))).toMap
+    assert(out(1L) == ((6, 1, 3))) // corpus hit covers tokens 3..5
+    assert(out(2L) == ((4, 0, 0)))
+    assert(out(4L) == ((4, 1, 3))) // batch dup at s=1
+    assert(out(5L) == ((4, 1, 3))) // batch dup at s=2
+  }
+
   test("repetitionScore: hand-computed fractions for spammy vs clean text") {
     val docs = Seq(
       (0L, "spam spam spam spam", "en", "s", 19L), // 4 toks / 1 uniq; 2 ngrams / 1 uniq
