@@ -402,6 +402,8 @@ object SparkEntry {
     // text occurring >1 time anywhere is dropped everywhere, docs
     // reassemble in order. Only 16-byte hashes carry the multiplicity.
     "dedup_spans" -> ((s, d) => TextAnalysis.dedupSpans(Tables.documents(s, d), 10)),
+    // FastText-style hashed unigram+bigram features, sparse long form.
+    "hash_features" -> ((s, d) => TextAnalysis.hashFeatures(Tables.documents(s, d), 64)),
     // Count-Min sketch point-frequency estimates (md5-bucketed, fully
     // oracle-able) with exact recount per probe term; w=16 is sized so
     // the synthetic 31-term vocabulary shows BOTH behaviors in the gate:
@@ -2263,6 +2265,16 @@ object SparkEntry {
         | CAST(count(*) AS INTEGER) AS n_spans,
         | CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_dropped
         |FROM v GROUP BY 1""".stripMargin,
+    // Hashed unigram+bigram feature map, sparse long form.
+    "hash_features" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(w || list_transform(generate_series(1, len(w) - 1),
+        |      i -> concat(w[i], ' ', w[i+1]))) AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))
+        |SELECT doc_id,
+        |  ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS bucket,
+        |  count(*) AS tf
+        |FROM g GROUP BY 1, 2""".stripMargin,
     // CMS mirror: same md5 row:token buckets, min over d=4 rows, exact
     // recount of the probe terms; estimate >= exact by construction.
     "cms_profile" ->

@@ -590,6 +590,28 @@ object TextAnalysis {
         sum(when(col("occ") > 1, 1).otherwise(0)).cast("int").as("n_dropped"))
   }
 
+  /** FastText-style hashed bag-of-features (Joulin et al., "Bag of
+    * Tricks for Efficient Text Classification", 2016): unigrams AND
+    * adjacent bigrams hash into a fixed `dim`-bucket feature space —
+    * the featurizer a quality/topic classifier trains on when the
+    * vocabulary is unbounded. Emitted in SPARSE long form (doc_id,
+    * bucket, tf) — the shape that shuffles and stores efficiently at
+    * corpus scale (≤ dim rows per document regardless of length); the
+    * dense vector assembly is a trivial per-row client transform.
+    * Buckets ride the engine-portable md5→BIGINT arithmetic (the CMS
+    * discipline), so the whole feature map is hash-oracle-able.
+    */
+  def hashFeatures(documents: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim >= 2, s"need dim >= 2 buckets, got $dim")
+    documents
+      .select(col("doc_id"), explode(concat(toks, bigrams)).as("g"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
+          lit(dim.toLong)))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
   /** Count–Min sketch frequency profile (Cormode & Muthukrishnan,
     * J. Algorithms 2005) — the point-query complement to the Misra–Gries
     * heavy-hitter path: where MG answers "which terms are frequent", CMS

@@ -31,6 +31,26 @@ class TextAnalysisSpec extends SparkSpec {
   }
   import spark.implicits._
 
+  test("hashFeatures: unigram+bigram buckets equal a sequential hash, mass conserved") {
+    val docs = Seq((0L, "a b a"), (1L, "x")).toDF("doc_id", "text")
+    val dim = 8
+    val got = graft.ops.TextAnalysis.hashFeatures(docs, dim).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(g: String): Long = {
+      val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % dim
+    }
+    // doc 0: unigrams a,b,a + bigrams "a b","b a"; doc 1: unigram x only
+    val want = Seq(0L -> Seq("a", "b", "a", "a b", "b a"), 1L -> Seq("x"))
+      .flatMap { case (id, gs) => gs.map(g => (id, bucket(g))) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == want)
+    // feature mass = unigram + bigram count (2n - 1 per doc)
+    assert(got.collect { case ((0L, _), tf) => tf }.sum == 5L)
+    assert(got.collect { case ((1L, _), tf) => tf }.sum == 1L)
+  }
+
   test("cmsProfile: equals a sequential CMS reimplementation; overestimate one-sided; absent term counts zero") {
     val docs = Seq(
       (0L, "a a a b c"),
