@@ -2508,8 +2508,11 @@ object SparkEntry {
          |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
          |WHERE cosine >= 0.4""".stripMargin,
     // IVF twin: md5-picked seeds, 2^20-quantized BIGINT distance, argmin
-    // encoded as min(d2*8+cid) — cell membership integer-exact; the
-    // final cosine is the same double formula as ann_md5.
+    // as a struct-ordered min({'d2', 'cid'}) — the lower-cid tie-break
+    // without the overflow-prone d2*nlist+cid packing (both engines
+    // order structs lexicographically by field order) — cell membership
+    // integer-exact; the final cosine is the same double formula as
+    // ann_md5.
     "ann_ivf_md5" ->
       """WITH q AS (SELECT vec_id, label, embedding,
         |             list_transform(embedding,
@@ -2519,8 +2522,8 @@ object SparkEntry {
         |             qe AS ce
         |      FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
         |a AS (SELECT vec_id,
-        |        min(CAST(list_sum(list_transform(generate_series(1, len(qe)),
-        |              i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT) * 8 + cid) AS m
+        |        (min({'d2': CAST(list_sum(list_transform(generate_series(1, len(qe)),
+        |              i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT), 'cid': cid})).cid AS cid
         |      FROM q, c GROUP BY 1),
         |qv AS (SELECT qe AS q_qe, embedding::DOUBLE[] AS q_emb FROM q WHERE vec_id = 0),
         |pc AS (SELECT cid FROM c, qv
@@ -2531,7 +2534,7 @@ object SparkEntry {
         | list_dot_product(q.embedding::DOUBLE[], q_emb)
         |   / (sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x * x)))
         |      * sqrt(list_sum(list_transform(q_emb, x -> x * x)))) AS cosine
-        |FROM q JOIN a USING (vec_id) JOIN pc ON (a.m % 8) = pc.cid, qv
+        |FROM q JOIN a USING (vec_id) JOIN pc ON a.cid = pc.cid, qv
         |WHERE q.vec_id != 0
         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
     // Cluster mirror: the semantic_dedup cell CTEs -> pair list ->
@@ -2545,15 +2548,17 @@ object SparkEntry {
         |             qe AS ce
         |      FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
         |a AS (SELECT vec_id,
-        |        min(CAST(list_sum(list_transform(generate_series(1, len(qe)),
-        |              i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT) * 8 + cid) AS m
+        |        (min({'d2': CAST(list_sum(list_transform(generate_series(1, len(qe)),
+        |              i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT), 'cid': cid})).cid AS cid
         |      FROM q, c GROUP BY 1),
-        |cells AS (SELECT q.vec_id, (a.m % 8) AS cid, q.embedding::DOUBLE[] AS emb
+        |cells AS (SELECT q.vec_id, a.cid, q.embedding::DOUBLE[] AS emb
         |          FROM q JOIN a USING (vec_id)),
         |pairs AS (
         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b FROM cells x JOIN cells y
         |  ON x.cid = y.cid AND x.vec_id < y.vec_id
-        |  WHERE list_dot_product(x.emb, y.emb)
+        |  WHERE list_sum(list_transform(x.emb, v -> v * v)) > 0
+        |    AND list_sum(list_transform(y.emb, v -> v * v)) > 0
+        |    AND list_dot_product(x.emb, y.emb)
         |      / (sqrt(list_sum(list_transform(x.emb, v -> v * v)))
         |         * sqrt(list_sum(list_transform(y.emb, v -> v * v)))) >= 0.4),
         |edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
@@ -2579,10 +2584,10 @@ object SparkEntry {
         |              qe AS ce
         |       FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
         |a1 AS (SELECT vec_id,
-        |         min(CAST(list_sum(list_transform(generate_series(1, len(qe)),
-        |               i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT) * 4 + cid) AS m
+        |         (min({'d2': CAST(list_sum(list_transform(generate_series(1, len(qe)),
+        |               i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT), 'cid': cid})).cid AS cid
         |       FROM q, c1 GROUP BY 1),
-        |q1 AS (SELECT q.vec_id, q.embedding, q.qe, (a1.m % 4) AS cid
+        |q1 AS (SELECT q.vec_id, q.embedding, q.qe, a1.cid
         |       FROM q JOIN a1 USING (vec_id)),
         |f AS (SELECT cid,
         |        row_number() OVER (PARTITION BY cid
@@ -2590,10 +2595,10 @@ object SparkEntry {
         |        qe AS fe
         |      FROM q1 QUALIFY fid < 2),
         |a2 AS (SELECT q1.vec_id, q1.cid,
-        |         min(CAST(list_sum(list_transform(generate_series(1, len(qe)),
-        |               i -> (qe[i] - fe[i]) * (qe[i] - fe[i]))) AS BIGINT) * 2 + fid) AS m
+        |         (min({'d2': CAST(list_sum(list_transform(generate_series(1, len(qe)),
+        |               i -> (qe[i] - fe[i]) * (qe[i] - fe[i]))) AS BIGINT), 'fid': fid})).fid AS fid
         |       FROM q1 JOIN f USING (cid) GROUP BY 1, 2),
-        |cells AS (SELECT q1.vec_id, (q1.cid * 2 + (a2.m % 2)) AS cell,
+        |cells AS (SELECT q1.vec_id, (q1.cid * 2 + a2.fid) AS cell,
         |                 q1.embedding::DOUBLE[] AS emb, q1.qe
         |          FROM q1 JOIN a2 ON q1.vec_id = a2.vec_id AND q1.cid = a2.cid),
         |ns AS (SELECT cell, (count(*) + 49) // 50 AS nsalt FROM cells GROUP BY 1),
@@ -2606,7 +2611,9 @@ object SparkEntry {
         |      / (sqrt(list_sum(list_transform(x.emb, v -> v * v)))
         |         * sqrt(list_sum(list_transform(y.emb, v -> v * v)))) AS cosine
         |  FROM salted x JOIN salted y ON x.cell = y.cell AND x.salt = y.salt
-        |                             AND x.vec_id < y.vec_id)
+        |                             AND x.vec_id < y.vec_id
+        |    AND list_sum(list_transform(x.emb, v -> v * v)) > 0
+        |    AND list_sum(list_transform(y.emb, v -> v * v)) > 0)
         |WHERE cosine >= 0.4
         |GROUP BY 1, 2""".stripMargin,
     // Hierarchical SemDeDup mirror: coarse argmin, per-cell fine seeds
@@ -2620,10 +2627,10 @@ object SparkEntry {
         |              qe AS ce
         |       FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
         |a1 AS (SELECT vec_id,
-        |         min(CAST(list_sum(list_transform(generate_series(1, len(qe)),
-        |               i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT) * 4 + cid) AS m
+        |         (min({'d2': CAST(list_sum(list_transform(generate_series(1, len(qe)),
+        |               i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT), 'cid': cid})).cid AS cid
         |       FROM q, c1 GROUP BY 1),
-        |q1 AS (SELECT q.vec_id, q.embedding, q.qe, (a1.m % 4) AS cid
+        |q1 AS (SELECT q.vec_id, q.embedding, q.qe, a1.cid
         |       FROM q JOIN a1 USING (vec_id)),
         |f AS (SELECT cid,
         |        row_number() OVER (PARTITION BY cid
@@ -2631,10 +2638,10 @@ object SparkEntry {
         |        qe AS fe
         |      FROM q1 QUALIFY fid < 2),
         |a2 AS (SELECT q1.vec_id, q1.cid,
-        |         min(CAST(list_sum(list_transform(generate_series(1, len(qe)),
-        |               i -> (qe[i] - fe[i]) * (qe[i] - fe[i]))) AS BIGINT) * 2 + fid) AS m
+        |         (min({'d2': CAST(list_sum(list_transform(generate_series(1, len(qe)),
+        |               i -> (qe[i] - fe[i]) * (qe[i] - fe[i]))) AS BIGINT), 'fid': fid})).fid AS fid
         |       FROM q1 JOIN f USING (cid) GROUP BY 1, 2),
-        |cells AS (SELECT q1.vec_id, (q1.cid * 2 + (a2.m % 2)) AS cell,
+        |cells AS (SELECT q1.vec_id, (q1.cid * 2 + a2.fid) AS cell,
         |                 q1.embedding::DOUBLE[] AS emb
         |          FROM q1 JOIN a2 ON q1.vec_id = a2.vec_id AND q1.cid = a2.cid)
         |SELECT vec_id, cell, min(keep_id) AS dup_of, max(cosine) AS max_cosine FROM (
@@ -2642,7 +2649,9 @@ object SparkEntry {
         |    list_dot_product(x.emb, y.emb)
         |      / (sqrt(list_sum(list_transform(x.emb, v -> v * v)))
         |         * sqrt(list_sum(list_transform(y.emb, v -> v * v)))) AS cosine
-        |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+        |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |    AND list_sum(list_transform(x.emb, v -> v * v)) > 0
+        |    AND list_sum(list_transform(y.emb, v -> v * v)) > 0)
         |WHERE cosine >= 0.4
         |GROUP BY 1, 2""".stripMargin,
     // IVF-PQ mirror: the ann_ivf_md5 route CTEs + the ann_pq codebook
@@ -2656,8 +2665,8 @@ object SparkEntry {
         |             qe AS ce
         |      FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
         |a AS (SELECT vec_id,
-        |        min(CAST(list_sum(list_transform(generate_series(1, len(qe)),
-        |              i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT) * 8 + cid) AS m
+        |        (min({'d2': CAST(list_sum(list_transform(generate_series(1, len(qe)),
+        |              i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT), 'cid': cid})).cid AS cid
         |      FROM q, c GROUP BY 1),
         |qv AS (SELECT qe AS q_qe, embedding::DOUBLE[] AS q_emb FROM q WHERE vec_id = 0),
         |pc AS (SELECT cid FROM c, qv
@@ -2665,7 +2674,7 @@ object SparkEntry {
         |                 i -> (q_qe[i] - ce[i]) * (q_qe[i] - ce[i]))) AS BIGINT), cid
         |       LIMIT 2),
         |probed AS (SELECT q.vec_id, q.qe FROM q JOIN a USING (vec_id)
-        |           JOIN pc ON (a.m % 8) = pc.cid WHERE q.vec_id != 0),
+        |           JOIN pc ON a.cid = pc.cid WHERE q.vec_id != 0),
         |seeds AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
         |                 qe AS ce
         |          FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
@@ -2674,8 +2683,8 @@ object SparkEntry {
         |sub AS (SELECT vec_id, j, qe[(j*8+1):(j*8+8)] AS sv
         |        FROM probed, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS u(j)),
         |enc AS (SELECT vec_id, j,
-        |          min(CAST(list_sum(list_transform(generate_series(1, 8),
-        |                i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) AS BIGINT) * 16 + code) AS mm
+        |          (min({'d2': CAST(list_sum(list_transform(generate_series(1, 8),
+        |                i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) AS BIGINT), 'code': code})).code AS code
         |        FROM sub JOIN cb USING (j) GROUP BY 1, 2),
         |qsub AS (SELECT j, q_qe[(j*8+1):(j*8+8)] AS qv2
         |         FROM qv, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS u(j)),
@@ -2684,7 +2693,7 @@ object SparkEntry {
         |             i -> (qv2[i] - cw[i]) * (qv2[i] - cw[i]))) AS BIGINT) AS qd2
         |         FROM cb JOIN qsub ON cb.j = qsub.j),
         |adc AS (SELECT enc.vec_id, sum(qd2) AS adc
-        |        FROM enc JOIN qlut ON enc.j = qlut.j AND (enc.mm % 16) = qlut.code
+        |        FROM enc JOIN qlut ON enc.j = qlut.j AND enc.code = qlut.code
         |        GROUP BY 1),
         |cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 40)
         |SELECT q.vec_id, q.label,
@@ -2709,8 +2718,8 @@ object SparkEntry {
         |sub AS (SELECT vec_id, j, qe[(j*8+1):(j*8+8)] AS sv
         |        FROM q, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS u(j)),
         |enc AS (SELECT vec_id, j,
-        |          min(CAST(list_sum(list_transform(generate_series(1, 8),
-        |                i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) AS BIGINT) * 16 + code) AS mm
+        |          (min({'d2': CAST(list_sum(list_transform(generate_series(1, 8),
+        |                i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) AS BIGINT), 'code': code})).code AS code
         |        FROM sub JOIN cb USING (j) GROUP BY 1, 2),
         |qsub AS (SELECT j, sv AS qv FROM sub WHERE vec_id = 0),
         |qlut AS (SELECT cb.j, cb.code,
@@ -2718,7 +2727,7 @@ object SparkEntry {
         |             i -> (qv[i] - cw[i]) * (qv[i] - cw[i]))) AS BIGINT) AS qd2
         |         FROM cb JOIN qsub ON cb.j = qsub.j),
         |adc AS (SELECT enc.vec_id, sum(qd2) AS adc
-        |        FROM enc JOIN qlut ON enc.j = qlut.j AND (enc.mm % 16) = qlut.code
+        |        FROM enc JOIN qlut ON enc.j = qlut.j AND enc.code = qlut.code
         |        GROUP BY 1),
         |cand AS (SELECT vec_id FROM adc WHERE vec_id != 0
         |         ORDER BY adc ASC, vec_id ASC LIMIT 40),
@@ -2740,17 +2749,19 @@ object SparkEntry {
         |             qe AS ce
         |      FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
         |a AS (SELECT vec_id,
-        |        min(CAST(list_sum(list_transform(generate_series(1, len(qe)),
-        |              i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT) * 8 + cid) AS m
+        |        (min({'d2': CAST(list_sum(list_transform(generate_series(1, len(qe)),
+        |              i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT), 'cid': cid})).cid AS cid
         |      FROM q, c GROUP BY 1),
-        |cells AS (SELECT q.vec_id, (a.m % 8) AS cid, q.embedding::DOUBLE[] AS emb
+        |cells AS (SELECT q.vec_id, a.cid, q.embedding::DOUBLE[] AS emb
         |          FROM q JOIN a USING (vec_id))
         |SELECT vec_id, cid, min(keep_id) AS dup_of, max(cosine) AS max_cosine FROM (
         |  SELECT y.vec_id, y.cid, x.vec_id AS keep_id,
         |    list_dot_product(x.emb, y.emb)
         |      / (sqrt(list_sum(list_transform(x.emb, v -> v * v)))
         |         * sqrt(list_sum(list_transform(y.emb, v -> v * v)))) AS cosine
-        |  FROM cells x JOIN cells y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+        |  FROM cells x JOIN cells y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |    AND list_sum(list_transform(x.emb, v -> v * v)) > 0
+        |    AND list_sum(list_transform(y.emb, v -> v * v)) > 0)
         |WHERE cosine >= 0.4
         |GROUP BY 1, 2""".stripMargin,
     // Text payloads are no known media container → fmt 'raw' + the

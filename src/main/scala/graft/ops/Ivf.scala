@@ -222,18 +222,22 @@ object Ivf {
   }
 
   /** Nearest-cell assignment by INTEGER squared distance, the lower-cid
-    * tie-break encoded into the same exact arithmetic as
-    * `min(d2·nlist + cid)`. Payload discipline: the ×nlist blowup
-    * carries only (vec_id, m). Returns (aid, cid).
+    * tie-break as a struct-ordered `min(struct(d2, cid))` — lexicographic
+    * on exact BIGINTs, so it is the same total order the earlier
+    * `min(d2·nlist + cid)` packing encoded WITHOUT the packing's silent
+    * Long overflow once nlist·dim·2^42 exceeds 2^63 (the documented
+    * nlist ∝ n/target sizing crosses that at ~40M 64-dim vectors).
+    * DuckDB orders structs by field order the same way, so the oracle
+    * mirrors it exactly. Payload discipline: the ×nlist blowup carries
+    * only (vec_id, struct(d2, cid)). Returns (aid, cid).
     */
-  private def md5CellAssign(quant: DataFrame, cents: DataFrame,
-                            nlist: Int): DataFrame =
+  private def md5CellAssign(quant: DataFrame, cents: DataFrame): DataFrame =
     quant.select(col("vec_id"), col("qe"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"),
-        (intD2(col("qe"), col("ce")) * nlist + col("cid")).as("m"))
+        struct(intD2(col("qe"), col("ce")).as("d2"), col("cid")).as("m"))
       .groupBy(col("vec_id")).agg(min(col("m")).as("m"))
-      .select(col("vec_id").as("aid"), pmod(col("m"), lit(nlist.toLong)).as("cid"))
+      .select(col("vec_id").as("aid"), col("m.cid").as("cid"))
 
   def annIvfMd5(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
                 nlist: Int = 8, nprobe: Int = 2): DataFrame = {
@@ -242,7 +246,7 @@ object Ivf {
     val quant = quantized(embeddings)
     val cents = md5SeedCells(quant, nlist)
     def d2(a: Column, b: Column): Column = intD2(a, b)
-    val assigned = md5CellAssign(quant, cents, nlist)
+    val assigned = md5CellAssign(quant, cents)
     val qrow = quant.filter(col("vec_id") === queryId)
       .select(col("qe").as("q_qe"), col("embedding").as("q_emb"))
     val qcells = cents.crossJoin(broadcast(qrow))
@@ -294,7 +298,7 @@ object Ivf {
                     nlist: Int = 8): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     val quant = quantized(embeddings)
-    val assigned = md5CellAssign(quant, md5SeedCells(quant, nlist), nlist)
+    val assigned = md5CellAssign(quant, md5SeedCells(quant, nlist))
     val cells = embeddings
       .join(assigned, col("vec_id") === col("aid"))
       .select(col("vec_id"), col("cid"), col("embedding"))
@@ -317,8 +321,14 @@ object Ivf {
                         outKey: String, threshold: Double): DataFrame = {
     def dotF(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       call_function("graft_dot", a, b)
+    // Zero-norm guard: cosine against a zero vector is 0/0 = NaN, and
+    // both Spark and DuckDB order NaN ABOVE all numbers, so NaN >=
+    // threshold would report a zero vector as a duplicate of every
+    // cell-mate. A zero vector has no direction — it can be neither a
+    // duplicate nor a keeper, so both join sides drop it.
     val withNorm = cells.withColumn("nrm",
       sqrt(dotF(col("embedding"), col("embedding"))))
+      .filter(col("nrm") > lit(0.0))
     val cond = joinKeys.map(k => col(s"x.$k") === col(s"y.$k"))
       .reduce(_ && _) && col("x.vec_id") < col("y.vec_id")
     withNorm.as("x").join(withNorm.as("y"), cond)
@@ -348,7 +358,7 @@ object Ivf {
                        nlist: Int = 8): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     val quant = quantized(embeddings)
-    val assigned = md5CellAssign(quant, md5SeedCells(quant, nlist), nlist)
+    val assigned = md5CellAssign(quant, md5SeedCells(quant, nlist))
     val cells = embeddings
       .join(assigned, col("vec_id") === col("aid"))
       .select(col("vec_id"), col("cid"), col("embedding"))
@@ -387,7 +397,7 @@ object Ivf {
                                             coarse: Int, fine: Int): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     val quant = quantized(embeddings)
-    val a1 = md5CellAssign(quant, md5SeedCells(quant, coarse), coarse)
+    val a1 = md5CellAssign(quant, md5SeedCells(quant, coarse))
     val q1 = quant.join(a1, col("vec_id") === col("aid")).drop("aid")
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cid"))
@@ -398,10 +408,10 @@ object Ivf {
     val a2 = q1.select(col("vec_id"), col("cid"), col("qe"))
       .join(broadcast(f), Seq("cid"))
       .select(col("vec_id"), col("cid"),
-        (intD2(col("qe"), col("fe")) * fine + col("fid")).as("m"))
+        struct(intD2(col("qe"), col("fe")).as("d2"), col("fid")).as("m"))
       .groupBy(col("vec_id"), col("cid")).agg(min(col("m")).as("m"))
       .select(col("vec_id").as("bid"),
-        (col("cid") * fine + pmod(col("m"), lit(fine.toLong))).as("cell"))
+        (col("cid") * fine + col("m.fid")).as("cell"))
     embeddings
       .join(a2, col("vec_id") === col("bid"))
       .select(col("vec_id"), col("cell"), col("embedding"))
@@ -480,12 +490,34 @@ object Ivf {
     posexplode(transform(sequence(lit(0), lit(m - 1)),
       j => slice(v, j * ds + 1, lit(ds))))
 
+  /** Embedding width derived from the data (one LIMIT-1 driver peek).
+    * The PQ slices hardcoding a width would silently null out narrower
+    * vectors (slice past the end → short subvector → zip_with nulls)
+    * and silently ignore the tail of wider ones.
+    */
+  private def derivedDim(embeddings: DataFrame): Int = {
+    val h = embeddings.select(size(col("embedding")).as("d")).head(1)
+    require(h.nonEmpty, "pq: embeddings input is empty - cannot derive dim")
+    h(0).getInt(0)
+  }
+
+  /** In-plan width guard: any row whose quantized embedding differs from
+    * the derived width fails LOUDLY instead of vanishing from the
+    * candidate set. The `when` sits on the data path (`qe` feeds every
+    * downstream slice), so the optimizer cannot prune it.
+    */
+  private def widthChecked(quant: DataFrame, dim: Int, op: String): DataFrame =
+    quant.withColumn("qe",
+      when(size(col("qe")) === dim, col("qe")).otherwise(raise_error(
+        concat(lit(s"$op: embedding width "), size(col("qe")).cast("string"),
+          lit(s" != expected $dim at vec_id="), col("vec_id").cast("string")))))
+
   def annPq(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
             m: Int = 8, codes: Int = 16, candidates: Int = 40): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val quant = quantized(embeddings)
-    val dim = 64 // testdata embedding width; subspace width below
+    val dim = derivedDim(embeddings)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val quant = widthChecked(quantized(embeddings), dim, "annPq")
     val ds = dim / m
     def subs(v: org.apache.spark.sql.Column) = pqSubs(v, m, ds)
     // codebook: (j, code, cw) — the seed vectors' subvector slices
@@ -495,9 +527,9 @@ object Ivf {
     val sub = quant.select(col("vec_id"), subs(col("qe")).as(Seq("j", "sv")))
     val enc = sub.join(broadcast(cb), Seq("j"))
       .select(col("vec_id"), col("j"),
-        (intD2(col("sv"), col("cw")) * codes + col("code")).as("mm"))
+        struct(intD2(col("sv"), col("cw")).as("d2"), col("code")).as("mm"))
       .groupBy(col("vec_id"), col("j")).agg(min(col("mm")).as("mm"))
-      .select(col("vec_id"), col("j"), pmod(col("mm"), lit(codes.toLong)).as("code"))
+      .select(col("vec_id"), col("j"), col("mm.code").as("code"))
     // query-side ADC lookup table: d2(query subvector, every codeword)
     val qsub = sub.filter(col("vec_id") === queryId)
       .select(col("j").as("qj"), col("sv").as("qv"))
@@ -543,14 +575,14 @@ object Ivf {
                nlist: Int = 8, nprobe: Int = 2,
                m: Int = 8, codes: Int = 16, candidates: Int = 40): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val quant = quantized(embeddings)
-    val dim = 64
+    val dim = derivedDim(embeddings)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val quant = widthChecked(quantized(embeddings), dim, "annIvfPq")
     val ds = dim / m
     def subs(v: org.apache.spark.sql.Column) = pqSubs(v, m, ds)
     // coarse route: assignment + the query's nprobe nearest cells
     val cents = md5SeedCells(quant, nlist)
-    val assigned = md5CellAssign(quant, cents, nlist)
+    val assigned = md5CellAssign(quant, cents)
     val qrowQ = quant.filter(col("vec_id") === queryId)
       .select(col("qe").as("q_qe"))
     val qcells = cents.crossJoin(broadcast(qrowQ))
@@ -567,9 +599,9 @@ object Ivf {
     val enc = probed.select(col("vec_id"), subs(col("qe")).as(Seq("j", "sv")))
       .join(broadcast(cb), Seq("j"))
       .select(col("vec_id"), col("j"),
-        (intD2(col("sv"), col("cw")) * codes + col("code")).as("mm"))
+        struct(intD2(col("sv"), col("cw")).as("d2"), col("code")).as("mm"))
       .groupBy(col("vec_id"), col("j")).agg(min(col("mm")).as("mm"))
-      .select(col("vec_id"), col("j"), pmod(col("mm"), lit(codes.toLong)).as("code"))
+      .select(col("vec_id"), col("j"), col("mm.code").as("code"))
     val qsub = quant.filter(col("vec_id") === queryId)
       .select(subs(col("qe")).as(Seq("qj", "qv")))
     val qlut = cb.join(broadcast(qsub), col("j") === col("qj"))

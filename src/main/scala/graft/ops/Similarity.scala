@@ -315,15 +315,18 @@ object Similarity {
   /** Exact n-gram Jaccard over a bounded id-range (the brute-force
     * baseline the LSH path is verified against). Shingle SETS are carried
     * as hashed longs, not strings — primitive-array set ops in the m²
-    * pair loop instead of string comparisons (equal to string-set Jaccard
-    * up to 64-bit collisions, ~1e-13 per pair); |A∪B| = |A|+|B|−|A∩B|
-    * avoids materializing the union array per pair.
+    * pair loop instead of string comparisons. The FULL 64-bit xxhash64
+    * value is kept (no mod-p fold — that would shrink the space to 2^31
+    * and make within-set birthday collisions material for 10k+-shingle
+    * docs), so this equals string-set Jaccard up to genuine 64-bit
+    * collisions, ~n²/2^65 per pair; |A∪B| = |A|+|B|−|A∩B| avoids
+    * materializing the union array per pair.
     */
   def ngramJaccard(documents: DataFrame, maxDocId: Long,
                    threshold: Double): DataFrame = {
     val sh = shingleRows(documents.filter(col("doc_id") < maxDocId))
       .groupBy(col("doc_id"))
-      .agg(collect_set(pmod(xxhash64(col("s")), lit(MinhashP))).as("sh"))
+      .agg(collect_set(xxhash64(col("s"))).as("sh"))
       .withColumn("n", size(col("sh")))
     sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
       .withColumn("inter",
@@ -345,14 +348,16 @@ object Similarity {
     * Same bounded brute-force contract as [[ngramJaccard]] (an id-capped
     * labeled baseline, not a production path — the production route is
     * the banded-LSH candidate join with this containment formula swapped
-    * into the verify step): hashed 3-gram shingle SETS as primitive long
-    * arrays, |A∩B| via one array_intersect per pair, min via `least`.
+    * into the verify step): 3-gram shingle SETS as primitive long arrays
+    * of FULL 64-bit xxhash64 values (collision odds ~n²/2^65 per pair,
+    * vs material birthday collisions in a mod-2^31 fold), |A∩B| via one
+    * array_intersect per pair, min via `least`.
     */
   def containmentPairs(documents: DataFrame, maxDocId: Long,
                        threshold: Double): DataFrame = {
     val sh = shingleRows(documents.filter(col("doc_id") < maxDocId))
       .groupBy(col("doc_id"))
-      .agg(collect_set(pmod(xxhash64(col("s")), lit(MinhashP))).as("sh"))
+      .agg(collect_set(xxhash64(col("s"))).as("sh"))
       .withColumn("n", size(col("sh")))
     sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
       .withColumn("inter",

@@ -93,7 +93,12 @@ object StreamingCms {
       val counters = new Array[Long](d * w)
       var n = 0L
       rows.foreach { case (_, text) =>
-        text.toLowerCase.split(" ").foreach { t =>
+        // split(" ", -1) + Locale.ROOT: Java's 1-arg split drops TRAILING
+        // empty tokens and default-locale lowercasing is env-dependent;
+        // the streaming query uses Spark's split/lower, which keep them —
+        // the "final emission equals the batch fold" contract needs the
+        // reference fold to tokenize identically.
+        text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).foreach { t =>
           var j = 0
           while (j < d) { counters(j * w + bucket(t, j)) += 1L; j += 1 }
           n += 1L
