@@ -29,7 +29,7 @@ object StressScaling {
     * (planted dup families for the miners), built relationally — same
     * generator family as [[Stress]].
     */
-  private def docs(spark: SparkSession, n: Long): DataFrame =
+  private[graft] def docs(spark: SparkSession, n: Long): DataFrame =
     spark.range(n)
       .select(col("id").as("doc_id"),
         concat_ws(" ", (0 until 40).map(i =>
@@ -45,7 +45,7 @@ object StressScaling {
     * clusters (centroid + noise), cached so the synthetic expressions
     * behave like the parquet scan a real corpus is (see [[Stress]]).
     */
-  private def embeddings(spark: SparkSession, n: Long): DataFrame = {
+  private[graft] def embeddings(spark: SparkSession, n: Long): DataFrame = {
     def comp(i: Int) = {
       val centroid = (pmod(xxhash64(pmod(col("id"), lit(32L)) * 1000003L + i),
         lit(2001L)) - 1000L) / 1000.0
@@ -65,6 +65,15 @@ object StressScaling {
   def main(args: Array[String]): Unit = {
     val baseDocs = args.headOption.map(_.toLong).getOrElse(5000L)
     val baseVecs = baseDocs * 2 // sf0.1: 5k docs, 10k vectors
+    // Local-iteration escape hatches (the committed artifact runs all):
+    // SPARK_GRAFT_STRESS_ONLY=a,b — run just those queries;
+    // SPARK_GRAFT_STRESS_SCALES=10,100 — run just those scale steps.
+    val onlyQ = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val scales = sys.env.get("SPARK_GRAFT_STRESS_SCALES")
+      .map(_.split(",").map(_.trim.toLong).toSeq)
+      .getOrElse(Seq(1L, 10L, 100L))
+    def want(name: String): Boolean = onlyQ.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -94,63 +103,84 @@ object StressScaling {
     // fixed costs still dominate); 100× (500k docs / 1M vectors) is the
     // data-dominated regime where the 10×→100× ratio is the real
     // linearity verdict.
-    for (scale <- Seq(1L, 10L, 100L)) {
+    for (scale <- scales) {
       val nDocs = baseDocs * scale
-      val d = docs(spark, nDocs).localCheckpoint() // materialized like a real table scan
-      record("minhash_neardup", scale, nDocs, timed(
-        ops.Similarity.minhashNearDupPersisted(d, tmp("mh") )))
-      record("dedup_clusters_lsh", scale, nDocs, timed(
-        ops.Clustering.dedupClusters(
-          ops.Similarity.minhashNearDupPersisted(d, tmp("mhcc")))))
-      record("curation_full", scale, nDocs, timed(
-        ops.Pipeline.curationFull(d)))
+      lazy val d = docs(spark, nDocs).localCheckpoint() // materialized like a real table scan
+      if (want("minhash_neardup"))
+        record("minhash_neardup", scale, nDocs, timed(
+          ops.Similarity.minhashNearDupPersisted(d, tmp("mh") )))
+      if (want("dedup_clusters_lsh"))
+        record("dedup_clusters_lsh", scale, nDocs, timed(
+          ops.Clustering.dedupClusters(
+            ops.Similarity.minhashNearDupPersisted(d, tmp("mhcc")))))
+      if (want("curation_full"))
+        record("curation_full", scale, nDocs, timed(
+          ops.Pipeline.curationFull(d)))
       // Sliding-window substring dedup: ~33 window rows per 40-token doc
       // through one hash agg + one doc-partitioned lag — expected linear.
-      record("substring_dedup", scale, nDocs, timed(
-        ops.TextAnalysis.substringDedup(d, 8)))
+      if (want("substring_dedup"))
+        record("substring_dedup", scale, nDocs, timed(
+          ops.TextAnalysis.substringDedup(d, 8)))
       // CMS at production width: d×token-volume codegen md5 rows into a
       // d·w-bounded aggregate — the sketch's whole point is linearity.
-      record("cms_profile", scale, nDocs, timed(
-        ops.TextAnalysis.cmsProfile(d, Seq("w1", "w17", "w123", "zzz"), 4, 1024)))
+      if (want("cms_profile"))
+        record("cms_profile", scale, nDocs, timed(
+          ops.TextAnalysis.cmsProfile(d, Seq("w1", "w17", "w123", "zzz"), 4, 1024)))
 
       val nVecs = baseVecs * scale
-      val emb = embeddings(spark, nVecs)
-      val layout = tmp("ivf")
-      val t0 = System.nanoTime()
-      val cents = ops.Ivf.writeIvfLayout(emb, layout)
-      val q = spark.read.parquet(layout).filter(col("vec_id") === 0L)
-        .select(col("embedding")).head()
-        .getAs[scala.collection.Seq[Float]](0).toArray
-      ops.Ivf.ivfProbe(spark, layout, cents, q, 10, nprobe = 2,
-        excludeId = Some(0L)).write.format("noop").mode("overwrite").save()
-      record("ann_ivf", scale, nVecs, (System.nanoTime() - t0) / 1e9)
+      lazy val emb = embeddings(spark, nVecs)
+      if (want("ann_ivf")) {
+        val layout = tmp("ivf")
+        val t0 = System.nanoTime()
+        val cents = ops.Ivf.writeIvfLayout(emb, layout)
+        val q = spark.read.parquet(layout).filter(col("vec_id") === 0L)
+          .select(col("embedding")).head()
+          .getAs[scala.collection.Seq[Float]](0).toArray
+        ops.Ivf.ivfProbe(spark, layout, cents, q, 10, nprobe = 2,
+          excludeId = Some(0L)).write.format("noop").mode("overwrite").save()
+        record("ann_ivf", scale, nVecs, (System.nanoTime() - t0) / 1e9)
+      }
       // SemDeDup: with the linearity knob nlist ∝ n the FLAT form's
       // assignment is n·nlist = quadratic — measured 6.6×/10× at 1M
       // vectors (837 s; kept at 1×/10× as the anti-baseline). The
       // hierarchical form routes coarse-then-fine (n·2√nlist) with the
       // same leaf target, so it runs at every scale.
       val nlist = math.max(8L, nVecs / 1250L).toInt
-      if (scale <= 10L)
+      if (scale <= 10L && want("semantic_dedup_flat"))
         record("semantic_dedup_flat", scale, nVecs, timed(
           ops.Ivf.semanticDedup(emb, 0.95, nlist)))
       val side = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
-      record("semantic_dedup_hier", scale, nVecs, timed(
-        ops.Ivf.semanticDedupHier(emb, 0.95, side, side)))
+      // Diagnostic stage split: the two-level cell ASSIGNMENT alone —
+      // hier minus this is the within-leaf m² pair stage, so a
+      // super-linear hier with a linear cells line convicts the pairing
+      // (leaf-size distribution), not the routing.
+      if (want("semantic_hier_cells"))
+        record("semantic_hier_cells", scale, nVecs, timed(
+          ops.Ivf.semanticDedupHierCells(emb, side, side)))
+      if (want("semantic_dedup_hier"))
+        record("semantic_dedup_hier", scale, nVecs, timed(
+          ops.Ivf.semanticDedupHier(emb, 0.95, side, side)))
       // The skew guard: md5-seeded leaves are Zipf-ish (measured max
       // 11,331 vs median 661 at 1M vectors), and all pairs of one leaf
       // land on ONE reducer; capping splits oversized leaves by a
       // content-hash salt, bounding per-task pair work at ~cap².
-      record("semantic_dedup_capped", scale, nVecs, timed(
-        ops.Ivf.semanticDedupCapped(emb, 0.95, side, side, 2500)))
-      emb.unpersist()
+      if (want("semantic_dedup_capped"))
+        record("semantic_dedup_capped", scale, nVecs, timed(
+          ops.Ivf.semanticDedupCapped(emb, 0.95, side, side, 2500)))
+      // lazy val: only unpersist if some embedding query actually ran
+      if (Seq("ann_ivf", "semantic_dedup_flat", "semantic_dedup_hier",
+          "semantic_dedup_capped", "semantic_hier_cells").exists(want))
+        emb.unpersist()
     }
 
     val ratios = results.map { case (name, byScale) =>
-      val r10 = byScale(10L) / byScale(1L)
-      val tail = byScale.get(100L).map { s100 =>
-        s""","sec_100x":${f"$s100%.2f"},"ratio_100x_vs_10x":${f"${s100 / byScale(10L)}%.2f"}"""
-      }.getOrElse("")
-      s""""$name":{"sec_1x":${f"${byScale(1L)}%.2f"},"sec_10x":${f"${byScale(10L)}%.2f"},"ratio_10x":${f"$r10%.2f"}$tail}"""
+      val parts = scales.filter(byScale.contains).map(s =>
+        s""""sec_${s}x":${f"${byScale(s)}%.2f"}""") ++
+        scales.sliding(2).collect {
+          case Seq(lo, hi) if byScale.contains(lo) && byScale.contains(hi) =>
+            s""""ratio_${hi}x_vs_${lo}x":${f"${byScale(hi) / byScale(lo)}%.2f"}"""
+        }
+      s""""$name":{${parts.mkString(",")}}"""
     }.mkString("{", ",", "}")
     println(s"""STRESS_RATIOS {"step_data_ratio":10,"base_docs":$baseDocs,"queries":$ratios}""")
     spark.stop()

@@ -77,6 +77,76 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_l2q(a, b)`: Σ(aᵢ−bᵢ)² of two BIGINT-array columns as BIGINT —
+  * the integer squared distance of the md5-twin ANN/SemDeDup family
+  * ([[graft.ops.Ivf]]), whose 2^20-quantized coordinates make every
+  * distance exact in any engine.
+  *
+  * The built-in spelling — `aggregate(zip_with(a, b, (x,y) ->
+  * (x-y)*(x-y)), 0L, +)` — is an interpreted higher-order function:
+  * measured ~14 µs per 64-element evaluation in the cell-assignment hot
+  * path (29M evaluations at the 1M-vector stress point = the dominant
+  * cost of the whole operator). This expression compiles into the
+  * whole-stage-codegen loop and runs the identical long arithmetic, so
+  * results (and the DuckDB oracle, which mirrors the MATH, not the
+  * evaluator) are unchanged.
+  */
+@ExpressionDescription(
+  usage = "graft_l2q(a, b) - sum of squared differences of two ARRAY<BIGINT> columns as BIGINT.")
+case class L2SquaredLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_l2q expects two ARRAY<BIGINT> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = xs.getLong(i) - ys.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SquaredLong =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
 
   private val dotInfo = new ExpressionInfo(
@@ -86,6 +156,15 @@ object GraftFunctions {
     case Seq(a, b) => DotProductFloat(a, b)
     case other => throw new IllegalArgumentException(
       s"graft_dot takes exactly 2 arguments, got ${other.length}")
+  }
+
+  private val l2qInfo = new ExpressionInfo(
+    classOf[L2SquaredLong].getName, "graft_l2q")
+
+  private val l2qBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => L2SquaredLong(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_l2q takes exactly 2 arguments, got ${other.length}")
   }
 
   // Spark ships Bloom-filter expressions for its own runtime row-level
@@ -132,6 +211,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_dot"), dotInfo, dotBuilder)
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_l2q"), l2qInfo, l2qBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, bloomAggBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder)
@@ -147,6 +228,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProductFloat(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_l2q"),
+      new ExpressionInfo(classOf[L2SquaredLong].getName, "graft_l2q"),
+      (exprs: Seq[Expression]) => L2SquaredLong(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(

@@ -28,8 +28,11 @@ import org.apache.spark.sql.functions._
   * difference between ~14 rounds and ~10,000 on a 10k-node chain).
   *
   * Scale: every round shuffles only (long, long) edge pairs — document
-  * payloads never enter the loop — and `localCheckpoint` truncates the
-  * lineage so plans don't deepen with iteration. Per round the driver
+  * payloads never enter the loop — and [[Checkpoints.stable]] truncates
+  * the lineage so plans don't deepen with iteration (reliable
+  * `checkpoint()` when the session has a checkpoint dir — the cluster
+  * configuration, surviving executor loss mid-loop — else
+  * `localCheckpoint()` for single-JVM runs). Per round the driver
   * sees two materializations and one scalar fingerprint agg; nothing
   * proportional to data size is collected. The previous diameter-round
   * min-label implementation is kept as [[connectedComponentsMinLabel]]
@@ -54,12 +57,11 @@ object Clustering {
       maxIter: Int = 50): (DataFrame, Int) = {
     // Canonical directed form: (a, b) with a > b, self-loops dropped,
     // deduped. Orientation is an invariant both steps below preserve.
-    var e = edges
+    var e = Checkpoints.stable(edges
       .select(col(srcCol).cast("long").as("x"), col(dstCol).cast("long").as("y"))
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("a"), least(col("x"), col("y")).as("b"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
     // Edge-set fingerprint: (count, xor of per-edge 64-bit hashes). Edges
     // are distinct within a round, so xor is order- and partition-stable;
@@ -82,11 +84,10 @@ object Clustering {
       val sym = e.select(col("a"), col("b"))
         .unionByName(e.select(col("b").as("a"), col("a").as("b")))
       val nmin = sym.groupBy(col("a")).agg(min(col("b")).as("nm"))
-      val large = sym.join(nmin, "a")
+      val large = Checkpoints.stable(sym.join(nmin, "a")
         .filter(col("b") > col("a"))
         .select(col("b").as("a"), least(col("a"), col("nm")).as("b"))
-        .distinct()
-        .localCheckpoint() // referenced twice by small-star: pin it
+        .distinct()) // referenced twice by small-star: pin it
 
       // Small-star. Edges point big→small, so grouping by the big end
       // sees exactly the smaller neighbors; hook them (and the big end)
@@ -96,7 +97,7 @@ object Clustering {
         .filter(col("b") =!= col("m"))
         .select(col("b").as("a"), col("m").as("b"))
       val hooked = smin.select(col("a"), col("m").as("b"))
-      val next = relinked.unionByName(hooked).distinct().localCheckpoint()
+      val next = Checkpoints.stable(relinked.unionByName(hooked).distinct())
 
       // Converged only when BOTH steps were no-ops (the paper's
       // termination condition) — a fixpoint of the composition alone

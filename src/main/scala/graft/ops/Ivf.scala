@@ -202,11 +202,16 @@ object Ivf {
       transform(col("embedding"),
         x => floor(x.cast("double") * lit(1048576.0)).cast("long")).as("qe"))
 
-  /** Integer squared distance over the quantized coordinates. */
+  /** Integer squared distance over the quantized coordinates — the
+    * codegen'd [[graft.functions.L2SquaredLong]] native expression. The
+    * interpreted HOF spelling (`aggregate(zip_with(...))`) measured
+    * ~14 µs per 64-dim evaluation; the assignment stages evaluate this
+    * n·nlist times, so the evaluator IS the operator's cost at scale.
+    * Identical long arithmetic either way — oracles unaffected.
+    */
   private def intD2(a: org.apache.spark.sql.Column,
                     b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    call_function("graft_l2q", a, b)
 
   /** md5-seeded deterministic cells: the `nlist` vectors with the
     * smallest `md5(vec_id)` become (cid, ce=quantized centroid). The
@@ -297,7 +302,11 @@ object Ivf {
   def semanticDedup(embeddings: DataFrame, threshold: Double = 0.4,
                     nlist: Int = 8): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val quant = quantized(embeddings)
+    // Materialized (vec_id, qe): without the cut, the derived transform
+    // re-evaluates inside every consumer — seed selection AND each of
+    // the ×nlist assignment copies (see [[semanticDedupHierCells]]).
+    val quant = Checkpoints.stable(
+      quantized(embeddings).select(col("vec_id"), col("qe")))
     val assigned = md5CellAssign(quant, md5SeedCells(quant, nlist))
     val cells = embeddings
       .join(assigned, col("vec_id") === col("aid"))
@@ -316,22 +325,66 @@ object Ivf {
   /** The raw within-group pair list (vec_a < vec_b, group key, cosine ≥
     * threshold) — the SemDeDup neighborhood graph, shared by the greedy
     * removal and the cluster composition.
+    *
+    * Execution shape — exact partner-bucket decomposition: a plain
+    * self-join on the group key sends ALL of a group's pairs to ONE
+    * reducer (sz² row combos in a single task — 64M for the largest
+    * md5-seeded leaf at the 1M-vector stress point, a straggler no
+    * cluster width can absorb). Instead each group of size sz splits
+    * into `nb = ceil(sz / pairTarget)` id-hash buckets; the y side keys
+    * by its own bucket, the x side replicates once per PARTNER bucket
+    * (`explode(sequence(0, nb-1))`), and the join key is (group,
+    * partner-bucket). Every unordered pair meets exactly once — x's
+    * copy tagged with y's bucket — so the RESULT is identical to the
+    * naive self-join (no oracle change), while per-task pair work is
+    * bounded by ~sz·pairTarget and the replication overhead is
+    * Σ sz²/pairTarget ≈ 2·pairs/pairTarget rows, a few × n at the
+    * documented leaf sizing. Groups at-or-under pairTarget keep nb = 1:
+    * no replication, the exact old plan.
     */
-  private def cellPairs(cells: DataFrame, joinKeys: Seq[String],
-                        outKey: String, threshold: Double): DataFrame = {
+  private[graft] def cellPairs(cells: DataFrame, joinKeys: Seq[String],
+                        outKey: String, threshold: Double,
+                        pairTarget: Int = 1250): DataFrame = {
     def dotF(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       call_function("graft_dot", a, b)
+    val keyCols = joinKeys.map(col)
     // Zero-norm guard: cosine against a zero vector is 0/0 = NaN, and
     // both Spark and DuckDB order NaN ABOVE all numbers, so NaN >=
     // threshold would report a zero vector as a duplicate of every
     // cell-mate. A zero vector has no direction — it can be neither a
     // duplicate nor a keeper, so both join sides drop it.
+    //
     val withNorm = cells.withColumn("nrm",
       sqrt(dotF(col("embedding"), col("embedding"))))
       .filter(col("nrm") > lit(0.0))
-    val cond = joinKeys.map(k => col(s"x.$k") === col(s"y.$k"))
+    // Group census → bucket count + id range. Un-hinted join: group
+    // count tracks n/pairTarget, so AQE broadcasts it at bench scale
+    // and shuffles at lake scale. The joined frame feeds BOTH join
+    // sides — cut it so the upstream (cell assignment) runs once.
+    val sizes = withNorm.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("gsz"),
+        min(col("vec_id")).as("gmin"), max(col("vec_id")).as("gmax"))
+      .select(keyCols ++ Seq(
+        ceil(col("gsz").cast("double") / pairTarget).cast("int").as("nb"),
+        col("gmin"), col("gmax")): _*)
+    val g = Checkpoints.stable(withNorm.join(sizes, joinKeys))
+    // MONOTONE range buckets (vec_a < vec_b ⟹ bucket(a) ≤ bucket(b)):
+    // the x side replicates only to partner buckets AT-OR-ABOVE its own
+    // — half the replication and half the cross-bucket join iterations
+    // of an id-hash bucketing. FP note: x/c and x·nb are weakly
+    // monotone under rounding, and the `least` guard caps the
+    // top-of-range row, so the ordering invariant is exact.
+    val bk = least(col("nb") - lit(1),
+      floor((col("vec_id") - col("gmin")).cast("double")
+        / (col("gmax") - col("gmin") + lit(1L)).cast("double")
+        * col("nb")).cast("int")).as("bk")
+    val x = g.withColumn("bk", bk)
+      .withColumn("pb", explode(sequence(col("bk"), col("nb") - 1)))
+      .drop("bk")
+    val y = g.withColumn("pb", bk)
+    val cond = (joinKeys :+ "pb").map(k => col(s"x.$k") === col(s"y.$k"))
       .reduce(_ && _) && col("x.vec_id") < col("y.vec_id")
-    withNorm.as("x").join(withNorm.as("y"), cond)
+    x.as("x").join(y.as("y").hint("shuffle_hash"), cond)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         col(s"x.$outKey").as(outKey),
         (dotF(col("x.embedding"), col("y.embedding")) /
@@ -340,8 +393,9 @@ object Ivf {
   }
 
   private def greedyPairRemoval(cells: DataFrame, joinKeys: Seq[String],
-                                outKey: String, threshold: Double): DataFrame =
-    cellPairs(cells, joinKeys, outKey, threshold)
+                                outKey: String, threshold: Double,
+                                pairTarget: Int = 1250): DataFrame =
+    cellPairs(cells, joinKeys, outKey, threshold, pairTarget)
       .select(col("vec_b").as("vec_id"), col(outKey),
         col("vec_a").as("keep_id"), col("cosine"))
       .groupBy(col("vec_id"), col(outKey))
@@ -357,7 +411,8 @@ object Ivf {
   def semanticClusters(embeddings: DataFrame, threshold: Double = 0.4,
                        nlist: Int = 8): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val quant = quantized(embeddings)
+    val quant = Checkpoints.stable(
+      quantized(embeddings).select(col("vec_id"), col("qe")))
     val assigned = md5CellAssign(quant, md5SeedCells(quant, nlist))
     val cells = embeddings
       .join(assigned, col("vec_id") === col("aid"))
@@ -396,14 +451,31 @@ object Ivf {
   private[graft] def semanticDedupHierCells(embeddings: DataFrame,
                                             coarse: Int, fine: Int): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val quant = quantized(embeddings)
+    // Materialization cuts ([[Checkpoints.stable]]): Spark shares no
+    // sub-plan across DataFrame branches, so without them (a) the
+    // derived `qe` transform re-evaluates inside every consumer —
+    // including each of the ×coarse assignment copies — and (b) the
+    // whole coarse-assignment DAG recomputes once per downstream branch
+    // (fine-seed window AND fine assignment). Measured at 1M vectors in
+    // the stress harness: 152 s uncut → the cut form is the one that
+    // scales.
+    val quant = Checkpoints.stable(
+      quantized(embeddings).select(col("vec_id"), col("qe")))
     val a1 = md5CellAssign(quant, md5SeedCells(quant, coarse))
-    val q1 = quant.join(a1, col("vec_id") === col("aid")).drop("aid")
+    val q1 = Checkpoints.stable(
+      quant.join(a1, col("vec_id") === col("aid")).drop("aid"))
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cid"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-    val f = q1.withColumn("fid", row_number().over(wf).cast("long") - 1L)
+    // Seed SELECTION sorts only (cid, vec_id, md5) — ~90 bytes/row
+    // through the window shuffle; the dim-long `qe` payload joins back
+    // for just the coarse·fine seed ROWS via a broadcast hash join,
+    // instead of dragging n·dim longs through the sort.
+    val fIds = q1.select(col("cid"), col("vec_id"))
+      .withColumn("fid", row_number().over(wf).cast("long") - 1L)
       .filter(col("fid") < fine)
+      .select(col("vec_id").as("fvid"), col("fid"))
+    val f = q1.join(broadcast(fIds), col("vec_id") === col("fvid"))
       .select(col("cid"), col("fid"), col("qe").as("fe"))
     val a2 = q1.select(col("vec_id"), col("cid"), col("qe"))
       .join(broadcast(f), Seq("cid"))
@@ -444,17 +516,30 @@ object Ivf {
   def semanticDedupCapped(embeddings: DataFrame, threshold: Double,
                           coarse: Int, fine: Int, cap: Int): DataFrame = {
     require(cap >= 2, s"cap must be >= 2, got $cap")
-    val cells = semanticDedupHierCells(embeddings, coarse, fine)
+    // The cell assignment feeds BOTH the leaf-size census and the salted
+    // pairing — cut it, or the whole hier-cells DAG runs twice (measured
+    // as capped slower than the uncapped hier form at 1M vectors).
+    val cells = Checkpoints.stable(
+      semanticDedupHierCells(embeddings, coarse, fine))
     val nsalt = cells.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
       .select(col("cell"), expr(s"(cnt + ${cap - 1}) div $cap").as("nsalt"))
     val contentKey = concat_ws(",", transform(col("embedding"),
       x => floor(x.cast("double") * lit(1048576.0)).cast("long").cast("string")))
+    // Salt only where it can matter: pmod(anything, 1) = 0, so rows in
+    // leaves at-or-under the cap short-circuit to salt 0 without paying
+    // the ~dim·20-char content-key md5 — that is nearly every row in a
+    // healthy (non-Zipf-tail) leaf distribution.
     val salted = cells.join(broadcast(nsalt), Seq("cell"))
       .withColumn("salt",
-        pmod(conv(substring(md5(contentKey), 1, 15), 16, 10).cast("long"),
-          col("nsalt")))
+        when(col("nsalt") > 1L,
+          pmod(conv(substring(md5(contentKey), 1, 15), 16, 10).cast("long"),
+            col("nsalt")))
+          .otherwise(lit(0L)))
       .select(col("vec_id"), col("cell"), col("salt"), col("embedding"))
-    greedyPairRemoval(salted, Seq("cell", "salt"), "cell", threshold)
+    // pairTarget = cap: the salt already bounds groups at ~cap, so a
+    // smaller inner pair target would just re-split them (replication
+    // without balance benefit).
+    greedyPairRemoval(salted, Seq("cell", "salt"), "cell", threshold, cap)
   }
 
   /** Product-quantization ANN (Jégou, Douze & Schmid, "Product

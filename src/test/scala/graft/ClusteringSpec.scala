@@ -84,4 +84,30 @@ class ClusteringSpec extends SparkSpec {
       (5L, 5L, 3L, true), (7L, 5L, 3L, false), (9L, 5L, 3L, false),
       (30L, 30L, 2L, true), (31L, 30L, 2L, false)))
   }
+
+  test("reliable-checkpoint path: with a checkpoint dir configured the CC loop survives on checkpoint files and matches the local result") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (12L, 11L))
+      .toDF("doc_a", "doc_b")
+    def labels() = Clustering.connectedComponents(edges, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "precondition: suite session has no checkpoint dir")
+    val localResult = labels()
+    val dir = java.nio.file.Files.createTempDirectory("graft_reliable_ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      assert(spark.sparkContext.getCheckpointDir.isDefined)
+      assert(labels() == localResult)
+      // the reliable path genuinely wrote checkpoint data to the dir
+      def anyFile(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles()).exists(_.exists(anyFile))
+      assert(anyFile(dir.toFile),
+        s"no checkpoint files under $dir - localCheckpoint was used instead")
+    } finally {
+      // restore: null clears the dir (Option(null) = None in Spark's
+      // setCheckpointDir), so later suites keep the local fast path
+      spark.sparkContext.setCheckpointDir(null)
+    }
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+  }
 }

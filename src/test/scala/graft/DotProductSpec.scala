@@ -39,6 +39,42 @@ class DotProductSpec extends SparkSpec {
     }
   }
 
+  test("graft_l2q equals the aggregate/zip_with spelling and the hand value") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq(1L, 5L, -3L), Seq(4L, 5L, 7L)),
+      (Seq(1048576L, -1048576L), Seq(-1048576L, 1048576L))
+    ).toDF("a", "b")
+    val hof = aggregate(zip_with($"a", $"b", (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    val rows = df.select(call_function("graft_l2q", $"a", $"b").as("native"),
+      hof.as("reference")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    assert(rows(0).getLong(0) == 9L + 0L + 100L)
+    assert(rows(1).getLong(0) == 2L * (2L * 1048576L) * (2L * 1048576L))
+  }
+
+  test("graft_l2q: null yields null, wrong type rejected, codegen participation") {
+    GraftFunctions.register(spark)
+    val withNull = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+    assert(withNull.select(call_function("graft_l2q", $"a", $"b"))
+      .collect()(0).isNullAt(0))
+    val bad = Seq((Seq(1.0), Seq(2.0))).toDF("a", "b") // double arrays
+    intercept[Exception] {
+      bad.select(call_function("graft_l2q", $"a", $"b")).collect()
+    }
+    val df = spark.range(10)
+      .select(array($"id" + 1, $"id" + 2).as("a"),
+        array(lit(2L), lit(3L)).as("b"))
+      .select(call_function("graft_l2q", $"a", $"b").as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [l2squaredlong"), plan)
+    assert(df.agg(sum($"d")).as[Long].head() ==
+      (0 until 10).map { i =>
+        val d1 = (i + 1) - 2L; val d2 = (i + 2) - 3L; d1 * d1 + d2 * d2
+      }.sum)
+  }
+
   test("graft_dot participates in whole-stage codegen") {
     GraftFunctions.register(spark)
     // range() is a codegen source (local Seqs collapse to LocalTableScan

@@ -386,4 +386,27 @@ class IvfSpec extends SparkSpec {
     // removal list names each vector at most once
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
   }
+
+  test("cellPairs partner-bucket decomposition: a tiny pairTarget (many buckets) reproduces the naive all-pairs result exactly") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    // 90 vectors over 3 groups (group sizes 30) so pairTarget = 4 forces
+    // nb = 8 buckets per group — deep into the replicated/monotone path.
+    val cells = (0 until 90).map { i =>
+      (i.toLong, (i % 3).toLong,
+        Seq.fill(8)(rnd.nextFloat() * 2 - 1).map(float2Float))
+    }.toDF("vec_id", "cid", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    def run(target: Int) =
+      Ivf.cellPairs(cells, Seq("cid"), "cid", threshold = 0.1,
+        pairTarget = target)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    // pairTarget >= group size => nb = 1 everywhere: the naive self-join
+    val naive = run(1000)
+    val split = run(4)
+    assert(naive.nonEmpty, "fixture produced no pairs - threshold too high")
+    assert(split == naive) // same pairs, bit-identical cosines
+  }
 }
