@@ -45,14 +45,19 @@ object Etl {
     val silver = spark.read.parquet(cfg.aggregatedDir)
     Sinks.saveTable(silver.drop("month", "bucket_ts"),
       cfg.warehouseTable, cfg.warehousePath)
-    // export (S11) with the empty guard.
+    // export (S11) with the empty guard — BOTH forms: the reference
+    // exports the whole warehouse table (`components/duckdb2csv.py:10`
+    // is `SELECT * FROM {table}`), so the literal parity export is the
+    // full table; the per-type summary rides alongside as the
+    // analytics-facing view. Same Sinks.exportCsv, same empty guard.
+    Sinks.exportCsv(spark.table(cfg.warehouseTable), cfg.exportDir)
     val summary = spark.table(cfg.warehouseTable)
       .groupBy("event_type")
       .agg(
         org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n_buckets"),
         org.apache.spark.sql.functions.sum("volume").as("total_volume"))
-    Sinks.exportCsv(summary, cfg.exportDir)
+    Sinks.exportCsv(summary, cfg.exportDir + "_summary")
     summary
   }
 }

@@ -712,12 +712,23 @@ object SparkEntry {
     // All-corpus embedding near-dup pair mining via LSH bucket self-join;
     // plane count sized from the corpus cardinality (planesFor).
     "emb_neardup" -> ((s, d) => Similarity.embNearDupAuto(Tables.embeddings(s, d), 0.4)),
+    // BANDED (multi-table) form — the OR-amplification the single table
+    // lacks: table count solved from the LSH bound for recall >= 0.9 at
+    // the threshold (ANN_RECALL artifact scores both against the exact
+    // pair set; the single-table form measured 0.092 recall at sf0.1,
+    // the closed-form (1-theta/pi)^r).
+    "emb_neardup_banded" -> ((s, d) =>
+      Similarity.embNearDupBandedAuto(Tables.embeddings(s, d), 0.4, 0.9)),
     // md5-seeded integer-exact twins of ann_lsh / emb_neardup (the L33
     // precedent): bucket assignment is pure BIGINT arithmetic both
     // engines reproduce bit-for-bit, so these carry full hash oracles
     // where the xxhash64-seeded fast paths above are rows-only.
     "ann_md5" -> ((s, d) => Similarity.annMd5(Tables.embeddings(s, d), 0L, 10)),
     "emb_neardup_md5" -> ((s, d) => Similarity.embNearDupMd5(Tables.embeddings(s, d), 0.4)),
+    // Banded twin: 8 tables x 3 md5 planes — candidate set BIGINT-exact,
+    // so the whole tag -> dedup -> verify shape carries a hash oracle.
+    "emb_neardup_banded_md5" -> ((s, d) =>
+      Similarity.embNearDupBandedMd5(Tables.embeddings(s, d), 0.4)),
     // The IVF counterpart: md5-picked seed centroids (no Lloyd rounds —
     // float means aren't cross-engine exact), integer-quantized distance
     // assignment, nprobe-cell probe — cell membership fully oracle-able.
@@ -738,10 +749,12 @@ object SparkEntry {
     // Product-quantization ANN: 8x16 md5-seeded codebook, BIGINT encode
     // + ADC candidate scoring (8-byte codes, 32x scan compression),
     // exact cosine re-rank — candidate set integer-exact in any engine.
-    "ann_pq" -> ((s, d) => Ivf.annPq(Tables.embeddings(s, d), 0L, 10)),
+    "ann_pq" -> ((s, d) =>
+      Ivf.annPq(Tables.embeddings(s, d), 0L, 10, candidates = 200)),
     // The FAISS production composition: coarse IVF route (nprobe cells)
     // then PQ-ADC over only those cells, exact rerank of 40 survivors.
-    "ann_ivfpq" -> ((s, d) => Ivf.annIvfPq(Tables.embeddings(s, d), 0L, 10)),
+    "ann_ivfpq" -> ((s, d) => Ivf.annIvfPq(Tables.embeddings(s, d), 0L, 10,
+      nprobe = 4, candidates = 200)),
     // LLM tier — multimodal binary-column plumbing (stubbed decode).
     "multimodal_meta" -> ((s, d) => Multimodal.decodeMeta(Tables.documents(s, d))),
     "frame_sample" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d), 100)),
@@ -815,12 +828,17 @@ object SparkEntry {
     // Similarity.md5Bucket: integer plane components from md5("p:d"),
     // floor-quantized embeddings, BIGINT dot → sign bits. Generated for
     // the fixed (nPlanes=6, dim=64) the registered twins use.
-    val md5BucketSql = (0 until 6).map { p =>
+    def md5BucketSqlAt(start: Int, n: Int): String = (0 until n).map { p =>
       s"""CASE WHEN list_sum(list_transform(generate_series(1, 64),
-         | d -> ((('0x' || substr(md5($p || ':' || (d-1)), 1, 8))::BIGINT % 2001) - 1000)
+         | d -> ((('0x' || substr(md5(${start + p} || ':' || (d-1)), 1, 8))::BIGINT % 2001) - 1000)
          |      * CAST(floor(CAST(embedding[d] AS DOUBLE) * 1048576) AS BIGINT))) >= 0
          | THEN ${1L << p} ELSE 0 END""".stripMargin
     }.mkString("(", "\n + ", ")")
+    val md5BucketSql = md5BucketSqlAt(0, 6)
+    // the banded twin's 8 per-table buckets (table t owns planes
+    // [t*3, t*3+3)) as one SQL list literal
+    val md5BandedBucketsSql = (0 until 8).map(t => md5BucketSqlAt(t * 3, 3))
+      .mkString("[", ",\n ", "]")
     // Volume-bars oracle — serves both the windowed form and the chunked
     // twin (bit-identical: integer units, exact cumsum, floor division).
     val volumeBarsOracle =
@@ -2497,6 +2515,24 @@ object SparkEntry {
          |  WHERE b.vec_id != 0 AND bit_count(xor(b.bucket, qb)) <= 1)
          |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
     // Same-bucket pair mining over the md5 planes + exact cosine verify.
+    // Banded twin mirror: per-table md5 buckets -> (vec_id, tbl, bucket)
+    // tags -> distinct candidate pairs -> exact-cosine verify.
+    "emb_neardup_banded_md5" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $md5BandedBucketsSql AS bks
+         |           FROM embeddings),
+         |tg AS (SELECT vec_id, u.tbl, bks[u.tbl + 1] AS bucket
+         |       FROM b, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS u(tbl)),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+         |         FROM tg a JOIN tg b2 ON a.tbl = b2.tbl
+         |            AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         |SELECT * FROM (
+         |  SELECT vec_a, vec_b,
+         |    list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+         |      / (sqrt(list_sum(list_transform(ea.embedding::DOUBLE[], x -> x * x)))
+         |         * sqrt(list_sum(list_transform(eb.embedding::DOUBLE[], x -> x * x)))) AS cosine
+         |  FROM cand JOIN embeddings ea ON cand.vec_a = ea.vec_id
+         |            JOIN embeddings eb ON cand.vec_b = eb.vec_id)
+         |WHERE cosine >= 0.4""".stripMargin,
     "emb_neardup_md5" ->
       s"""WITH b AS (SELECT vec_id, embedding, $md5BucketSql AS bucket
          |           FROM embeddings)
@@ -2672,7 +2708,7 @@ object SparkEntry {
         |pc AS (SELECT cid FROM c, qv
         |       ORDER BY CAST(list_sum(list_transform(generate_series(1, len(q_qe)),
         |                 i -> (q_qe[i] - ce[i]) * (q_qe[i] - ce[i]))) AS BIGINT), cid
-        |       LIMIT 2),
+        |       LIMIT 4),
         |probed AS (SELECT q.vec_id, q.qe FROM q JOIN a USING (vec_id)
         |           JOIN pc ON a.cid = pc.cid WHERE q.vec_id != 0),
         |seeds AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
@@ -2695,7 +2731,7 @@ object SparkEntry {
         |adc AS (SELECT enc.vec_id, sum(qd2) AS adc
         |        FROM enc JOIN qlut ON enc.j = qlut.j AND enc.code = qlut.code
         |        GROUP BY 1),
-        |cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 40)
+        |cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 200)
         |SELECT q.vec_id, q.label,
         | list_dot_product(q.embedding::DOUBLE[], q_emb)
         |   / (sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x * x)))
@@ -2730,7 +2766,7 @@ object SparkEntry {
         |        FROM enc JOIN qlut ON enc.j = qlut.j AND enc.code = qlut.code
         |        GROUP BY 1),
         |cand AS (SELECT vec_id FROM adc WHERE vec_id != 0
-        |         ORDER BY adc ASC, vec_id ASC LIMIT 40),
+        |         ORDER BY adc ASC, vec_id ASC LIMIT 200),
         |qv2 AS (SELECT embedding::DOUBLE[] AS q_emb FROM q WHERE vec_id = 0)
         |SELECT q.vec_id, q.label,
         | list_dot_product(q.embedding::DOUBLE[], q_emb)

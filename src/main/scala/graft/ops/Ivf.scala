@@ -155,18 +155,47 @@ object Ivf {
     * immediately and the write cost is proportional to the batch, not
     * the corpus. This is the lake steady state: one training run, then
     * append-only maintenance; centroid DRIFT is the documented limit —
-    * when the appended fraction grows large enough that cells stop
-    * matching the data distribution, retrain via [[writeIvfLayout]]
-    * (cell-size monitoring makes the trigger observable: a cell
-    * absorbing a disproportionate share of appends is the drift
-    * signal).
+    * when the appended data stops matching the trained cells, probes
+    * read ever-larger mismatched cells and recall decays, so the drift
+    * must be MEASURED, not assumed.
+    *
+    * Returns the drift report that makes the retrain trigger observable:
+    * one row per touched cell — `(cid, n_appended, drift)` where `drift`
+    * = ‖mean(batch members of the cell) − persisted centroid‖₂, the
+    * standard k-means residual displacement. An i.i.d. batch re-centers
+    * each cell near its centroid (drift ≈ the noise floor); a shifted
+    * distribution shows up as drift of the order of the shift itself.
+    * Alert on e.g. `max(drift)` or the appended-count-weighted mean
+    * against the layout's typical intra-cell radius; retrain via
+    * [[writeIvfLayout]] when it fires. Cost: the per-cell means fall out
+    * of one posexplode + hash aggregate over the batch (nlist×dim rows —
+    * nothing proportional to the resident corpus), and the final
+    * distance is computed on the nlist-row centroid join.
     */
-  def appendToLayout(newVectors: DataFrame, layoutDir: String): Unit = {
+  def appendToLayout(newVectors: DataFrame, layoutDir: String): DataFrame = {
     val spark = newVectors.sparkSession
+    import spark.implicits._
     val centroids = readCentroids(spark, layoutDir)
-    assignCells(newVectors, centroids, spark)
+    val assigned = Checkpoints.stable(assignCells(newVectors, centroids, spark))
+    assigned
       .repartition(col("cid"))
       .write.mode("append").partitionBy("cid").parquet(layoutDir)
+    val cents = centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("ccid", "c_emb")
+    assigned
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(avg(col("v")).as("m"), count(lit(1)).as("n"))
+      .groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("mean_emb"),
+        max(col("n")).as("n_appended"))
+      .join(broadcast(cents), col("cid") === col("ccid"))
+      .select(col("cid"), col("n_appended"),
+        sqrt(aggregate(
+          zip_with(col("mean_emb"), col("c_emb"),
+            (m, c) => (m.getField("m") - c.cast("double"))
+              * (m.getField("m") - c.cast("double"))),
+          lit(0.0), (acc, x) => acc + x)).as("drift"))
   }
 
   /** Load the centroid artifact back (nlist rows — a driver-side array). */

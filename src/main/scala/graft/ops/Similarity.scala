@@ -736,6 +736,70 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** BANDED (multi-table) hyperplane near-dup mining — the amplification
+    * step [[embNearDup]]'s single table lacks: one signature of r planes
+    * catches a cosine-t pair with probability only pᵣ = (1 − θ(t)/π)^r
+    * (measured 0.092 recall at t = 0.4, r = 5 on the sf0.1 corpus —
+    * exactly the closed form), while L independent tables OR-amplify to
+    * 1 − (1 − pᵣ)^L. This is the same band discipline
+    * [[minhashNearDup]] applies to Jaccard, ported to the cosine
+    * family: table t owns plane slice [t·r, (t+1)·r) of the shared
+    * deterministic sequence.
+    *
+    * Shape at scale: the per-table tagging explodes to (vec_id, tbl,
+    * bucket) rows — ids only, L rows per vector, the embedding payload
+    * NEVER rides the candidate join; candidates dedupe on (vec_a,
+    * vec_b) before the exact-cosine verify joins the payload back once
+    * per side. Precision is 1.0 by construction (every candidate is
+    * verified with the exact cosine); recall is the L-table
+    * amplification bound.
+    */
+  def embNearDupBanded(embeddings: DataFrame, threshold: Double,
+                       nTables: Int, planesPerTable: Int,
+                       dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val buckets = array((0 until nTables).map(t =>
+      hyperplaneBucketAt("embedding", t * planesPerTable, planesPerTable, dim)): _*)
+    val tagged = embeddings
+      .select(col("vec_id"), posexplode(buckets).as(Seq("tbl", "bucket")))
+    val cand = tagged.as("a")
+      .join(tagged.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct() // a pair colliding in several tables verifies once
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (dotF(col("ea"), col("eb")) / (l2F(col("ea")) * l2F(col("eb"))))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** [[embNearDupBanded]] sized FROM THE DATA for a target recall: r =
+    * [[planesFor]] keeps buckets ≈ targetBucketRows (the m²-bound), and
+    * the table count solves the amplification bound 1 − (1 − pᵣ)^L ≥
+    * targetRecall with pᵣ = (1 − θ/π)^r — the standard LSH sizing. The
+    * returned L is the HONEST cost of the requested (threshold, recall)
+    * point: weak thresholds at high recall demand many tables (the
+    * c-approximate-NN hardness made visible as a knob), which is why
+    * production semantic dedup runs at high thresholds.
+    */
+  def embNearDupBandedAuto(embeddings: DataFrame, threshold: Double,
+                           targetRecall: Double = 0.9,
+                           targetBucketRows: Long = 64L,
+                           dim: Int = 64): DataFrame = {
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0,1), got $targetRecall")
+    val r = planesFor(embeddings, targetBucketRows)
+    val pPlane = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val pTable = math.pow(pPlane, r)
+    val l = math.ceil(math.log1p(-targetRecall) / math.log1p(-pTable)).toInt
+    embNearDupBanded(embeddings, threshold, math.min(math.max(l, 1), 64), r, dim)
+  }
+
   // ---------------------------------------------- md5-seeded ANN twins
   //
   // The L33 precedent (simhashMd5 / minhashSignaturesMd5) applied to the
@@ -763,11 +827,20 @@ object Similarity {
   /** Sign-pattern bucket over the md5-seeded integer plane family —
     * exact BIGINT arithmetic end-to-end (see block comment above).
     */
-  private[ops] def md5Bucket(embCol: String, nPlanes: Int, dim: Int): Column = {
+  private[ops] def md5Bucket(embCol: String, nPlanes: Int, dim: Int): Column =
+    md5BucketAt(embCol, 0, nPlanes, dim)
+
+  /** Per-table md5 bucket over planes [startPlane, startPlane+nPlanes) —
+    * the banded twin's table t owns a disjoint slice of the md5 plane
+    * sequence, mirroring [[hyperplaneBucketAt]].
+    */
+  private[ops] def md5BucketAt(embCol: String, startPlane: Int,
+                               nPlanes: Int, dim: Int): Column = {
     val qEmb = transform(col(embCol),
       x => floor(x.cast("double") * lit(1048576.0)))
     (0 until nPlanes).map { p =>
-      val comps = array((0 until dim).map(d => lit(md5PlaneComp(p, d))): _*)
+      val comps = array((0 until dim).map(d =>
+        lit(md5PlaneComp(startPlane + p, d))): _*)
       val dotI = aggregate(zip_with(qEmb, comps, (x, y) => x * y),
         lit(0L), (acc, x) => acc + x)
       when(dotI >= 0L, lit(1L << p)).otherwise(lit(0L))
@@ -812,6 +885,36 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (dotF(col("a.embedding"), col("b.embedding")) /
           (l2F(col("a.embedding")) * l2F(col("b.embedding")))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** [[embNearDupBanded]]'s oracle-able twin: the same per-table tag →
+    * candidate-dedup → exact-verify shape over the md5 plane family
+    * (bucket assignment pure BIGINT arithmetic — any engine reproduces
+    * the candidate set bit-for-bit). Fixed (nTables, planesPerTable):
+    * the oracle SQL inlines the same constants.
+    */
+  def embNearDupBandedMd5(embeddings: DataFrame, threshold: Double,
+                          nTables: Int = 8, planesPerTable: Int = 3,
+                          dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val buckets = array((0 until nTables).map(t =>
+      md5BucketAt("embedding", t * planesPerTable, planesPerTable, dim)): _*)
+    val tagged = embeddings
+      .select(col("vec_id"), posexplode(buckets).as(Seq("tbl", "bucket")))
+    val cand = tagged.as("a")
+      .join(tagged.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (dotF(col("ea"), col("eb")) / (l2F(col("ea")) * l2F(col("eb"))))
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -887,7 +990,8 @@ object Similarity {
     * lays out the corpus and the driver-side bucket of a single query
     * vector, so both sides always agree.
     */
-  private def planesArray(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+  private def planesArrayAt(startPlane: Int, nPlanes: Int,
+                            dim: Int): Array[Array[Double]] = {
     def mix(z0: Long): Double = {
       var z = z0 + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -895,15 +999,28 @@ object Similarity {
       z = z ^ (z >>> 31)
       (java.lang.Math.floorMod(z, 2000001L) - 1000000L).toDouble / 1000000.0
     }
-    Array.tabulate(nPlanes, dim)((p, d) => mix(p.toLong * 1000003L + d))
+    Array.tabulate(nPlanes, dim)((p, d) =>
+      mix((startPlane + p).toLong * 1000003L + d))
   }
+
+  private def planesArray(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    planesArrayAt(0, nPlanes, dim)
 
   /** Shared bucket expression: sign pattern of `nPlanes` deterministic
     * hyperplanes (same plane family as [[annLsh]]).
     */
   private[ops] def hyperplaneBucket(embCol: String, nPlanes: Int,
-                                    dim: Int): Column = {
-    val planes = planesArray(nPlanes, dim)
+                                    dim: Int): Column =
+    hyperplaneBucketAt(embCol, 0, nPlanes, dim)
+
+  /** Same sign-pattern bucket over planes [startPlane, startPlane +
+    * nPlanes) — the per-TABLE bucket of the banded (multi-table) LSH
+    * family: table t owns a disjoint slice of the shared deterministic
+    * plane sequence, so tables are independent hash functions.
+    */
+  private[ops] def hyperplaneBucketAt(embCol: String, startPlane: Int,
+                                      nPlanes: Int, dim: Int): Column = {
+    val planes = planesArrayAt(startPlane, nPlanes, dim)
     (0 until nPlanes).map { p =>
       when(dot(asDouble(col(embCol)),
         array(planes(p).map(lit(_)): _*)) >= 0, lit(1L << p)).otherwise(lit(0L))

@@ -25,7 +25,13 @@ class EtlSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(first.keySet.size == 5)
     assert(first == second) // re-run does not double-count
-    val exported = spark.read.option("header", "true").csv(cfg.exportDir)
+    // S11 literal parity: the full-table export has exactly the
+    // warehouse table's rows (the reference's SELECT * export), the
+    // summary export the per-type rollup.
+    val fullExport = spark.read.option("header", "true").csv(cfg.exportDir)
+    assert(fullExport.count() == spark.table(cfg.warehouseTable).count())
+    val exported = spark.read.option("header", "true")
+      .csv(cfg.exportDir + "_summary")
     assert(exported.count() == 5)
     intercept[IllegalArgumentException] {
       Etl.run(spark, events, cfg.copy(periods = Seq("not-a-period")))

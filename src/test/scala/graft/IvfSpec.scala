@@ -287,6 +287,30 @@ class IvfSpec extends SparkSpec {
     assert(probedIds.size < rows.length - 1)
   }
 
+  test("ivf append drift metric: quiet on an i.i.d. batch, fires on a shifted distribution") {
+    val emb = planted(4, 50, 8)
+    val first = emb.filter(col("vec_id") < 100L)
+    val iid = emb.filter(col("vec_id") >= 100L)
+    val dir = Files.createTempDirectory("graft_ivf_drift").toString + "/layout"
+    Ivf.writeIvfLayout(first, dir, nlist = 4, iters = 3)
+    // i.i.d. batch: same gaussian bundles (σ=0.1) the layout was trained
+    // on — per-cell means land within a few noise σ of the centroids
+    val quiet = Ivf.appendToLayout(iid, dir).collect()
+    assert(quiet.nonEmpty)
+    assert(quiet.map(_.getAs[Long]("n_appended")).sum == 100L)
+    val quietMax = quiet.map(_.getAs[Double]("drift")).max
+    assert(quietMax < 1.0, s"iid drift should be noise-floor, got $quietMax")
+    // drifted batch: every coordinate shifted by +5 — the cell means
+    // displace by ~‖(5,...,5)‖ = 5·√8 ≈ 14, orders above the floor
+    val shifted = iid.withColumn("embedding",
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => x + org.apache.spark.sql.functions.lit(5.0f)))
+    val loud = Ivf.appendToLayout(shifted, dir).collect()
+    val loudMax = loud.map(_.getAs[Double]("drift")).max
+    assert(loudMax > 5.0, s"shifted batch must fire the drift signal, got $loudMax")
+    assert(loudMax > 10 * quietMax)
+  }
+
   test("semanticDedup: greedy-by-id removal of exact duplicates, chains prune transitively, uniques survive") {
     // one-hot duplicates land in the same cell by construction (identical
     // vectors quantize identically) and their cosine is exactly 1.0

@@ -1,9 +1,11 @@
 package graft
 
-import org.apache.spark.sql.execution.{CollectLimitExec, FileSourceScanExec, GlobalLimitExec, InputAdapter, SparkPlan, TakeOrderedAndProjectExec, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.{CollectLimitExec, FileSourceScanExec, FilterExec, GlobalLimitExec, InputAdapter, LocalTableScanExec, SparkPlan, TakeOrderedAndProjectExec, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, Literal}
+import org.apache.spark.sql.catalyst.optimizer.BuildLeft
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 
@@ -118,6 +120,40 @@ class PlanLintSpec extends SparkSpec {
     node.children.foreach(walk(_, nextParent, onExchange))
   }
 
+  /** Staleness guard for the BNLJ whitelist: a whitelisted query's
+    * broadcast side must STILL be bounded by construction — a subtree
+    * containing a literal limit, a grouping-less (scalar) aggregate, a
+    * literal-comparison filter (the `vec_id = 0` / `doc_id < 500`
+    * selection patterns), or a driver-built local table. A refactor
+    * that turns a whitelisted query into a genuine corpus×corpus nested
+    * loop (two unbounded scans, no such bound on the broadcast side)
+    * fails the lint instead of hiding behind the stale entry.
+    */
+  private def boundedBroadcastSide(p: SparkPlan): Boolean = {
+    def bounded(node: SparkPlan): Boolean = node match {
+      case _: GlobalLimitExec | _: CollectLimitExec |
+           _: TakeOrderedAndProjectExec => true
+      case a: HashAggregateExec if a.groupingExpressions.isEmpty => true
+      case a: SortAggregateExec if a.groupingExpressions.isEmpty => true
+      case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => true
+      case f: FilterExec if f.condition.exists {
+        case cmp: BinaryComparison =>
+          cmp.left.isInstanceOf[Literal] || cmp.right.isInstanceOf[Literal]
+        case _ => false
+      } => true
+      case _: LocalTableScanExec => true
+      // an engine-WRITTEN artifact scan (bounds row, seed table,
+      // centroid catalog) is bounded by its writer's contract; only
+      // base-corpus scans (under the sf dir) are unbounded here
+      case s: FileSourceScanExec
+        if !s.relation.location.rootPaths.exists(_.toString.contains("/testdata/")) =>
+        true
+      case r: ReusedExchangeExec => bounded(r.child)
+      case other => other.children.exists(bounded)
+    }
+    bounded(p)
+  }
+
   private def lint(name: String, plan: SparkPlan): Seq[String] = {
     val out = scala.collection.mutable.Buffer[String]()
 
@@ -126,6 +162,11 @@ class PlanLintSpec extends SparkSpec {
         out += "CartesianProduct"
       case _: BroadcastNestedLoopJoinExec if !allowBnlj.contains(name) =>
         out += "BroadcastNestedLoopJoin (not whitelisted)"
+      case b: BroadcastNestedLoopJoinExec =>
+        val bcast = if (b.buildSide == BuildLeft) b.left else b.right
+        if (!boundedBroadcastSide(bcast))
+          out += "whitelisted BNLJ whose broadcast side no longer matches " +
+            "a bounded pattern (stale whitelist entry?)"
       case w: WindowExec if w.partitionSpec.isEmpty && !allowSingleFunnel.contains(name) =>
         out += "global Window (empty partitionSpec)"
       case w: WindowGroupLimitExec if w.partitionSpec.isEmpty && !allowSingleFunnel.contains(name) =>
@@ -182,5 +223,21 @@ class PlanLintSpec extends SparkSpec {
     val dangling = (allowBnlj.keySet ++ allowSingleFunnel.keySet ++
       allowFullScan.keySet).diff(registered)
     assert(dangling.isEmpty, s"whitelist entries for unregistered queries: $dangling")
+  }
+
+  test("BNLJ staleness guard can fire: an unbounded corpus-x-corpus broadcast side is NOT bounded") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    // a genuine nested loop: full documents scan x broadcast full nation
+    // scan, no limit/scalar-agg/literal-filter anywhere on the build side
+    val plan = s.read.parquet(s"$sf/documents.parquet")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(
+        s.read.parquet(s"$sf/nation.parquet")))
+      .queryExecution.executedPlan
+    val bnlj = plan.collectFirst { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnlj.isDefined, s"fixture no longer plans a BNLJ:\n$plan")
+    val side = if (bnlj.get.buildSide == BuildLeft) bnlj.get.left else bnlj.get.right
+    assert(!boundedBroadcastSide(side),
+      "guard failed to flag an unbounded broadcast side")
   }
 }

@@ -350,6 +350,52 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.length >= 120, s"found ${pairs.length} of 190 planted pairs")
   }
 
+  test("embNearDupBanded: OR-amplification recovers weak-threshold pairs a single table misses, precision stays exact") {
+    // moderately-similar planted pairs (cosine ~0.5): a single r-plane
+    // table catches each with probability only (1 - theta/pi)^r, so
+    // single-table recall collapses — the banded form's whole point
+    val rnd = new scala.util.Random(29)
+    val dim = 64
+    val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    // 40 vectors around the base with LARGE noise -> pairwise cosines
+    // spread across ~0.3-0.7, mostly near the 0.4 threshold
+    val fuzz = (0 until 40).map { i =>
+      (i.toLong, base.map(c => c + 1.0f * rnd.nextGaussian().toFloat).toSeq, 0)
+    }
+    val noise = (40 until 400).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq, 1)
+    }
+    val all = fuzz ++ noise
+    val emb = all.toDF("vec_id", "embedding", "label")
+    // exact all-pairs baseline, driver-side with the engine's widened-
+    // double arithmetic (same formula: dot / (sqrt(dot)·sqrt(dot)))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = (for {
+      i <- all.indices; j <- (i + 1) until all.length
+      if cos(all(i)._2, all(j)._2) >= 0.4
+    } yield (all(i)._1, all(j)._1)).toSet
+    val single = Similarity.embNearDup(emb, 0.4, nPlanes = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Similarity.embNearDupBandedAuto(emb, 0.4, targetRecall = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // precision exact for both (candidates are cosine-verified)
+    assert(single.subsetOf(exact) && banded.subsetOf(exact))
+    val rSingle = single.size.toDouble / exact.size
+    val rBanded = banded.size.toDouble / exact.size
+    assert(rBanded >= 0.85, f"banded recall $rBanded%.2f below the sized target")
+    assert(rBanded > rSingle + 0.2,
+      f"amplification should dominate: banded $rBanded%.2f vs single $rSingle%.2f")
+  }
+
   test("summaryApprox: sketch quantiles within 1% of the range-sort exact values") {
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
     val approx = graft.ops.Stats.summaryApprox(li).collect().head
