@@ -778,26 +778,59 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
-  /** [[embNearDupBanded]] sized FROM THE DATA for a target recall: r =
-    * [[planesFor]] keeps buckets ≈ targetBucketRows (the m²-bound), and
-    * the table count solves the amplification bound 1 − (1 − pᵣ)^L ≥
-    * targetRecall with pᵣ = (1 − θ/π)^r — the standard LSH sizing. The
-    * returned L is the HONEST cost of the requested (threshold, recall)
-    * point: weak thresholds at high recall demand many tables (the
-    * c-approximate-NN hardness made visible as a knob), which is why
-    * production semantic dedup runs at high thresholds.
+  /** Joint (planesPerTable, nTables) sizing for [[embNearDupBandedAuto]]:
+    * among every r whose amplification 1 − (1 − pᵣ)^L reaches
+    * `targetRecall` within the table cap (pᵣ = (1 − θ/π)^r, the standard
+    * hyperplane-LSH collision probability), pick the one minimizing the
+    * per-row cost model L·r (bucket hashing: r plane dots per table) +
+    * L·n/2^(r+1) (expected within-bucket pair combos per row). Returns
+    * (r, L, predicted recall).
+    *
+    * Fixing r from a bucket-size target alone (the first cut) is a trap
+    * BOTH ways: r too high makes pᵣ collapse so L hits the cap and
+    * recall SILENTLY degrades (measured 0.645 predicted at 20k vectors /
+    * threshold 0.4 where the target was 0.9), r too low drowns in m²
+    * bucket combos. The optimizer keeps the recall target FEASIBILITY
+    * first, cost second; if no r reaches the target under the cap it
+    * returns the max-recall configuration — callers get the best
+    * achievable point, and the predicted recall says what that is.
+    */
+  private[graft] def bandedSizing(n: Long, threshold: Double,
+                                  targetRecall: Double,
+                                  maxTables: Int = 64): (Int, Int, Double) = {
+    val pPlane = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    def recallOf(r: Int, l: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(pPlane, r), l)
+    val candidates = (2 to 24).map { r =>
+      val pTable = math.pow(pPlane, r)
+      val need = math.ceil(math.log1p(-targetRecall) / math.log1p(-pTable))
+      val l = math.min(math.max(need, 1.0), maxTables.toDouble).toInt
+      val cost = l.toDouble * r + l.toDouble * n.toDouble / (1L << math.min(r + 1, 62))
+      (r, l, recallOf(r, l), cost)
+    }
+    val feasible = candidates.filter(_._3 >= targetRecall)
+    val (r, l, rec, _) =
+      if (feasible.nonEmpty) feasible.minBy(_._4)
+      else candidates.maxBy(_._3)
+    (r, l, rec)
+  }
+
+  /** [[embNearDupBanded]] sized FROM THE DATA via [[bandedSizing]]
+    * (corpus cardinality from one HLL++ scan). The chosen L is the
+    * HONEST cost of the requested (threshold, recall) point: weak
+    * thresholds at high recall demand many tables (the c-approximate-NN
+    * hardness made visible as a knob), which is why production semantic
+    * dedup runs at high thresholds.
     */
   def embNearDupBandedAuto(embeddings: DataFrame, threshold: Double,
                            targetRecall: Double = 0.9,
-                           targetBucketRows: Long = 64L,
                            dim: Int = 64): DataFrame = {
     require(targetRecall > 0.0 && targetRecall < 1.0,
       s"targetRecall must be in (0,1), got $targetRecall")
-    val r = planesFor(embeddings, targetBucketRows)
-    val pPlane = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
-    val pTable = math.pow(pPlane, r)
-    val l = math.ceil(math.log1p(-targetRecall) / math.log1p(-pTable)).toInt
-    embNearDupBanded(embeddings, threshold, math.min(math.max(l, 1), 64), r, dim)
+    val n = embeddings.agg(approx_count_distinct(col("vec_id")).as("n"))
+      .head.getLong(0)
+    val (r, l, _) = bandedSizing(n, threshold, targetRecall)
+    embNearDupBanded(embeddings, threshold, l, r, dim)
   }
 
   // ---------------------------------------------- md5-seeded ANN twins

@@ -396,6 +396,27 @@ class SimilaritySpec extends SparkSpec {
       f"amplification should dominate: banded $rBanded%.2f vs single $rSingle%.2f")
   }
 
+  test("bandedSizing: recall target feasible at every scale, cost-optimal r, graceful max-recall fallback") {
+    // feasibility first: at any n where SOME (r, L<=64) reaches 0.9,
+    // the chosen config's predicted recall does
+    for (n <- Seq(2000L, 20000L, 200000L, 2000000L); t <- Seq(0.4, 0.7, 0.9)) {
+      val (r, l, rec) = Similarity.bandedSizing(n, t, 0.9)
+      assert(r >= 2 && r <= 24 && l >= 1 && l <= 64, s"(n=$n t=$t) -> ($r, $l)")
+      val p = 1.0 - math.acos(t) / math.Pi
+      assert(approx(rec, 1.0 - math.pow(1.0 - math.pow(p, r), l)))
+      if (t >= 0.7) assert(rec >= 0.9, s"(n=$n t=$t) recall $rec")
+    }
+    // the fixed-r trap this replaced: r=9 at n=20k/t=0.4 caps L at 64
+    // and silently lands at ~0.645 recall; the optimizer must beat it
+    val (r, l, rec) = Similarity.bandedSizing(20000L, 0.4, 0.9)
+    assert(rec >= 0.9, s"recall $rec at the measured trap point (r=$r, l=$l)")
+    // high thresholds are cheaper: at the same corpus and recall target,
+    // tight near-dups need fewer tables than weak-threshold mining
+    val (_, lTight, _) = Similarity.bandedSizing(2000000L, 0.95, 0.9)
+    val (_, lWeak, _) = Similarity.bandedSizing(2000000L, 0.4, 0.9)
+    assert(lTight < lWeak, s"t=0.95 L=$lTight should undercut t=0.4 L=$lWeak")
+  }
+
   test("summaryApprox: sketch quantiles within 1% of the range-sort exact values") {
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
     val approx = graft.ops.Stats.summaryApprox(li).collect().head
