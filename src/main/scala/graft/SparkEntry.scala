@@ -627,6 +627,12 @@ object SparkEntry {
     // at any SF. (The old bound of 100 made the result vacuously empty —
     // every near-dup pair straddles the id range.)
     "ngram_jaccard" -> ((s, d) => Similarity.ngramJaccard(Tables.documents(s, d), 500L, 0.1)),
+    // EXACT corpus-wide all-pairs Jaccard (prefix filtering, WWW'07):
+    // every pair >= t with NO id cap and NO recall loss - the exact
+    // complement to the LSH miners; the oracle is the brute all-pairs
+    // form (gate runs at sf0.01 where DuckDB affords it).
+    "jaccard_allpairs" -> ((s, d) =>
+      Similarity.allPairsJaccard(Tables.documents(s, d), 0.5)),
     // Asymmetric containment over the same bounded id range: catches the
     // quote-inclusion/superset family whose symmetric Jaccard is tiny.
     "containment_pairs" -> ((s, d) => Similarity.containmentPairs(Tables.documents(s, d), 500L, 0.8)),
@@ -2161,6 +2167,23 @@ object SparkEntry {
         |      / len(list_distinct(a.s || b.s)) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.1""".stripMargin,
+    // Brute all-pairs mirror of the prefix-filtered exact join: the
+    // prefix prune is LOSSLESS, so the full quadratic scan (no id cap)
+    // must produce the identical pair set at the gate scale. Size
+    // filter in the oracle: none needed - it is a prune, not semantics.
+    "jaccard_allpairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / len(list_distinct(a.s || b.s)) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.5""".stripMargin,
     // The lexical pair CTE from ngram_jaccard + one embedding join per
     // side, cosine with the cosine_topk formula.
     "dedup_ensemble" ->

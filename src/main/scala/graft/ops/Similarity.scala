@@ -336,6 +336,73 @@ object Similarity {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT corpus-wide all-pairs Jaccard via prefix filtering (Bayardo,
+    * Ma & Srikant, "Scaling Up All Pairs Similarity Search", WWW 2007;
+    * the SSJoin/PPJoin family) — the exact-recall complement to the LSH
+    * miners: [[minhashNearDup]] trades recall for pruning, while this
+    * returns EVERY pair with Jaccard ≥ t and still never goes m² on the
+    * corpus.
+    *
+    * The lossless prune: order every document's shingle set by one
+    * GLOBAL canonical order (ascending document frequency, rarest
+    * first — the paper's candidate-minimizing order; ties on the hash),
+    * and keep only each document's first p = n − ⌈t·n⌉ + 1 shingles as
+    * its PREFIX. Two sets with J ≥ t must overlap within their
+    * prefixes (if all shared tokens hid in the suffixes, the overlap
+    * would be ≤ n − p < t-feasible), so the equi-join of prefixes on
+    * the shingle hash yields a guaranteed SUPERSET of true pairs; a
+    * size filter (t·max(n_a,n_b) ≤ min(n_a,n_b), since J ≤ min/max)
+    * shrinks it further, and the exact set verify decides membership.
+    * Both prune bounds carry a 1e-9 slack so double rounding can only
+    * ADMIT extra candidates, never drop a true pair — exactness is
+    * decided by the verify alone.
+    *
+    * Shape at 100 TB: document frequencies are one hash aggregate; the
+    * per-doc rank window partitions by doc_id (never global); prefixes
+    * carry (doc_id, h, n) only; the candidate join keys on the shingle
+    * hash where rarest-first prefixes keep per-key groups small (a
+    * common token enters a prefix only for documents too small to have
+    * rarer ones); the verify joins hashed-shingle SETS by id — the
+    * candidate list, not the corpus, pays the set intersection.
+    */
+  def allPairsJaccard(documents: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("dfreq"), col("h"))
+    val sh = shingleRows(documents)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .distinct()
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
+    val ranked = sh.join(dfreq, "h")
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    val pref = ranked
+      .filter(col("rnk") <=
+        col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("h"), col("n"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+            lit(threshold) * greatest(col("a.n"), col("b.n")) - lit(1e-9))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("sh"))
+      .withColumn("n", size(col("sh")))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa"),
+        col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Asymmetric containment near-dup — the subset case symmetric Jaccard
     * misses: a short document quoted wholesale inside a long one has
     * J = |A|/|B| (tiny when |B| ≫ |A|) but containment
@@ -754,6 +821,43 @@ object Similarity {
     * verified with the exact cosine); recall is the L-table
     * amplification bound.
     */
+  /** Exact skew-balanced within-group id-pair enumeration — the
+    * [[Ivf]] partner-bucket decomposition applied to candidate
+    * generation: a plain self-join on the group key sends ALL of a hot
+    * group's pairs to ONE reducer (hyperplane sign buckets skew hard on
+    * clustered corpora — planes through the origin cannot split a tight
+    * cluster). Each group of size sz splits into ceil(sz/pairTarget)
+    * MONOTONE id-range sub-buckets; the y side keys by its own
+    * sub-bucket, the x side replicates to partner sub-buckets at-or-
+    * above its own, so every unordered (idA < idB) pair meets exactly
+    * once and per-task pair work is bounded by ~sz·pairTarget. `tagged`
+    * is cut ([[Checkpoints.stable]]) because it feeds both join sides —
+    * without it the (expensive) bucket computation runs twice.
+    */
+  private def balancedIdPairs(tagged: DataFrame, keys: Seq[String],
+                              pairTarget: Int = 1250): DataFrame = {
+    val keyCols = keys.map(col)
+    val sizes = tagged.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("gsz"),
+        min(col("vec_id")).as("gmin"), max(col("vec_id")).as("gmax"))
+      .select(keyCols ++ Seq(
+        ceil(col("gsz").cast("double") / pairTarget).cast("int").as("nb"),
+        col("gmin"), col("gmax")): _*)
+    val g = Checkpoints.stable(tagged.join(sizes, keys))
+    val bk = least(col("nb") - lit(1),
+      floor((col("vec_id") - col("gmin")).cast("double")
+        / (col("gmax") - col("gmin") + lit(1L)).cast("double")
+        * col("nb")).cast("int")).as("bk")
+    val x = g.withColumn("bk", bk)
+      .withColumn("pb", explode(sequence(col("bk"), col("nb") - 1)))
+      .drop("bk")
+    val y = g.withColumn("pb", bk)
+    val cond = (keys :+ "pb").map(k => col(s"x.$k") === col(s"y.$k"))
+      .reduce(_ && _) && col("x.vec_id") < col("y.vec_id")
+    x.as("x").join(y.as("y").hint("shuffle_hash"), cond)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+  }
+
   def embNearDupBanded(embeddings: DataFrame, threshold: Double,
                        nTables: Int, planesPerTable: Int,
                        dim: Int = 64): DataFrame = {
@@ -762,11 +866,7 @@ object Similarity {
       hyperplaneBucketAt("embedding", t * planesPerTable, planesPerTable, dim)): _*)
     val tagged = embeddings
       .select(col("vec_id"), posexplode(buckets).as(Seq("tbl", "bucket")))
-    val cand = tagged.as("a")
-      .join(tagged.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val cand = balancedIdPairs(tagged, Seq("tbl", "bucket"))
       .distinct() // a pair colliding in several tables verifies once
     val e = embeddings.select(col("vec_id"), col("embedding"))
     cand
@@ -935,11 +1035,7 @@ object Similarity {
       md5BucketAt("embedding", t * planesPerTable, planesPerTable, dim)): _*)
     val tagged = embeddings
       .select(col("vec_id"), posexplode(buckets).as(Seq("tbl", "bucket")))
-    val cand = tagged.as("a")
-      .join(tagged.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val cand = balancedIdPairs(tagged, Seq("tbl", "bucket"))
       .distinct()
     val e = embeddings.select(col("vec_id"), col("embedding"))
     cand

@@ -396,6 +396,34 @@ class SimilaritySpec extends SparkSpec {
       f"amplification should dominate: banded $rBanded%.2f vs single $rSingle%.2f")
   }
 
+  test("allPairsJaccard: prefix filtering is lossless - identical to the brute all-pairs set, boundary pairs included") {
+    val rnd = new scala.util.Random(41)
+    val vocab = (0 until 200).map(i => s"w$i")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // families of graduated mutations produce jaccards smeared across
+    // the [0, 1] range, including near the 0.5 threshold
+    val bases = (0 until 25).map(_ => doc(30))
+    // family member m replaces m random TOKENS (0..3): a 3-gram shingle
+    // set loses ~3 shingles per replaced token, so jaccards land around
+    // 1.0 / 0.8 / 0.65 / 0.5 - straddling the 0.5 threshold
+    val docs = bases.zipWithIndex.flatMap { case (b, i) =>
+      (0 until 4).map { m =>
+        val toks = b.split(" ").clone()
+        (0 until m).foreach { _ =>
+          toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.size)) }
+        ((i * 4 + m).toLong, toks.mkString(" "))
+      }
+    }.toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2)).toSeq
+    // ngramJaccard with an id cap above every id IS the brute baseline,
+    // with the same shingle hashing and the same union arithmetic
+    val brute = canon(Similarity.ngramJaccard(docs, 10000L, 0.5))
+    val fast = canon(Similarity.allPairsJaccard(docs, 0.5))
+    assert(brute.nonEmpty, "fixture must produce pairs at the threshold")
+    assert(fast == brute)
+  }
+
   test("bandedSizing: recall target feasible at every scale, cost-optimal r, graceful max-recall fallback") {
     // feasibility first: at any n where SOME (r, L<=64) reaches 0.9,
     // the chosen config's predicted recall does
