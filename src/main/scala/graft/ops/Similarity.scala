@@ -782,10 +782,23 @@ object Similarity {
     math.min(math.max(p, 2), 24)
   }
 
-  /** [[embNearDup]] with the plane count derived via [[planesFor]]. */
+  /** Embedding width from one LIMIT-1 peek: a plane family narrower
+    * than the data silently ignores the tail dimensions (two vectors
+    * differing only past the plane width always co-bucket) - the same
+    * silent-truncation class the PQ dim guard closes.
+    */
+  private def derivedDim(embeddings: DataFrame): Int = {
+    val h = embeddings.select(size(col("embedding")).as("d")).head(1)
+    require(h.nonEmpty, "embNearDup: embeddings input is empty - cannot derive dim")
+    h(0).getInt(0)
+  }
+
+  /** [[embNearDup]] with the plane count derived via [[planesFor]] and
+    * the plane WIDTH derived from the data. */
   def embNearDupAuto(embeddings: DataFrame, threshold: Double,
-                     targetBucketRows: Long = 64L, dim: Int = 64): DataFrame =
-    embNearDup(embeddings, threshold, planesFor(embeddings, targetBucketRows), dim)
+                     targetBucketRows: Long = 64L): DataFrame =
+    embNearDup(embeddings, threshold, planesFor(embeddings, targetBucketRows),
+      derivedDim(embeddings))
 
   def embNearDup(embeddings: DataFrame, threshold: Double,
                  nPlanes: Int = 8, dim: Int = 64): DataFrame = {
@@ -923,14 +936,13 @@ object Similarity {
     * dedup runs at high thresholds.
     */
   def embNearDupBandedAuto(embeddings: DataFrame, threshold: Double,
-                           targetRecall: Double = 0.9,
-                           dim: Int = 64): DataFrame = {
+                           targetRecall: Double = 0.9): DataFrame = {
     require(targetRecall > 0.0 && targetRecall < 1.0,
       s"targetRecall must be in (0,1), got $targetRecall")
     val n = embeddings.agg(approx_count_distinct(col("vec_id")).as("n"))
       .head.getLong(0)
     val (r, l, _) = bandedSizing(n, threshold, targetRecall)
-    embNearDupBanded(embeddings, threshold, l, r, dim)
+    embNearDupBanded(embeddings, threshold, l, r, derivedDim(embeddings))
   }
 
   // ---------------------------------------------- md5-seeded ANN twins
