@@ -126,6 +126,11 @@ object StressScaling {
       if (want("cms_profile"))
         record("cms_profile", scale, nDocs, timed(
           ops.TextAnalysis.cmsProfile(d, Seq("w1", "w17", "w123", "zzz"), 4, 1024)))
+      // Exact all-pairs Jaccard: candidate volume tracks the near-dup
+      // mass (planted 1% exact dups) + prefix collisions, never m².
+      if (want("jaccard_allpairs"))
+        record("jaccard_allpairs", scale, nDocs, timed(
+          ops.Similarity.allPairsJaccard(d, 0.5)))
 
       val nVecs = baseVecs * scale
       lazy val emb = embeddings(spark, nVecs)

@@ -374,7 +374,12 @@ object Similarity {
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .distinct()
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
-    val ranked = sh.join(dfreq, "h")
+    // merge-hint the corpus-sized joins: post-aggregate size estimates
+    // can mislead the planner into BUILDING a broadcast from a
+    // million-row side (observed OOM at the 500k-doc stress point);
+    // sort-merge never holds a side in memory and the sort keys are the
+    // join keys anyway
+    val ranked = sh.join(dfreq.hint("merge"), "h")
       .withColumn("rnk", row_number().over(w))
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
@@ -393,9 +398,9 @@ object Similarity {
       .withColumn("n", size(col("sh")))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa"),
-        col("n").as("na")), "doc_a")
+        col("n").as("na")).hint("merge"), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb"),
-        col("n").as("nb")), "doc_b")
+        col("n").as("nb")).hint("merge"), "doc_b")
       .withColumn("inter",
         size(array_intersect(col("sa"), col("sb"))).cast("double"))
       .select(col("doc_a"), col("doc_b"),
