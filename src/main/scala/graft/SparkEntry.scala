@@ -633,6 +633,16 @@ object SparkEntry {
     // form (gate runs at sf0.01 where DuckDB affords it).
     "jaccard_allpairs" -> ((s, d) =>
       Similarity.allPairsJaccard(Tables.documents(s, d), 0.5)),
+    // EXACT all-pairs TF-IDF cosine (suffix-bound prefix filter, the
+    // index-join variant): the sparse-VECTOR complement to the set join
+    // above - catches reordered/rephrased same-topic pairs whose
+    // shingle Jaccard collapses. Integer-quantized end-to-end, so
+    // threshold membership is engine-exact.
+    // 0.85 sits in the measured valley between the background bag-of-
+    // words mass (tiny synthetic vocabulary -> bulk at 0.5-0.8) and the
+    // planted near-dup families (0.9-1.0).
+    "cosine_allpairs" -> ((s, d) =>
+      Similarity.allPairsCosine(Tables.documents(s, d), 0.85)),
     // Asymmetric containment over the same bounded id range: catches the
     // quote-inclusion/superset family whose symmetric Jaccard is tiny.
     "containment_pairs" -> ((s, d) => Similarity.containmentPairs(Tables.documents(s, d), 500L, 0.8)),
@@ -826,6 +836,28 @@ object SparkEntry {
     // S1-S11 end-to-end: CSV landing zone roundtrip + warehouse/export.
     "etl_roundtrip" -> ((s, d) => Pipeline.etlRoundtrip(ev(s, d))),
     "warehouse_roundtrip" -> ((s, d) => Pipeline.warehouseRoundtrip(ev(s, d))),
+    // JSONL landing-zone roundtrip: documents → JSON-Lines → FAILFAST
+    // schema-bound scan → per-language rollup (losslessness proof for the
+    // LLM-corpus interchange format).
+    "jsonl_roundtrip" -> ((s, d) => Pipeline.jsonlRoundtrip(Tables.documents(s, d))),
+    // Character-entropy quality signal via the native codegen'd
+    // graft_entropy expression — no per-character explode, no shuffle.
+    "char_entropy" -> ((s, d) => TextAnalysis.charEntropy(Tables.documents(s, d))),
+    // Per-document shingle novelty vs everything earlier in corpus order
+    // (the dataset-diversity curve: near-dups of earlier docs score ~0).
+    "ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(Tables.documents(s, d))),
+    // Per-language Zipf rank-frequency fit (slope/intercept in log2
+    // space) — the corpus-health / mix-shift diagnostic.
+    "zipf_slope" -> ((s, d) => TextAnalysis.zipfSlope(Tables.documents(s, d))),
+    // Heaps'-law vocabulary growth over doc_id-range buckets: cumulative
+    // tokens vs cumulative first-seen types.
+    "vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(Tables.documents(s, d))),
+    // Pairwise source vocabulary overlap (Jaccard over distinct token
+    // sets) — the redundancy matrix behind source mixing weights.
+    "source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(Tables.documents(s, d))),
+    // Adjacent-token PMI collocations, ranked by the log-free ratio
+    // (engine-exact ordering), log2 reported.
+    "pmi_pairs" -> ((s, d) => TextAnalysis.pmiPairs(Tables.documents(s, d))),
   )
 
   /** DuckDB oracle SQL per query (same column aliases as the Spark side). */
@@ -2184,6 +2216,38 @@ object SparkEntry {
         |      / len(list_distinct(a.s || b.s)) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5""".stripMargin,
+    // Brute-force mirror of the integer-quantized tf-idf chain: every
+    // corpus-wide sum is integer (HUGEINT folded back to BIGINT), the
+    // only doubles are exact-rounded sqrt/divide and exact power-of-two
+    // scaling - byte-identical membership and dot values in any engine.
+    "cosine_allpairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT t, count(*) AS df FROM tok GROUP BY 1),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tok),
+        |wq AS (SELECT doc_id, t,
+        |         CAST(floor(least(CAST(tf AS DOUBLE)
+        |             * ((n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)),
+        |           1048576.0) * 16.0) AS BIGINT) AS wq
+        |       FROM tok JOIN dfq USING (t), nd),
+        |wqp AS (SELECT * FROM wq WHERE wq > 0),
+        |nx AS (SELECT doc_id, CAST(sum(wq * wq) AS BIGINT) AS nx
+        |       FROM wqp GROUP BY 1),
+        |f AS (SELECT doc_id, t,
+        |        CAST(floor((CAST(wq AS DOUBLE) / sqrt(CAST(nx AS DOUBLE)))
+        |          * 1048576.0) AS BIGINT) AS wnq
+        |      FROM wqp JOIN nx USING (doc_id)),
+        |fp AS (SELECT * FROM f WHERE wnq > 0),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            CAST(sum(a.wnq * b.wnq) AS BIGINT) AS dot_q
+        |          FROM fp a JOIN fp b ON a.t = b.t AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, dot_q,
+        | CAST(dot_q AS DOUBLE) / 1099511627776.0 AS cosine_q
+        |FROM pairs WHERE dot_q >= 934584883609""".stripMargin,
     // The lexical pair CTE from ngram_jaccard + one embedding join per
     // side, cosine with the cosine_topk formula.
     "dedup_ensemble" ->
@@ -3081,6 +3145,112 @@ object SparkEntry {
         |        sum(value) AS volume
         |      FROM events GROUP BY 1, 2)
         |GROUP BY 1""".stripMargin,
+    // The Spark side aggregates rows restored from its own JSONL write;
+    // the oracle aggregates the parquet directly — equality proves the
+    // JSONL encode/decode lossless.
+    "jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+        | count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY 1""".stripMargin,
+    // Same per-char (k/n)·log2(k/n) terms the native expression sums in
+    // sorted-code-point order; the group-aggregate spelling here is the
+    // oracle, not the production shape.
+    "char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS c
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text))) AS i
+        |        FROM documents)),
+        |cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(k) AS DOUBLE) AS n FROM cc GROUP BY 1)
+        |SELECT cc.doc_id, CAST(n AS BIGINT) AS n_chars_ent,
+        | -sum((k / n) * log2(k / n)) AS h_bits
+        |FROM cc JOIN n USING (doc_id) GROUP BY 1, 2""".stripMargin,
+    // Same md5 3-token shingle keys as ngram_diversity; first-seen =
+    // min(doc_id) per key.
+    "ngram_novelty" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, md5(concat(w[i], ' ', w[i+1], ' ', w[i+2])) AS h
+        |  FROM (SELECT doc_id, w FROM
+        |          (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+        |        WHERE len(w) >= 3),
+        |       UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+        |fs AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*) AS n_distinct,
+        | sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel,
+        | CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*) AS novelty
+        |FROM sh JOIN fs USING (h) GROUP BY 1""".stripMargin,
+    // Rank window (c DESC, t ASC) over type rows; regr_* moment
+    // aggregates over the same log2 doubles.
+    "zipf_slope" ->
+      """WITH tok AS (
+        |  SELECT lang, t, count(*) AS c
+        |  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents WHERE lang IS NOT NULL)
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT lang, c,
+        |         row_number() OVER (PARTITION BY lang ORDER BY c DESC, t ASC) AS r
+        |       FROM tok)
+        |SELECT lang, count(*) AS n_types,
+        | regr_slope(log2(CAST(c AS DOUBLE)), log2(CAST(r AS DOUBLE))) AS zipf_slope,
+        | regr_intercept(log2(CAST(c AS DOUBLE)), log2(CAST(r AS DOUBLE)))
+        |   AS zipf_intercept
+        |FROM rk GROUP BY 1""".stripMargin,
+    // Bucket id is the same integer floor-division against (lo, hi);
+    // running sums over ≤10 bucket rows.
+    "vocab_growth" ->
+      """WITH bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+        |d AS (SELECT least(10, ((doc_id - lo) * 10) // (hi - lo + 1) + 1) AS b,
+        |        string_split(lower(text), ' ') AS w
+        |      FROM documents, bounds),
+        |tok AS (SELECT b, unnest(w) AS t FROM d),
+        |pb AS (SELECT b, count(*) AS n_tokens FROM tok GROUP BY 1),
+        |nt AS (SELECT fb AS b, count(*) AS n_new
+        |       FROM (SELECT t, min(b) AS fb FROM tok GROUP BY 1) GROUP BY 1)
+        |SELECT pb.b AS bucket, pb.n_tokens,
+        | coalesce(nt.n_new, 0) AS n_new,
+        | sum(pb.n_tokens) OVER (ORDER BY pb.b) AS cum_tokens,
+        | sum(coalesce(nt.n_new, 0)) OVER (ORDER BY pb.b) AS cum_types
+        |FROM pb LEFT JOIN nt ON pb.b = nt.b""".stripMargin,
+    // Distinct (source, token) rows; the pair join runs in type space
+    // keyed on the token with source order s1 < s2.
+    "source_overlap" ->
+      """WITH v AS (SELECT DISTINCT source, unnest(string_split(lower(text), ' ')) AS t
+        |           FROM documents WHERE source IS NOT NULL),
+        |sz AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+        |inter AS (SELECT a.source AS s1, b.source AS s2, count(*) AS n_common
+        |          FROM v a JOIN v b ON a.t = b.t AND a.source < b.source
+        |          GROUP BY 1, 2)
+        |SELECT s1, s2, n_common, x.n AS n1, y.n AS n2,
+        | CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) AS jaccard
+        |FROM inter JOIN sz x ON s1 = x.source JOIN sz y ON s2 = y.source""".stripMargin,
+    // Positional marginals (c1 = w1 in the left slot, c2 = w2 in the
+    // right slot). Ranking by the log-free ratio (c12·N)/(c1·c2) —
+    // exact-integer products and one division, identical doubles in any
+    // engine — with (w1, w2) tie-break; pmi = log2(ratio) is reported,
+    // not ranked on.
+    "pmi_pairs" ->
+      """WITH bg AS (
+        |  SELECT w[i] AS w1, w[i+1] AS w2
+        |  FROM (SELECT w FROM
+        |          (SELECT string_split(lower(text), ' ') AS w FROM documents)
+        |        WHERE len(w) >= 2),
+        |       UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |ul AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1),
+        |ur AS (SELECT w2, sum(c12) AS c2 FROM bc GROUP BY 1),
+        |n AS (SELECT CAST(sum(c12) AS DOUBLE) AS n_big FROM bc)
+        |SELECT w1, w2, c12,
+        | log2((CAST(c12 AS DOUBLE) * n_big)
+        |   / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) AS pmi
+        |FROM bc JOIN ul USING (w1) JOIN ur USING (w2), n
+        |WHERE c12 >= 5
+        |ORDER BY (CAST(c12 AS DOUBLE) * n_big)
+        |   / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)) DESC, w1, w2
+        |LIMIT 50""".stripMargin,
     )
     // Scale/chunked twins: same result contract as the plain sibling,
     // same oracle VERBATIM (aliased here instead of copy-pasted nine

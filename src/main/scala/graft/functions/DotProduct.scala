@@ -167,6 +167,15 @@ object GraftFunctions {
       s"graft_l2q takes exactly 2 arguments, got ${other.length}")
   }
 
+  private val entropyInfo = new ExpressionInfo(
+    classOf[CharEntropyExpr].getName, "graft_entropy")
+
+  private val entropyBuilder: Seq[Expression] => Expression = {
+    case Seq(s) => CharEntropyExpr(s)
+    case other => throw new IllegalArgumentException(
+      s"graft_entropy takes exactly 1 argument, got ${other.length}")
+  }
+
   // Spark ships Bloom-filter expressions for its own runtime row-level
   // filtering but does NOT register them as SQL functions; exposing them
   // through the registry gives the dedup tier a standing membership
@@ -213,6 +222,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_l2q"), l2qInfo, l2qBuilder)
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_entropy"), entropyInfo, entropyBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, bloomAggBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder)
@@ -232,6 +243,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_l2q"),
       new ExpressionInfo(classOf[L2SquaredLong].getName, "graft_l2q"),
       (exprs: Seq[Expression]) => L2SquaredLong(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_entropy"),
+      new ExpressionInfo(classOf[CharEntropyExpr].getName, "graft_entropy"),
+      (exprs: Seq[Expression]) => CharEntropyExpr(exprs(0))))
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(

@@ -50,4 +50,14 @@ object Sinks {
       throw new IllegalStateException("No data found in table")
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
   }
+
+  /** JSON-Lines export — the interchange format LLM-data consumers expect
+    * (one object per line, splittable, schema carried by every record).
+    * Unlike [[exportCsv]] this is a DATA sink, not an analytics export:
+    * it keeps the input partitioning (one file per partition, no
+    * coalesce-to-1 funnel) so a 100 TB corpus writes with full
+    * parallelism.
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
 }

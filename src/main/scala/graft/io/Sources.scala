@@ -4,7 +4,7 @@ import java.io.{BufferedOutputStream, File, FileOutputStream}
 import java.util.zip.ZipInputStream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Ingest surface (SURVEY §2.1 S1-S5): explicit-schema header-less CSV,
   * schema-enforced parquet, header injection with arity validation, and
@@ -180,5 +180,33 @@ object Sources {
         if (sign == "-") -v else v
       case _ => throw new IllegalArgumentException(s"bad timezone offset '$tz'")
     }
+  }
+
+  /** JSON-Lines scan with a declared schema — the native interchange
+    * format of LLM training corpora (one document object per line, the
+    * file splittable on newlines so a 100 TB dump parallelizes like CSV).
+    * No schema inference ever: inference costs a full extra pass over the
+    * data and silently widens types between snapshots.
+    *
+    * Malformed-line policy mirrors Spark's contract, made explicit:
+    *  - PERMISSIVE (default): bad lines become all-null rows with the raw
+    *    line captured in `_corrupt_record` — the quarantine column a
+    *    curation pipeline routes to a reject sink instead of dying
+    *    mid-crawl;
+    *  - DROPMALFORMED: bad lines silently dropped;
+    *  - FAILFAST: first bad line aborts the scan.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType,
+                mode: String = "PERMISSIVE",
+                corruptCol: String = "_corrupt_record"): DataFrame = {
+    val effective =
+      if (mode.equalsIgnoreCase("PERMISSIVE") && !schema.fieldNames.contains(corruptCol))
+        schema.add(StructField(corruptCol, StringType, nullable = true))
+      else schema
+    spark.read
+      .schema(effective)
+      .option("mode", mode)
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
   }
 }

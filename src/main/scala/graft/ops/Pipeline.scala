@@ -136,4 +136,34 @@ object Pipeline {
         sum(length(col("text")).cast("long")).as("sum_chars"),
         countDistinct(col("source")).as("n_sources"))
   }
+
+  private val jsonlDocSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** JSONL roundtrip: documents → JSON-Lines landing zone
+    * ([[Sinks.writeJsonl]]) → explicit-schema FAILFAST scan
+    * ([[Sources.readJsonl]]) → per-language rollup. The oracle computes
+    * the same rollup straight from the parquet — equality proves the
+    * JSONL encode/decode is lossless for the document corpus (unicode
+    * text, nulls, 64-bit ids) and that the declared schema binds by NAME
+    * (JSONL, unlike the positional CSV landing zone, survives field
+    * reordering). FAILFAST because a roundtrip of our own write must be
+    * clean — a malformed line here is a bug, not crawl dirt.
+    */
+  def jsonlRoundtrip(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val tmp = Files.createTempDirectory("graft_jsonl_").toString
+    Sinks.writeJsonl(documents, s"$tmp/landing")
+    val restored = Sources.readJsonl(spark, s"$tmp/landing", jsonlDocSchema,
+      mode = "FAILFAST")
+    restored.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"),
+        countDistinct(col("source")).as("n_sources"))
+  }
 }

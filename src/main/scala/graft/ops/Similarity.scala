@@ -1225,4 +1225,99 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** EXACT corpus-wide all-pairs TF-IDF COSINE via suffix-bound prefix
+    * filtering — the sparse-VECTOR complement to [[allPairsJaccard]]'s
+    * set join (Bayardo et al. WWW'07, the cosine/index-join variant):
+    * every document pair whose tf-idf cosine ≥ t, no id cap, no recall
+    * loss, never m² on the corpus. Catches the "same topic, reordered/
+    * rephrased" family whose shingle-set Jaccard collapses (shingles
+    * break under reordering; the bag-of-words vector does not).
+    *
+    * Engine-exactness by INTEGER quantization (the md5-ANN-twin
+    * philosophy): every corpus-wide SUM in the pipeline runs over
+    * BIGINTs, so no result ever depends on float summation order —
+    *  - tf·idf weights use the Robertson log-free idf
+    *    (N − df + 0.5)/(df + 0.5) (pure IEEE ±,/ — identical
+    *    everywhere), capped at 2^20 and floor-quantized ×16 to BIGINT;
+    *  - the norm is an integer Σwq² (order-free), and each normalized
+    *    weight floor-quantizes to wnq ∈ (0, 2^20] through exact-rounded
+    *    sqrt/divide and an EXACT ×2^20 (power of two) — bit-identical
+    *    in any engine;
+    *  - similarity is the integer dot Σ wnq_a·wnq_b ≥ tq = ⌊t·2^40⌋,
+    *    so threshold membership is integer-decided (reported cosine_q =
+    *    dot/2^40 is one exact division).
+    * Overflow is excluded by construction: wq ≤ 2^24 ⇒ Σwq² ≤ 2^57 at
+    * 512-term docs; wnq·maxw ≤ 2^40 ⇒ suffix sums and dots ≤ 2^49.
+    *
+    * The lossless prune: order each document's terms by one GLOBAL
+    * canonical order (ascending document frequency, rarest first; ties
+    * on the term); with S(j) = Σ_{k≥j} wnq(t_k)·maxw(t_k) (suffix sums
+    * over the per-doc window, maxw = corpus max of wnq per term), a
+    * qualifying pair's EARLIEST shared term j₀ in x's order satisfies
+    * dot ≤ S_x(j₀), so S_x(j₀) ≥ tq — every true pair collides on a
+    * PREFIX term {j : S(j) ≥ tq} of at least one side. Unlike the
+    * Jaccard pigeonhole, prefix×prefix is NOT lossless for cosine
+    * (both-suffix contributions can each stay < t while summing past
+    * it), so the candidate join is prefix × ALL-features — the paper's
+    * index-join — and rarest-first keeps the joined postings short.
+    *
+    * Shape at 100 TB: tf/df/norms are token-volume hash aggregates;
+    * the rank/suffix windows partition by doc_id (never global); the
+    * candidate join carries (doc_id, term-hash) only; the verify joins
+    * feature rows by (doc, term) for candidate pairs only — the
+    * candidate list, not the corpus, pays the dot products.
+    */
+  def allPairsCosine(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val W = org.apache.spark.sql.expressions.Window
+    val tq = math.floor(threshold * math.pow(2.0, 40)).toLong
+    val tf = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val nDocs = tf.agg(countDistinct(col("doc_id")).cast("double").as("n"))
+    val idf = (col("n") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    // corpus-sized joins merge-hinted (the allPairsJaccard OOM lesson)
+    val wq = tf.join(dfreq.hint("merge"), "t")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("wq",
+        floor(least(col("tf").cast("double") * idf, lit(1048576.0)) * lit(16.0))
+          .cast("long"))
+      .filter(col("wq") > 0)
+    val norms = wq.groupBy(col("doc_id"))
+      .agg(sum(col("wq") * col("wq")).as("nx"))
+    val feats = wq.join(norms.hint("merge"), "doc_id")
+      .withColumn("wnq",
+        floor((col("wq").cast("double") / sqrt(col("nx").cast("double"))) *
+          lit(1048576.0)).cast("long"))
+      .filter(col("wnq") > 0)
+      .select(col("doc_id"), col("t"), col("wnq"), col("df"))
+    val maxw = feats.groupBy(col("t")).agg(max(col("wnq")).as("mw"))
+    val suffixW = W.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
+      .rowsBetween(W.currentRow, W.unboundedFollowing)
+    val pref = feats.join(maxw.hint("merge"), "t")
+      .withColumn("s_bound", sum(col("wnq") * col("mw")).over(suffixW))
+      .filter(col("s_bound") >= tq)
+      .select(col("doc_id"), col("t"))
+    val cand = pref.as("a")
+      .join(feats.select(col("doc_id"), col("t")).as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    cand
+      .join(feats.select(col("doc_id").as("doc_a"), col("t"),
+        col("wnq").as("wa")).hint("merge"), "doc_a")
+      .join(feats.select(col("doc_id").as("doc_b"), col("t"),
+        col("wnq").as("wb")).hint("merge"), Seq("doc_b", "t"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot_q"))
+      .filter(col("dot_q") >= tq)
+      .select(col("doc_a"), col("doc_b"), col("dot_q"),
+        (col("dot_q").cast("double") / lit(1099511627776.0)).as("cosine_q"))
+  }
 }

@@ -879,4 +879,200 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("rank"), col("t"), col("cnt"))
   }
+
+  /** Per-document character-entropy quality signal (bits per character):
+    * the standard cheap gibberish/boilerplate detector (a run of one
+    * repeated character scores 0 bits, natural prose ~4) — the
+    * character-level complement to [[qualityScore]]'s token ratios.
+    *
+    * Scale shape: the whole statistic is ONE native codegen'd expression
+    * ([[graft.functions.CharEntropyExpr]]) inside the scan stage — no
+    * per-character explode (which would multiply shuffled rows by the
+    * document LENGTH), no shuffle at all until the caller aggregates.
+    * At 100 TB this is a pure map over document partitions.
+    */
+  def charEntropy(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_ent"),
+      call_function("graft_entropy", col("text")).as("h_bits"))
+  }
+
+  /** Per-document n-gram NOVELTY against everything that came before it
+    * in corpus order (RefinedWeb/FineWeb-style dataset-diversity curve):
+    * of a document's distinct 3-token shingles, the fraction whose
+    * corpus-wide FIRST occurrence (min doc_id) is this document. A
+    * near-duplicate of an earlier document scores ~0; fresh content ~1 —
+    * the per-document signal behind "is this crawl snapshot adding
+    * anything new?".
+    *
+    * Scale shape: one shingle explode → md5 → distinct (doc, h) rows;
+    * first-seen via a groupBy(h) min — the h-keyed aggregate and the
+    * h-keyed join ride the SAME partitioning (one real shuffle on h,
+    * map-side combined), then one doc-keyed aggregate. Shuffles carry
+    * (h, doc_id) pairs only; text never leaves the scan stage.
+    */
+  def ngramNovelty(documents: DataFrame): DataFrame = {
+    val sh = Similarity.shingleRows(documents)
+      .select(col("doc_id"), md5(col("s")).as("h"))
+      .distinct()
+    val firstSeen = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_distinct"))
+  }
+
+  /** Per-language Zipf rank–frequency fit: slope and intercept of
+    * log2(freq) against log2(rank) over the token vocabulary — the
+    * corpus-health diagnostic (natural language sits near slope −1;
+    * template/boilerplate corpora flatten, spam steepens; a slope SHIFT
+    * between snapshots flags a scraper or mix change).
+    *
+    * Scale shape: one token explode into a (lang, token) hash aggregate
+    * (map-side combined — the only token-volume shuffle), then ranking
+    * and regression run in TYPE space (vocabulary rows, orders of
+    * magnitude smaller). The per-language rank is a window over type
+    * rows; regr_slope/regr_intercept are single-pass moment aggregates.
+    */
+  def zipfSlope(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = documents
+      .filter(col("lang").isNotNull)
+      .select(col("lang"), explode(toks).as("t"))
+      .groupBy(col("lang"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("c").desc, col("t").asc)
+    val rk = tok.withColumn("r", row_number().over(w))
+    val lf = log2(col("c").cast("double"))
+    val lr = log2(col("r").cast("double"))
+    rk.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        regr_slope(lf, lr).as("zipf_slope"),
+        regr_intercept(lf, lr).as("zipf_intercept"))
+  }
+
+  /** Heaps'-law vocabulary-growth curve: cumulative token count vs
+    * cumulative DISTINCT-type count over `nBuckets` equal doc_id ranges
+    * in corpus order — "how fast does new vocabulary arrive", the
+    * saturation diagnostic behind dedup/mixing decisions (a flat tail
+    * says more of this source adds tokens but no new types).
+    *
+    * Scale shape: the bucket id is integer arithmetic against a
+    * broadcast (min, max) row — no global row-numbering. The cumulative
+    * distinct count needs no distinct-so-far state: each type counts at
+    * its FIRST bucket (groupBy(t).min(b)), so the token-volume work is
+    * two hash aggregates; the final running sums window over ≤ nBuckets
+    * rows (bounded, single-partition by construction).
+    */
+  def vocabGrowth(documents: DataFrame, nBuckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = documents.agg(
+      min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val d = documents
+      .crossJoin(broadcast(bounds))
+      .withColumn("b",
+        least(lit(nBuckets),
+          expr(s"((doc_id - lo) * $nBuckets) DIV (hi - lo + 1)") + lit(1)))
+    val tok = d.select(col("b"), explode(toks).as("t"))
+    val perBucket = tok.groupBy(col("b")).agg(count(lit(1)).as("n_tokens"))
+    val newTypes = tok.groupBy(col("t")).agg(min(col("b")).as("fb"))
+      .groupBy(col("fb")).agg(count(lit(1)).as("n_new"))
+      .withColumnRenamed("fb", "b")
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTypes, Seq("b"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("n_new")).over(w))
+      .select(col("b").as("bucket"), col("n_tokens"), col("n_new"),
+        col("cum_tokens"), col("cum_types"))
+  }
+
+  /** Pairwise vocabulary overlap between sources (Jaccard over distinct
+    * token sets): the redundancy matrix a mixing pipeline consults
+    * before weighting sources — two crawls of the same site show near-1
+    * overlap and should not be double-counted.
+    *
+    * Scale shape: distinct (source, token) rows first (one token-volume
+    * aggregate), then the pair join runs in TYPE space keyed on the
+    * token; per-token groups are bounded by the SOURCE count (≤ s rows
+    * → ≤ s²/2 pairs per token), never by corpus size, so the join
+    * output is |vocab|·O(s²) — s is tens, not millions. Set sizes ride
+    * in as one broadcast.
+    */
+  def sourceOverlap(documents: DataFrame): DataFrame = {
+    val v = documents
+      .filter(col("source").isNotNull)
+      .select(col("source"), explode(toks).as("t"))
+      .distinct()
+    val sizes = v.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = v.as("a")
+      .join(v.as("b"),
+        col("a.t") === col("b.t") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("source", "s1")
+        .withColumnRenamed("n", "n1")), Seq("s1"))
+      .join(broadcast(sizes.withColumnRenamed("source", "s2")
+        .withColumnRenamed("n", "n2")), Seq("s2"))
+      .select(col("s1"), col("s2"), col("n_common"), col("n1"), col("n2"),
+        (col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common"))).as("jaccard"))
+  }
+
+  /** Adjacent-token PMI collocations: top-k token bigrams by pointwise
+    * mutual information log2(c12·N / (c1·c2)) with a minimum-count
+    * floor — the classic collocation miner (phrase detection for
+    * tokenizer vocab building, template detection when PMI ≈ max).
+    *
+    * Marginals are POSITIONAL (the textbook bigram model): c1 counts w1
+    * in the left slot, c2 counts w2 in the right slot, N is the bigram
+    * total — all three derive from the one bigram aggregate, and every
+    * pair keeps both its marginals by construction (a left-only count
+    * would silently drop any pair whose second word never starts a
+    * bigram). Engine-exactness in
+    * the ORDERING (the distinctive_terms precedent): ranking uses the
+    * log-free ratio (c12·N)/(c1·c2) — products/quotients of exact
+    * integer counts, identical doubles in any engine — with (w1, w2) as
+    * the total tie-break; the log2 of that same ratio ships as the
+    * reported PMI. Top-k is TakeOrdered (per-partition k, no global
+    * sort).
+    *
+    * Scale shape: one adjacent-zip explode (codegen'd, no UDF) into a
+    * (w1, w2) hash aggregate; unigram counts re-aggregate THOSE rows;
+    * N is a 1-row broadcast. Shuffles carry pair-count rows only.
+    */
+  def pmiPairs(documents: DataFrame, minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val bg = documents
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 2)
+      .withColumn("wn", slice(col("w"), lit(2), size(col("w"))))
+      .select(explode(arrays_zip(col("w"), col("wn"))).as("z"))
+      .filter(col("z.wn").isNotNull)
+      .select(col("z.w").as("w1"), col("z.wn").as("w2"))
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uniL = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val uniR = bc.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val n = bc.agg(sum(col("c12")).cast("double").as("n_big"))
+    val ratio = (col("c12").cast("double") * col("n_big")) /
+      (col("c1").cast("double") * col("c2").cast("double"))
+    // the marginals are VOCABULARY-sized — never broadcast them; both
+    // lookups are word-keyed shuffle joins over (pair, count) rows, and
+    // AQE may still elect a broadcast when the vocabulary is actually
+    // small.
+    bc.filter(col("c12") >= minCount)
+      .join(uniL, Seq("w1"))
+      .join(uniR, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("ratio", ratio)
+      .orderBy(col("ratio").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c12"), log2(col("ratio")).as("pmi"))
+  }
 }

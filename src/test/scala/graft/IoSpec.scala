@@ -171,4 +171,48 @@ class IoSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("No data"))
   }
+
+  test("writeJsonl + readJsonl: lossless roundtrip, schema binds by NAME") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir()
+    val df = Seq((1L, "hello world", Some("en")), (2L, "héllo ünïcode", None))
+      .toDF("doc_id", "text", "lang")
+    Sinks.writeJsonl(df, s"$dir/z")
+    // declared field order differs from the written one: JSONL binds by
+    // name (the positional CSV zone cannot)
+    val schema = StructType(Seq(
+      StructField("lang", StringType), StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val back = Sources.readJsonl(spark, s"$dir/z", schema, mode = "FAILFAST")
+    val rows = back.collect().map(r =>
+      r.getLong(1) -> ((Option(r.getString(0)), r.getString(2)))).toMap
+    assert(rows(1L) == ((Some("en"), "hello world")))
+    assert(rows(2L) == ((None, "héllo ünïcode"))) // null + unicode survive
+  }
+
+  test("readJsonl malformed-line policy: quarantine / drop / fail") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/mixed.jsonl"),
+      """{"doc_id": 1, "text": "good"}
+        |{"doc_id": oops not json
+        |{"doc_id": 3, "text": "also good"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // PERMISSIVE: bad line becomes an all-null row carrying the raw text
+    val perm = Sources.readJsonl(spark, s"$dir/mixed.jsonl", schema)
+    assert(perm.count() == 3)
+    val corrupt = perm.filter(perm("_corrupt_record").isNotNull).collect()
+    assert(corrupt.length == 1 && corrupt(0).isNullAt(0)
+      && corrupt(0).getString(2).contains("oops"))
+    // DROPMALFORMED: bad line silently gone
+    assert(Sources.readJsonl(spark, s"$dir/mixed.jsonl", schema,
+      mode = "DROPMALFORMED").count() == 2)
+    // FAILFAST: first bad line aborts
+    intercept[Exception] {
+      Sources.readJsonl(spark, s"$dir/mixed.jsonl", schema,
+        mode = "FAILFAST").collect()
+    }
+  }
 }

@@ -65,6 +65,9 @@ class PlanLintSpec extends SparkSpec {
     "semantic_dedup_hier" -> "coarse-cell centroid broadcast (bounded by `coarse`) into the level-1 assignment map",
     "semantic_dedup_capped" -> "coarse-cell centroid broadcast (bounded by `coarse`) into the level-1 assignment map",
     "semantic_clusters" -> "nlist-row centroid table broadcast into the cell-assignment map (same pattern as semantic_dedup)",
+    "pmi_pairs" -> "1-row bigram grand total broadcast",
+    "cosine_allpairs" -> "1-row corpus doc-count broadcast into the idf map",
+    "vocab_growth" -> "1-row (lo, hi) doc_id bounds broadcast into the codegen bucket map",
   )
 
   /** Queries allowed a single-partition funnel (global window / sort):
@@ -82,6 +85,7 @@ class PlanLintSpec extends SparkSpec {
     "semantic_dedup_hier" -> "row_number over the `coarse` seed rows; the fine-seed window is cid-PARTITIONED, never global",
     "semantic_dedup_capped" -> "row_number over the `coarse` seed rows; the fine-seed window is cid-PARTITIONED, never global",
     "semantic_clusters" -> "row_number over the nlist seed rows (shared cell machinery), bounded by nlist",
+    "vocab_growth" -> "running sums over <=nBuckets=10 bucket rows (post-aggregate), never the corpus",
   )
 
   /** Queries allowed to read a base table's full column set. */
@@ -89,6 +93,7 @@ class PlanLintSpec extends SparkSpec {
     "dedup_rows" -> "whole-row dedup compares every column by definition",
     "dedup_incremental" -> "emits surviving full documents; every column is payload",
     "dedup_incremental_bloom" -> "emits surviving full documents; every column is payload",
+    "jsonl_roundtrip" -> "roundtrips the whole documents table through JSONL; every column is payload",
   )
 
   // Base-table widths, read once from the parquet footers themselves so
