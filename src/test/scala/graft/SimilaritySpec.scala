@@ -609,4 +609,77 @@ class SimilaritySpec extends SparkSpec {
     assert(a(0L) == a(3L))
     assert(a(0L) != a(2L))
   }
+
+  test("allPairsCosine: suffix-bound prefix filter is lossless - identical to the brute quantized all-pairs set, and reordering-invariant where Jaccard collapses") {
+    val rnd = new scala.util.Random(43)
+    val vocab = (0 until 200).map(i => s"w$i")
+    // graduated token-replacement families: replacing m of 30 tokens
+    // drops the bag-of-words cosine roughly (30 - m)/30, smearing pairs
+    // across ~0.7-1.0 and straddling the registered 0.85 threshold
+    val bases = (0 until 20).map(_ =>
+      Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val mutated = bases.zipWithIndex.flatMap { case (b, i) =>
+      (0 until 5).map { m =>
+        val toks = b.split(" ").clone()
+        (0 until (m * 2)).foreach { _ =>
+          toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.size)) }
+        ((i * 6 + m).toLong, toks.mkString(" "))
+      } :+ {
+        // member 5: the base REORDERED - cosine exactly 1.0 (same bag),
+        // while its 3-gram shingle Jaccard is ~0; the family this
+        // operator exists to catch
+        ((i * 6 + 5).toLong, rnd.shuffle(b.split(" ").toSeq).mkString(" "))
+      }
+    }
+    val docs = mutated.toDF("doc_id", "text")
+    val t = 0.85
+    val tq = math.floor(t * math.pow(2.0, 40)).toLong
+
+    // driver-side brute: the SAME integer quantization chain, all pairs
+    val tf = mutated.flatMap { case (id, text) =>
+      text.toLowerCase.split(" ").groupBy(identity).map {
+        case (w, g) => ((id, w), g.length.toLong) }
+    }.toMap
+    val dfreq = tf.keys.groupBy(_._2).map { case (w, g) => (w, g.size.toLong) }
+    val nDocs = mutated.size.toDouble
+    val wq = tf.flatMap { case ((id, w), c) =>
+      val idf = (nDocs - dfreq(w) + 0.5) / (dfreq(w) + 0.5)
+      val q = math.floor(math.min(c.toDouble * idf, 1048576.0) * 16.0).toLong
+      if (q > 0) Some(((id, w), q)) else None
+    }
+    val nx = wq.groupBy(_._1._1).map { case (id, g) =>
+      (id, g.values.map(v => v * v).sum) }
+    val wnq = wq.flatMap { case ((id, w), q) =>
+      val v = math.floor(q.toDouble / math.sqrt(nx(id).toDouble) * 1048576.0).toLong
+      if (v > 0) Some(((id, w), v)) else None
+    }
+    val byDoc = wnq.groupBy(_._1._1).map { case (id, g) =>
+      (id, g.map { case ((_, w), v) => (w, v) }.toMap) }
+    val ids = mutated.map(_._1).sorted
+    val brute = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = byDoc.getOrElse(ids(i), Map.empty[String, Long])
+      b = byDoc.getOrElse(ids(j), Map.empty[String, Long])
+      dot = a.keysIterator.collect { case w if b.contains(w) => a(w) * b(w) }.sum
+      if dot >= tq
+    } yield (ids(i), ids(j), dot)).toSet
+
+    val fast = Similarity.allPairsCosine(docs, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty, "fixture must produce pairs at the threshold")
+    // boundary content: the fixture must smear pairs NEAR the threshold,
+    // or losslessness is vacuously easy
+    val nearBand = brute.count { case (_, _, d) =>
+      d.toDouble / math.pow(2.0, 40) < 0.95 }
+    assert(nearBand > 0, "no pairs in the 0.85-0.95 boundary band")
+    assert(fast == brute)
+    // every reordered member pairs with its base at cosine exactly 1.0
+    // (integer dot == integer norm product scale: dot_q of a doc with
+    // itself-reordered equals sum wnq^2 which quantizes to ~2^40)
+    val reorderPairs = (0 until 20).map(i => ((i * 6).toLong, (i * 6 + 5).toLong))
+    reorderPairs.foreach { case (a, b) =>
+      assert(fast.exists(p => p._1 == a && p._2 == b),
+        s"reordered twin ($a, $b) missing - the anti-Jaccard family must be caught")
+    }
+  }
 }
