@@ -109,6 +109,50 @@ object SparkEntry {
         Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)).write.parquet(p)
     })
 
+  /** Chained-CTE oracle replaying `n` BPE training rounds (bpe_merges).
+    * Words are delimiter-wrapped symbol strings (chr(1) sym chr(2) per
+    * symbol), so each round's merge is ONE non-overlapping left-to-right
+    * `replace` — the same scan as the Catalyst fold in
+    * [[graft.ops.Tokenizer.mergePair]] (a merged token stays eligible as
+    * the LEFT side of the next match in both). The argmax pair of round
+    * i feeds round i+1's replace through scalar subqueries, so the whole
+    * replay is one self-contained statement with no data-dependent text.
+    */
+  private def bpeMergesOracle(n: Int): String = {
+    val rounds = (1 to n).map { i =>
+      val merge =
+        if (i == n) ""
+        else s""",
+           |r${i + 1} AS MATERIALIZED (
+           |  SELECT replace(s,
+           |      chr(1) || (SELECT l FROM m$i) || chr(2) ||
+           |        chr(1) || (SELECT r FROM m$i) || chr(2),
+           |      chr(1) || (SELECT l FROM m$i) || (SELECT r FROM m$i) || chr(2)) AS s,
+           |    freq
+           |  FROM r$i)""".stripMargin
+      s"""p$i AS MATERIALIZED (
+         |  SELECT a[j] AS l, a[j+1] AS r, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT string_split(trim(s, chr(1) || chr(2)), chr(2) || chr(1)) AS a,
+         |          freq FROM r$i),
+         |       UNNEST(generate_series(1, len(a) - 1)) AS t(j)
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1)$merge""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to n).map(i =>
+      s"""SELECT $i AS "rank", l AS sym_a, r AS sym_b, n FROM m$i""")
+      .mkString("\nUNION ALL ")
+    s"""WITH r1 AS MATERIALIZED (
+       |  SELECT array_to_string(list_transform(
+       |      list_transform(generate_series(1, length(w)), i -> substr(w, i, 1))
+       |        || ['</w>'],
+       |      c -> chr(1) || c || chr(2)), '') AS s, freq
+       |  FROM (SELECT t AS w, count(*) AS freq
+       |        FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+       |        GROUP BY 1)),
+       |$rounds
+       |$out""".stripMargin
+  }
+
   /** The synthetic documents are PII-free word salad, so the pii_scrub
     * fixture plants one email, one IPv4 and one SSN-shaped token per doc,
     * derived from doc_id — the DuckDB oracle plants the identical strings,
@@ -404,6 +448,19 @@ object SparkEntry {
     "dedup_spans" -> ((s, d) => TextAnalysis.dedupSpans(Tables.documents(s, d), 10)),
     // FastText-style hashed unigram+bigram features, sparse long form.
     "hash_features" -> ((s, d) => TextAnalysis.hashFeatures(Tables.documents(s, d), 64)),
+    // Linear-classifier inference over the hashed feature map: the
+    // model-based quality-filter pass. Integer weight accumulation
+    // (BIGINT score_q), one exact division for the reported score.
+    "classifier_score" -> ((s, d) => TextAnalysis.classifierScore(Tables.documents(s, d), 64)),
+    // Round-0 BPE pair statistics: top adjacent character pairs weighted
+    // by word frequency — the tokenizer-training decision input.
+    "bpe_pairs" -> ((s, d) => Tokenizer.bpePairStats(Tables.documents(s, d), 50)),
+    // The BPE trainer itself: 8 merge rounds in word-TYPE space, each an
+    // aggregate + one argmax row to the driver + a Catalyst fold merge.
+    // The oracle replays the identical 8 rounds as chained CTEs (merge =
+    // non-overlapping left-to-right replace on delimiter-wrapped symbol
+    // strings — provably the same scan as the fold).
+    "bpe_merges" -> ((s, d) => Tokenizer.bpeTrain(Tables.documents(s, d), 8)),
     // Count-Min sketch point-frequency estimates (md5-bucketed, fully
     // oracle-able) with exact recount per probe term; w=16 is sized so
     // the synthetic 31-term vocabulary shows BOTH behaviors in the gate:
@@ -492,6 +549,17 @@ object SparkEntry {
       Sampling.budgetPerStratum(docs, "source", "doc_id", "n_tokens",
         Map("src0" -> 1000L, "src1" -> 500L), 700L)
         .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+    }),
+    // Temperature-flattened mixture sampling (alpha = 0.5): per-source
+    // budgets DERIVED from measured token mass via the exact-rounded
+    // sqrt + integer-division chain, then hash-order prefix fill.
+    "mix_temperature" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(lower(col("text")), " ")))
+      Sampling.mixTemperature(docs, "source", "doc_id", "n_tokens", 5000L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"), col("budget"))
     }),
     // Deterministic shuffle-and-shard: the training-data writer's layout
     // (shard = hash mod 8, 0-based stable position within the shard).
@@ -795,6 +863,12 @@ object SparkEntry {
     // Jaccard pair list → canonical doc + keep/drop verdict per member.
     "dedup_clusters" -> ((s, d) => Clustering.dedupClusters(
       Similarity.ngramJaccard(Tables.documents(s, d), 500L, 0.1))),
+    // Quality-aware terminal stage: same components, survivor chosen by
+    // quality score (ties -> lowest id) instead of min id.
+    "cluster_keep_best" -> ((s, d) =>
+      Clustering.clusterKeepBest(
+        Similarity.ngramJaccard(Tables.documents(s, d), 500L, 0.1),
+        docQuality(s, d))),
     // PRODUCTION fuzzy-dedup compose: the closure consuming the LSH
     // miner's pair list (persisted shingle artifact → band join → exact
     // verify at j ≥ 0.3) instead of the bounded brute baseline above —
@@ -1888,6 +1962,27 @@ object SparkEntry {
         |        FROM documents))
         |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 1000
         |                                WHEN 'src1' THEN 500 ELSE 700 END""".stripMargin,
+    // Temperature budgets: Qs = floor(sqrt(mass) * 2^20) BIGINT, split by
+    // exact HUGEINT multiply + floor division — the boundary doc of every
+    // source is integer-decided, same in any engine.
+    "mix_temperature" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens
+        |           FROM documents),
+        |m AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS mass FROM d GROUP BY 1),
+        |q AS (SELECT source,
+        |        CAST(floor(sqrt(CAST(mass AS DOUBLE)) * 1048576.0) AS BIGINT) AS qs
+        |      FROM m),
+        |b AS (SELECT source,
+        |        CAST((qs::HUGEINT * 5000) // (SELECT sum(qs) FROM q) AS BIGINT) AS budget
+        |      FROM q)
+        |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens, budget
+        |FROM (SELECT d.doc_id, d.source, d.n_tokens, b.budget,
+        |        sum(n_tokens) OVER (PARTITION BY d.source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |      FROM d JOIN b USING (source))
+        |WHERE cum_tokens <= budget""".stripMargin,
     // shard = uint32(md5 prefix) mod 8, pos = 0-based (hash, key) rank
     // within the shard — both pure functions of doc_id, engine-exact.
     "shuffle_shard" ->
@@ -2380,6 +2475,45 @@ object SparkEntry {
         |  ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS bucket,
         |  count(*) AS tf
         |FROM g GROUP BY 1, 2""".stripMargin,
+    // Same hashed feature map as hash_features; the synthetic model
+    // weight is md5('w:' || bucket) folded into [-1000, 1000]; the
+    // accumulation is an order-free BIGINT sum, the score one division.
+    "classifier_score" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(w || list_transform(generate_series(1, len(w) - 1),
+        |      i -> concat(w[i], ' ', w[i+1]))) AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+        |f AS (SELECT doc_id,
+        |        ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS bucket,
+        |        count(*) AS tf
+        |      FROM g GROUP BY 1, 2),
+        |s AS (SELECT doc_id, tf,
+        |        ('0x' || substr(md5(concat('w:', CAST(bucket AS VARCHAR))), 1, 15))::BIGINT
+        |          % 2001 - 1000 AS wq
+        |      FROM f)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_terms,
+        | CAST(sum(tf * wq) AS BIGINT) AS score_q,
+        | CAST(sum(tf * wq) AS DOUBLE) / (1000.0 * CAST(sum(tf) AS DOUBLE)) AS score
+        |FROM s GROUP BY 1""".stripMargin,
+    // Word-frequency table -> initial char+sentinel symbol sequences ->
+    // adjacent pair counts; total order (n DESC, sym_a, sym_b) matches
+    // the Spark side's (n DESC, 'l r' string ASC) because every symbol
+    // character sorts above the space separator.
+    "bpe_pairs" ->
+      """WITH wf AS (
+        |  SELECT t AS w, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+        |  GROUP BY 1),
+        |s AS (SELECT freq,
+        |        list_transform(generate_series(1, length(w)), i -> substr(w, i, 1))
+        |          || ['</w>'] AS a
+        |      FROM wf),
+        |p AS (SELECT a[j] AS sym_a, a[j+1] AS sym_b, sum(freq) AS n
+        |      FROM s, UNNEST(generate_series(1, len(a) - 1)) AS t(j)
+        |      GROUP BY 1, 2)
+        |SELECT sym_a, sym_b, CAST(n AS BIGINT) AS n FROM p
+        |ORDER BY n DESC, sym_a, sym_b LIMIT 50""".stripMargin,
+    "bpe_merges" -> bpeMergesOracle(8),
     // CMS mirror: same md5 row:token buckets, min over d=4 rows, exact
     // recount of the probe terms; estimate >= exact by construction.
     "cms_profile" ->
@@ -3016,6 +3150,50 @@ object SparkEntry {
         | CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
         | doc_id = cluster_id AS keep
         |FROM comp""".stripMargin,
+    // Same recursive closure as dedup_clusters; the survivor per
+    // component is row 1 under (quality DESC, doc_id ASC) — the same
+    // total order as Spark's max(struct(quality, -doc_id)). Quality
+    // formula verbatim from quality_score.
+    "cluster_keep_best" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |        WHERE doc_id < 500)
+        |  WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(a.s || b.s)) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.1),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+        |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+        |q AS (
+        |  SELECT doc_id,
+        |    (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+        |      + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.5
+        |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality
+        |  FROM (SELECT doc_id,
+        |          CAST(len(w) AS INTEGER) AS n_tokens,
+        |          CAST(len(list_filter(w, x -> list_contains(
+        |            ['the','a','of','and','to','in','is','it'], x))) AS INTEGER) AS n_stop,
+        |          len(list_distinct(w)) AS n_uniq
+        |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)))
+        |SELECT comp.doc_id, cluster_id,
+        | CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+        | quality,
+        | row_number() OVER (PARTITION BY cluster_id
+        |     ORDER BY quality DESC, comp.doc_id ASC) = 1 AS keep
+        |FROM comp JOIN q USING (doc_id)""".stripMargin,
     // Same closure over the UNBOUNDED exact all-pairs list at the LSH
     // compose's threshold (0.3) — the Spark side mines pairs via
     // banded MinHash + exact verify, which at r=1 banding has recall 1,

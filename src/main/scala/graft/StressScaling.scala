@@ -41,6 +41,28 @@ object StressScaling {
         concat(lit("s"), pmod(col("id"), lit(7))).as("source"),
         lit(200L).as("n_chars"))
 
+  /** Zipf-vocabulary twin of [[docs]]: token ids drawn as
+    * ⌊10000·u³⌋ (u uniform), i.e. P(id ≤ x) = (x/10⁴)^⅓ — a heavy head
+    * and a long tail of rare types, the shape real text has. The
+    * uniform-vocabulary corpus above is the documented WORST case for
+    * prefix-filtered similarity joins (flat df ⇒ every posting long,
+    * nothing rare to prune on); this one is the realistic case, where
+    * rarest-first prefixes hit short postings.
+    */
+  private[graft] def docsZipf(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map { i =>
+          val u = pmod(xxhash64(
+            (col("id") - when(pmod(col("id"), lit(100)) === 99L, lit(1L))
+              .otherwise(lit(0L))) * 1000003L + i),
+            lit(1000000L)).cast("double") / 1000000.0
+          concat(lit("w"), floor(u * u * u * 10000.0).cast("long"))
+        }: _*).as("text"),
+        concat(lit("l"), pmod(col("id"), lit(5))).as("lang"),
+        concat(lit("s"), pmod(col("id"), lit(7))).as("source"),
+        lit(200L).as("n_chars"))
+
   /** sf0.1-shaped embeddings: 64-dim float vectors in 32 planted
     * clusters (centroid + noise), cached so the synthetic expressions
     * behave like the parquet scan a real corpus is (see [[Stress]]).
@@ -131,6 +153,21 @@ object StressScaling {
       if (want("jaccard_allpairs"))
         record("jaccard_allpairs", scale, nDocs, timed(
           ops.Similarity.allPairsJaccard(d, 0.5)))
+      // Exact all-pairs tf-idf cosine. The UNIFORM 10k-vocab corpus is
+      // the prefix filter's measured worst case (flat df ⇒ postings
+      // ~n/10k everywhere, prefixes can't shrink, candidates ~Σ|posting|²)
+      // — kept at 1×/10× as the anti-baseline, like semantic_dedup_flat.
+      if (scale <= 10L && want("cosine_allpairs"))
+        record("cosine_allpairs", scale, nDocs, timed(
+          ops.Similarity.allPairsCosine(d, 0.85)))
+      // The Zipf-vocabulary corpus is the realistic case: rarest-first
+      // prefixes land on tail types with short postings, so candidate
+      // volume tracks near-dup mass, not posting-length².
+      if (want("cosine_allpairs_zipf")) {
+        lazy val dz = docsZipf(spark, nDocs).localCheckpoint()
+        record("cosine_allpairs_zipf", scale, nDocs, timed(
+          ops.Similarity.allPairsCosine(dz, 0.85)))
+      }
 
       val nVecs = baseVecs * scale
       lazy val emb = embeddings(spark, nVecs)

@@ -174,4 +174,35 @@ object Clustering {
       .select(col("id").as("doc_id"), col("cluster_id"),
         col("cluster_size"), (col("id") === col("cluster_id")).as("keep"))
   }
+
+  /** Quality-aware cluster representative selection — [[dedupClusters]]
+    * with the survivor chosen by SCORE instead of min id: within each
+    * near-dup component keep the highest-`scoreCol` member (ties → lowest
+    * id). This is the curation-grade terminal stage: a near-dup family
+    * usually contains one clean original and N mangled crawls, and the
+    * min-id rule keeps whichever was crawled first — the score rule keeps
+    * the best one (the [[graft.ops.Similarity.dedupKeepBest]] policy
+    * lifted from exact-key groups to fuzzy components).
+    *
+    * `scored` maps id → score; only ids appearing in a pair are looked up
+    * (the join is component-table-sized, not corpus-sized). The winner is
+    * one max(struct(score, −id)) per component — same engine-agnostic
+    * total order as dedupKeepBest, no window sort. Docs in no pair are
+    * implicitly kept and not listed, as in [[dedupClusters]].
+    */
+  def clusterKeepBest(pairs: DataFrame, scored: DataFrame,
+                      idCol: String = "doc_id", scoreCol: String = "quality",
+                      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val withScore = comp.join(
+      scored.select(col(idCol).as("id"), col(scoreCol).as("_score")), Seq("id"))
+    val winners = withScore.groupBy(col("cluster_id").as("cid"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("_score"), (-col("id")).as("neg"))).as("w"))
+      .select(col("cid"), col("cluster_size"),
+        (-col("w.neg")).as("best_id"), col("w._score").as("best_score"))
+    withScore.join(winners, col("cluster_id") === col("cid"))
+      .select(col("id").as(idCol), col("cluster_id"), col("cluster_size"),
+        col("_score").as(scoreCol), (col("id") === col("best_id")).as("keep"))
+  }
 }

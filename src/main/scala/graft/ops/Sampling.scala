@@ -217,4 +217,60 @@ object Sampling {
       .filter(col("_rn") <= ceil(col("_n") * lit(fraction)))
       .drop("_rn", "_n")
   }
+
+  /** Temperature-based mixture sampling (the multilingual/multi-source
+    * rebalancing recipe from mBERT/XLM-R/mT5: sample source s with
+    * probability ∝ (its token share)^α, α < 1 flattening the mix so
+    * low-resource sources are up-weighted). Where [[budgetPerStratum]]
+    * takes explicit per-source budgets, this DERIVES them from measured
+    * token mass: budget_s = totalBudget · n_s^α / Σ_t n_t^α, then fills
+    * each budget with the same deterministic hash-order prefix.
+    *
+    * Engine-exactness — every step either integer or exact-rounded:
+    * α is restricted to {1, 0.5, 0.25} so n^α is repeated IEEE sqrt
+    * (exact-rounded, bit-identical everywhere; arbitrary pow is NOT);
+    * shares quantize to Qs = ⌊n^α · 2^20⌋ BIGINT; the budget split is
+    * DECIMAL(38,0) products with one integer floor division — no float
+    * sum across strata anywhere, so the boundary doc of every source is
+    * the same in any engine. Largest-remainder correction is deliberately
+    * omitted: budgets are floors, Σ budgets ≤ totalBudget (documented
+    * contract; a token-exact fill is [[budgetPerStratum]]'s job).
+    *
+    * Scale shape: one map-side-combined aggregate for the masses (rows =
+    * #strata, broadcast back), then [[budgetPerStratum]]'s window — one
+    * shuffle on the stratum key, sort bounded by the largest stratum.
+    */
+  def mixTemperature(df: DataFrame, stratumCol: String, keyCol: String,
+                     weightCol: String, totalBudget: Long,
+                     alpha: Double = 0.5): DataFrame = {
+    require(totalBudget >= 0L, s"totalBudget must be non-negative")
+    require(Set(1.0, 0.5, 0.25).contains(alpha),
+      s"alpha must be one of {1, 0.5, 0.25} (exact-rounded sqrt chain), got $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val pow = (c: org.apache.spark.sql.Column) => alpha match {
+      case 1.0 => c
+      case 0.5 => sqrt(c)
+      case _ => sqrt(sqrt(c))
+    }
+    val masses = df.filter(col(weightCol) >= 0)
+      .groupBy(col(stratumCol).as("_stratum"))
+      .agg(sum(col(weightCol)).cast("long").as("_n"))
+      .withColumn("_q", floor(pow(col("_n").cast("double")) * lit(1048576.0))
+        .cast("long"))
+    val denom = masses.agg(sum(col("_q")).as("_denom"))
+    val budgets = masses.crossJoin(broadcast(denom))
+      .withColumn("_budget",
+        expr(s"(cast(_q as decimal(38,0)) * cast($totalBudget as decimal(38,0)))" +
+          " div cast(_denom as decimal(38,0))").cast("long"))
+      .select(col("_stratum"), col("_budget"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(weightCol) >= 0)
+      .join(broadcast(budgets), col(stratumCol) === col("_stratum"))
+      .withColumn("cum_tokens", sum(col(weightCol)).over(w))
+      .filter(col("cum_tokens") <= col("_budget"))
+      .withColumn("budget", col("_budget"))
+      .drop("_stratum", "_budget")
+  }
 }

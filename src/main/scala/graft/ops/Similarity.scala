@@ -1254,13 +1254,12 @@ object Similarity {
     * canonical order (ascending document frequency, rarest first; ties
     * on the term); with S(j) = Σ_{k≥j} wnq(t_k)·maxw(t_k) (suffix sums
     * over the per-doc window, maxw = corpus max of wnq per term), a
-    * qualifying pair's EARLIEST shared term j₀ in x's order satisfies
-    * dot ≤ S_x(j₀), so S_x(j₀) ≥ tq — every true pair collides on a
-    * PREFIX term {j : S(j) ≥ tq} of at least one side. Unlike the
-    * Jaccard pigeonhole, prefix×prefix is NOT lossless for cosine
-    * (both-suffix contributions can each stay < t while summing past
-    * it), so the candidate join is prefix × ALL-features — the paper's
-    * index-join — and rarest-first keeps the joined postings short.
+    * qualifying pair's EARLIEST shared term t* — the same term on both
+    * sides, because both docs restrict the ONE global order — satisfies
+    * dot ≤ S_x(pos_x(t*)) and dot ≤ S_y(pos_y(t*)), so t* lies in the
+    * PREFIX {j : S(j) ≥ tq} of BOTH sides: the candidate join is
+    * prefix × prefix, and rarest-first keeps the joined postings short
+    * (prefix terms are the rare ones under a Zipfian vocabulary).
     *
     * Shape at 100 TB: tf/df/norms are token-volume hash aggregates;
     * the rank/suffix windows partition by doc_id (never global); the
@@ -1303,8 +1302,16 @@ object Similarity {
       .withColumn("s_bound", sum(col("wnq") * col("mw")).over(suffixW))
       .filter(col("s_bound") >= tq)
       .select(col("doc_id"), col("t"))
+    // prefix × PREFIX is lossless BECAUSE the order is global: all of a
+    // pair's shared terms sort by the one canonical (df, t) key, so the
+    // EARLIEST shared term t* is the same on both sides, and
+    // dot ≤ S_x(pos_x(t*)) and dot ≤ S_y(pos_y(t*)) put t* inside both
+    // prefixes of a qualifying pair. (With per-doc orders this would NOT
+    // hold — the two earliest-shared terms could differ.) Merge-hinted:
+    // prefix sizes are estimator-invisible (post-window filters), and a
+    // mis-chosen hash/broadcast join here is the OOM path at scale.
     val cand = pref.as("a")
-      .join(feats.select(col("doc_id"), col("t")).as("b"),
+      .join(pref.as("b").hint("merge"),
         col("a.t") === col("b.t") && col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))

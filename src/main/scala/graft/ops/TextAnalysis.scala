@@ -612,6 +612,40 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
   }
 
+  /** Linear-classifier INFERENCE over the hashed feature map — the
+    * fastText-style quality/topic filter pass every production curation
+    * pipeline runs after training such a model offline (the classifier
+    * behind "model-based quality filtering" in the GPT-3/LLaMA/CCNet
+    * recipes). The model here is a weight per hash bucket; scoring is
+    * the sparse dot  score = Σ_b tf_b · w_b / Σ_b tf_b  (fastText's
+    * mean-of-features linear layer).
+    *
+    * Engine-exactness: weights live as INTEGERS wq ∈ [−1000, 1000]
+    * (this synthetic model derives them from md5(bucket) — a real
+    * deployment would join a trained weight table in the same quantized
+    * form); the accumulation Σ tf·wq is a BIGINT sum — order-free, so
+    * no result depends on float summation order — and the reported
+    * score is ONE exact division  score_q / (1000 · n_terms)  ∈ [−1, 1].
+    *
+    * Scale shape: one explode → (doc, bucket) hash-agg (map-side
+    * combined, ≤ dim rows per doc), weights attach as a pure codegen'd
+    * md5 map (a trained table would broadcast — dim rows), then one
+    * per-doc agg. Token volume is touched exactly once; nothing joins
+    * in text space.
+    */
+  def classifierScore(documents: DataFrame, dim: Int = 64): DataFrame = {
+    val feats = hashFeatures(documents, dim)
+    val wq = pmod(conv(substring(md5(concat(lit("w:"), col("bucket"))), 1, 15),
+      16, 10).cast("long"), lit(2001L)) - 1000L
+    feats
+      .withColumn("wq", wq)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_terms"),
+        sum(col("tf") * col("wq")).as("score_q"))
+      .withColumn("score",
+        col("score_q").cast("double") / (lit(1000.0) * col("n_terms").cast("double")))
+  }
+
   /** Count–Min sketch frequency profile (Cormode & Muthukrishnan,
     * J. Algorithms 2005) — the point-query complement to the Misra–Gries
     * heavy-hitter path: where MG answers "which terms are frequent", CMS

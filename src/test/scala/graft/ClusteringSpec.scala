@@ -110,4 +110,29 @@ class ClusteringSpec extends SparkSpec {
     }
     assert(spark.sparkContext.getCheckpointDir.isEmpty)
   }
+
+  test("clusterKeepBest: survivor is the quality argmax per component, ties to lowest id") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val scored = Seq((1L, 0.5), (2L, 0.9), (3L, 0.7), (10L, 0.4), (11L, 0.4))
+      .toDF("doc_id", "quality")
+    val out = Clustering.clusterKeepBest(pairs, scored).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 10L, 11L))
+    // component {1,2,3}: id 2 wins on quality 0.9, not min-id 1
+    assert(out(2L) == ((1L, 3L, 0.9, true)))
+    assert(!out(1L)._4 && !out(3L)._4)
+    // component {10,11}: tie 0.4 -> lowest id 10
+    assert(out(10L)._4 && !out(11L)._4)
+    assert(out(11L) == ((10L, 2L, 0.4, false)))
+    // exactly one survivor per component
+    val keeps = Clustering.clusterKeepBest(pairs, scored)
+      .groupBy("cluster_id")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("keep"), 1).otherwise(0)).as("k"))
+      .select("k").as[Long].collect()
+    assert(keeps.forall(_ == 1L))
+  }
 }

@@ -66,6 +66,7 @@ class PlanLintSpec extends SparkSpec {
     "semantic_dedup_capped" -> "coarse-cell centroid broadcast (bounded by `coarse`) into the level-1 assignment map",
     "semantic_clusters" -> "nlist-row centroid table broadcast into the cell-assignment map (same pattern as semantic_dedup)",
     "pmi_pairs" -> "1-row bigram grand total broadcast",
+    "mix_temperature" -> "1-row Qs-denominator aggregate broadcast into the per-stratum budget map",
     "cosine_allpairs" -> "1-row corpus doc-count broadcast into the idf map",
     "vocab_growth" -> "1-row (lo, hi) doc_id bounds broadcast into the codegen bucket map",
   )

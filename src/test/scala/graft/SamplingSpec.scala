@@ -213,4 +213,52 @@ class SamplingSpec extends SparkSpec {
       Sampling.splitByGroup(rows, "grp", valFrac = 0.6, testFrac = 0.5)
     }
   }
+
+  test("mixTemperature: exact budget split on a hand-computed fixture") {
+    // A: 10 rows x 10 tokens = 100; B: 90 rows x 10 = 900.
+    // alpha=0.5: Qa = 10*2^20, Qb = 30*2^20 -> budgets 25 / 75 of 100.
+    // Prefix fill at weight 10 -> exactly 2 rows from A, 7 from B.
+    val rows = ((0 until 10).map(i => (i.toLong, "A", 10L)) ++
+      (100 until 190).map(i => (i.toLong, "B", 10L)))
+      .toDF("id", "src", "w")
+    val out = Sampling.mixTemperature(rows, "src", "id", "w", 100L)
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("A" -> 2L, "B" -> 7L))
+    val budgets = out.select("src", "budget").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(budgets == Map("A" -> 25L, "B" -> 75L))
+    // cum_tokens respects the budget row-by-row
+    assert(out.filter(col("cum_tokens") > col("budget")).isEmpty)
+  }
+
+  test("mixTemperature: alpha flattens the mix toward low-resource strata; alpha=1 is proportional") {
+    val rows = ((0 until 990).map(i => (i.toLong, "big", 10L)) ++
+      (1000 until 1010).map(i => (i.toLong, "small", 10L)))
+      .toDF("id", "src", "w")
+    def budgetOf(alpha: Double, src: String): Long =
+      Sampling.mixTemperature(rows, "src", "id", "w", 1000L, alpha)
+        .filter(col("src") === src).select("budget").head().getLong(0)
+    // proportional share of 'small' = 100/10000 = 1% -> budget 10
+    assert(budgetOf(1.0, "small") == 10L)
+    // sqrt flattening: sqrt(100)/(sqrt(9900)+sqrt(100)) ~ 9.1% -> ~91
+    val flat = budgetOf(0.5, "small")
+    assert(flat > 80L && flat < 100L, s"flattened small budget $flat")
+    // quarter power flattens harder still
+    assert(budgetOf(0.25, "small") > flat)
+    // unknown alpha rejected (pow is not engine-exact)
+    intercept[IllegalArgumentException] {
+      Sampling.mixTemperature(rows, "src", "id", "w", 1000L, 0.7)
+    }
+  }
+
+  test("mixTemperature: selection is deterministic and a pure function of content") {
+    val rows = (0 until 200).map(i =>
+      (i.toLong, s"s${i % 5}", (i % 7 + 1).toLong)).toDF("id", "src", "w")
+    val a = Sampling.mixTemperature(rows, "src", "id", "w", 300L)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.mixTemperature(rows.repartition(13), "src", "id", "w", 300L)
+      .select("id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
 }

@@ -348,4 +348,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out((3L, 1)) == (("cherry", 1L, 1L, 2.0)))
     assert(out((3L, 2))._1 == "common")
   }
+
+  test("classifierScore: sparse dot matches a JVM-side replay of the md5 weight model; score bounded") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(g: String): Long = java.lang.Long.parseLong(md5hex(g).take(15), 16) % 64
+    def wq(b: Long): Long = java.lang.Long.parseLong(md5hex("w:" + b).take(15), 16) % 2001 - 1000
+    def expected(text: String): (Long, Long) = {
+      val toks = text.toLowerCase.split(" ").toSeq
+      val grams = toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      val byBucket = grams.groupBy(bucket).map { case (b, g) => (b, g.size.toLong) }
+      (grams.size.toLong, byBucket.map { case (b, tf) => tf * wq(b) }.sum)
+    }
+    val texts = Seq((0L, "x y"), (1L, "alpha beta gamma alpha"), (2L, "solo"))
+    val out = graft.ops.TextAnalysis.classifierScore(texts.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    texts.foreach { case (id, t) =>
+      val (n, sq) = expected(t)
+      assert(out(id)._1 == n, s"doc $id n_terms")
+      assert(out(id)._2 == sq, s"doc $id score_q")
+      assert(out(id)._3 == sq.toDouble / (1000.0 * n), s"doc $id score")
+      assert(math.abs(out(id)._3) <= 1.0)
+    }
+  }
 }
