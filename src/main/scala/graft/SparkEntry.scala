@@ -467,6 +467,12 @@ object SparkEntry {
     // collision-free estimates (= exact) and one-sided overestimates.
     "cms_profile" -> ((s, d) => TextAnalysis.cmsProfile(Tables.documents(s, d),
       Seq("join", "hash", "scan", "column", "merge", "slow", "zzzqx"), 4, 16)),
+    // xxhash64 fast path of the sketch above (rows-only by the driver
+    // contract, like every xxhash64 path): identical semantics, native
+    // codegen'd row hashing — the 100 TB variant. Its exact_count column
+    // and sketch guarantees are pinned to the md5 twin in the spec.
+    "cms_profile_fast" -> ((s, d) => TextAnalysis.cmsProfileX(Tables.documents(s, d),
+      Seq("join", "hash", "scan", "column", "merge", "slow", "zzzqx"), 4, 16)),
     // Lee et al. exact-substring dedup at sliding 8-token-window
     // granularity: a window duplicated across >= 2 distinct docs marks
     // its span; per-doc union coverage via one lag over dup starts.
@@ -709,8 +715,20 @@ object SparkEntry {
     // 0.85 sits in the measured valley between the background bag-of-
     // words mass (tiny synthetic vocabulary -> bulk at 0.5-0.8) and the
     // planted near-dup families (0.9-1.0).
-    "cosine_allpairs" -> ((s, d) =>
-      Similarity.allPairsCosine(Tables.documents(s, d), 0.85)),
+    // Bounded id window (doc_id < 1000; the dedup_clusters/containment precedent): this
+    // corpus's 31-word vocabulary is the prefix filter's physics-level
+    // worst case - flat idf, every posting ~ the whole corpus, candidate
+    // volume ~ Sum posting^2 regardless of pruning - so the unbounded
+    // form at sf0.1 costs ~200s of pure candidate traffic. Realistic
+    // (Zipf + Heaps) vocabularies are where the unbounded join earns its
+    // keep; bench/r11_stress_scaling.json carries that evidence to 500k
+    // docs, and jaccard_allpairs stays unbounded here because SHINGLE
+    // postings are short on any corpus.
+    "cosine_allpairs" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Similarity.allPairsCosine(
+        Tables.documents(s, d).filter(col("doc_id") < 1000), 0.85)
+    }),
     // Asymmetric containment over the same bounded id range: catches the
     // quote-inclusion/superset family whose symmetric Jaccard is tiny.
     "containment_pairs" -> ((s, d) => Similarity.containmentPairs(Tables.documents(s, d), 500L, 0.8)),
@@ -2319,7 +2337,7 @@ object SparkEntry {
       """WITH tok AS (
         |  SELECT doc_id, t, count(*) AS tf
         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
-        |        FROM documents)
+        |        FROM documents WHERE doc_id < 1000)
         |  GROUP BY 1, 2),
         |dfq AS (SELECT t, count(*) AS df FROM tok GROUP BY 1),
         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tok),

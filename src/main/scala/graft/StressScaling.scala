@@ -41,15 +41,19 @@ object StressScaling {
         concat(lit("s"), pmod(col("id"), lit(7))).as("source"),
         lit(200L).as("n_chars"))
 
-  /** Zipf-vocabulary twin of [[docs]]: token ids drawn as
-    * ⌊10000·u³⌋ (u uniform), i.e. P(id ≤ x) = (x/10⁴)^⅓ — a heavy head
-    * and a long tail of rare types, the shape real text has. The
-    * uniform-vocabulary corpus above is the documented WORST case for
-    * prefix-filtered similarity joins (flat df ⇒ every posting long,
-    * nothing rare to prune on); this one is the realistic case, where
-    * rarest-first prefixes hit short postings.
+  /** Zipf + Heaps twin of [[docs]]: token ids drawn as ⌊V·u³⌋
+    * (u uniform), i.e. P(id ≤ x) = (x/V)^⅓ — a heavy head and a long
+    * tail of rare types — with the vocabulary GROWING as V = 10⁴·√(n/5k)
+    * (Heaps' law: type count scales with a power of token count; real
+    * corpora never hold vocabulary fixed while documents multiply).
+    * Both properties matter for similarity-join stress: the uniform
+    * FIXED-vocab corpus above is the documented worst case (flat df ⇒
+    * every posting grows ∝ n, candidate volume Σc² ∝ n², nothing rare
+    * to prune on), while under Zipf+Heaps the rarest-first prefixes hit
+    * tail types whose postings stay short as the corpus grows.
     */
-  private[graft] def docsZipf(spark: SparkSession, n: Long): DataFrame =
+  private[graft] def docsZipf(spark: SparkSession, n: Long): DataFrame = {
+    val vocab = 10000.0 * math.sqrt(n.toDouble / 5000.0)
     spark.range(n)
       .select(col("id").as("doc_id"),
         concat_ws(" ", (0 until 40).map { i =>
@@ -57,11 +61,12 @@ object StressScaling {
             (col("id") - when(pmod(col("id"), lit(100)) === 99L, lit(1L))
               .otherwise(lit(0L))) * 1000003L + i),
             lit(1000000L)).cast("double") / 1000000.0
-          concat(lit("w"), floor(u * u * u * 10000.0).cast("long"))
+          concat(lit("w"), floor(u * u * u * vocab).cast("long"))
         }: _*).as("text"),
         concat(lit("l"), pmod(col("id"), lit(5))).as("lang"),
         concat(lit("s"), pmod(col("id"), lit(7))).as("source"),
         lit(200L).as("n_chars"))
+  }
 
   /** sf0.1-shaped embeddings: 64-dim float vectors in 32 planted
     * clusters (centroid + noise), cached so the synthetic expressions
@@ -148,6 +153,11 @@ object StressScaling {
       if (want("cms_profile"))
         record("cms_profile", scale, nDocs, timed(
           ops.TextAnalysis.cmsProfile(d, Seq("w1", "w17", "w123", "zzz"), 4, 1024)))
+      // The xxhash64 fast path: same sketch, native codegen'd row hash —
+      // measures how much of the md5 form's ceiling is hash-family cost.
+      if (want("cms_profile_fast"))
+        record("cms_profile_fast", scale, nDocs, timed(
+          ops.TextAnalysis.cmsProfileX(d, Seq("w1", "w17", "w123", "zzz"), 4, 1024)))
       // Exact all-pairs Jaccard: candidate volume tracks the near-dup
       // mass (planted 1% exact dups) + prefix collisions, never m².
       if (want("jaccard_allpairs"))

@@ -147,6 +147,96 @@ case class L2SquaredLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_sdot(a, b)`: integer dot product of two SPARSE vectors held as
+  * `ARRAY<STRUCT<t: STRING, w: BIGINT>>` arrays SORTED by `t` — one
+  * sorted-merge walk, O(|a| + |b|) per evaluation, exact string keys
+  * (no hash-collision caveat), whole-stage codegen.
+  *
+  * This is the verify hot path of the exact all-pairs cosine join
+  * ([[graft.ops.Similarity.allPairsCosine]]): every candidate pair pays
+  * one evaluation. The built-in spellings are both structurally worse —
+  * a per-(doc, term) row join multiplies candidates by document length
+  * before it can aggregate (measured 4×10⁹ shuffled rows on a 50k-doc
+  * worst-case corpus), and `aggregate(array_intersect(...))` over maps
+  * is an interpreted HOF with an O(|a|·|b|) lookup scan (measured ~2.7×
+  * slower end-to-end on a 25-shared-term corpus). Caller contract: both
+  * arrays sorted ascending by `t` with distinct keys —
+  * `array_sort(collect_list(struct(t, w)))` produces exactly that.
+  */
+@ExpressionDescription(
+  usage = "graft_sdot(a, b) - integer dot of two t-sorted ARRAY<STRUCT<t: STRING, w: BIGINT>> sparse vectors as BIGINT.")
+case class SparseDotSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = LongType
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(StructType(Array(f0, f1)), _) =>
+      f0.dataType == StringType && f1.dataType == LongType
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (Seq(left, right).forall(e => okType(e.dataType)))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_sdot expects two ARRAY<STRUCT<STRING, BIGINT>> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val na = xs.numElements()
+    val nb = ys.numElements()
+    var acc = 0L
+    var i = 0
+    var j = 0
+    while (i < na && j < nb) {
+      val ra = xs.getStruct(i, 2)
+      val rb = ys.getStruct(j, 2)
+      val c = ra.getUTF8String(0).compareTo(rb.getUTF8String(0))
+      if (c == 0) { acc += ra.getLong(1) * rb.getLong(1); i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val acc = ctx.freshName("acc")
+      val ra = ctx.freshName("ra")
+      val rb = ctx.freshName("rb")
+      val c = ctx.freshName("c")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |long $acc = 0L;
+         |int $i = 0;
+         |int $j = 0;
+         |while ($i < $na && $j < $nb) {
+         |  org.apache.spark.sql.catalyst.InternalRow $ra = $a.getStruct($i, 2);
+         |  org.apache.spark.sql.catalyst.InternalRow $rb = $b.getStruct($j, 2);
+         |  int $c = $ra.getUTF8String(0).compareTo($rb.getUTF8String(0));
+         |  if ($c == 0) { $acc += $ra.getLong(1) * $rb.getLong(1); $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SparseDotSorted =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
 
   private val dotInfo = new ExpressionInfo(
@@ -165,6 +255,15 @@ object GraftFunctions {
     case Seq(a, b) => L2SquaredLong(a, b)
     case other => throw new IllegalArgumentException(
       s"graft_l2q takes exactly 2 arguments, got ${other.length}")
+  }
+
+  private val sdotInfo = new ExpressionInfo(
+    classOf[SparseDotSorted].getName, "graft_sdot")
+
+  private val sdotBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => SparseDotSorted(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_sdot takes exactly 2 arguments, got ${other.length}")
   }
 
   private val entropyInfo = new ExpressionInfo(
@@ -222,6 +321,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_l2q"), l2qInfo, l2qBuilder)
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_sdot"), sdotInfo, sdotBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_entropy"), entropyInfo, entropyBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, bloomAggBuilder)
@@ -243,6 +344,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_l2q"),
       new ExpressionInfo(classOf[L2SquaredLong].getName, "graft_l2q"),
       (exprs: Seq[Expression]) => L2SquaredLong(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sdot"),
+      new ExpressionInfo(classOf[SparseDotSorted].getName, "graft_sdot"),
+      (exprs: Seq[Expression]) => SparseDotSorted(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_entropy"),
       new ExpressionInfo(classOf[CharEntropyExpr].getName, "graft_entropy"),

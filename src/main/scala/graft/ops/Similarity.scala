@@ -1316,13 +1316,25 @@ object Similarity {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
+    // Verify against PER-DOC sorted sparse vectors (one ~|terms| row per
+    // doc), not per-(doc, term) feature rows: a row-form verify join
+    // multiplies every candidate by the doc's term count — measured
+    // 4×10⁹ intermediate rows (≈100 GB of shuffle) on the 50k-doc
+    // worst-case stress corpus — where this form shuffles nothing but
+    // the candidate list plus one vector per doc, and each candidate's
+    // dot is ONE codegen'd sorted-merge walk (`graft_sdot`,
+    // [[graft.functions.SparseDotSorted]]: O(|a|+|b|), exact string
+    // keys). Integer arithmetic unchanged — same exact dot, any
+    // summation order.
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val vecs = feats.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("t"), col("wnq")))).as("v"))
     cand
-      .join(feats.select(col("doc_id").as("doc_a"), col("t"),
-        col("wnq").as("wa")).hint("merge"), "doc_a")
-      .join(feats.select(col("doc_id").as("doc_b"), col("t"),
-        col("wnq").as("wb")).hint("merge"), Seq("doc_b", "t"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("wa") * col("wb")).as("dot_q"))
+      .join(vecs.select(col("doc_id").as("doc_a"), col("v").as("va"))
+        .hint("merge"), "doc_a")
+      .join(vecs.select(col("doc_id").as("doc_b"), col("v").as("vb"))
+        .hint("merge"), "doc_b")
+      .withColumn("dot_q", call_function("graft_sdot", col("va"), col("vb")))
       .filter(col("dot_q") >= tq)
       .select(col("doc_a"), col("doc_b"), col("dot_q"),
         (col("dot_q").cast("double") / lit(1099511627776.0)).as("cosine_q"))

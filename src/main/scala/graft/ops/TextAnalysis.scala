@@ -700,6 +700,46 @@ object TextAnalysis {
           .as("overestimate"))
   }
 
+  /** xxhash64 fast path of [[cmsProfile]] — identical sketch semantics
+    * (d independent rows, min-of-counters point estimate, one-sided
+    * estimate ≥ exact), different row-hash family. The md5 form exists
+    * to be DuckDB-oracle-able; its cost at scale is d×token-volume
+    * MD5-of-string + hex→decimal conversions, whose allocation churn is
+    * the measured single-box ceiling in the stress artifact (18.7× wall
+    * per 10× data at 5M docs — GC, not asymptotics). xxhash64(seed, t)
+    * is Spark's native codegen'd hash — no intermediate strings at all —
+    * so this is the variant a 100 TB profile run uses; the spec pins it
+    * to the md5 twin's exact counts and sketch guarantees.
+    */
+  def cmsProfileX(documents: DataFrame, probe: Seq[String],
+                  d: Int = 4, w: Int = 64): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1 rows and w >= 2 counters, got d=$d w=$w")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    def bucket(t: org.apache.spark.sql.Column, j: Int) =
+      pmod(xxhash64(lit(j), t), lit(w.toLong))
+    val tokens = documents.select(explode(toks).as("t"))
+    val counters = tokens
+      .select(posexplode(array((0 until d).map(j => bucket(col("t"), j)): _*))
+        .as(Seq("j", "b")))
+      .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
+    val probeRows = probe.toDF("term")
+      .select(col("term"),
+        posexplode(array((0 until d).map(j => bucket(col("term"), j)): _*))
+          .as(Seq("j", "b")))
+    val est = probeRows.join(counters, Seq("j", "b"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_estimate"))
+    val exact = tokens.filter(col("t").isin(probe: _*))
+      .groupBy(col("t").as("term")).agg(count(lit(1)).as("exact_count"))
+    est.join(exact, Seq("term"), "left")
+      .select(col("term"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+        col("cms_estimate"),
+        (col("cms_estimate") - coalesce(col("exact_count"), lit(0L)))
+          .as("overestimate"))
+  }
+
   /** Cross-document duplicated-substring profile — the exact-substring
     * dedup stage of Lee et al., "Deduplicating Training Data Makes
     * Language Models Better" (ACL 2022), at token-window granularity:

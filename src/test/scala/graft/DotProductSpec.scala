@@ -89,4 +89,55 @@ class DotProductSpec extends SparkSpec {
     assert(df.agg(sum($"d")).as[Double].head() ==
       (0 until 10).map(i => (i + 1.0) * 2.0 + (i + 2.0) * 3.0).sum)
   }
+
+  test("graft_sdot: sorted-merge sparse dot — hand values, disjoint/empty/null, codegen participation") {
+    graft.functions.GraftFunctions.register(spark)
+    def vec(entries: (String, Long)*) =
+      array(entries.map { case (t, w) => struct(lit(t).as("t"), lit(w).as("w")) }: _*)
+    // shared {b, d}: 2*20 + 5*7 = 75; a-only c/e and b-only f ignored
+    val rows = Seq(
+      (vec("a" -> 1L, "b" -> 2L, "d" -> 5L), vec("b" -> 20L, "d" -> 7L, "f" -> 9L), 75L),
+      (vec("a" -> 1L), vec("b" -> 1L), 0L),              // disjoint
+      (array().cast("array<struct<t:string,w:bigint>>"),
+        vec("a" -> 1L), 0L),                              // empty side
+      (vec("x" -> 3L), vec("x" -> 4L), 12L)               // single shared
+    )
+    rows.zipWithIndex.foreach { case ((a, b, want), i) =>
+      val got = spark.range(1).select(call_function("graft_sdot", a, b).as("d"))
+        .as[Long].head()
+      assert(got == want, s"case $i: got $got want $want")
+    }
+    // null propagates
+    val n = spark.range(1).select(
+      call_function("graft_sdot", lit(null).cast(
+        "array<struct<t:string,w:bigint>>"), vec("a" -> 1L))).collect()
+    assert(n(0).isNullAt(0))
+    // participates in whole-stage codegen (data-dependent arg so the
+    // optimizer can't constant-fold the call away)
+    val df = spark.range(10)
+      .select(call_function("graft_sdot",
+        array(struct(lit("a").as("t"), lit(2L).as("w")),
+          struct(lit("b").as("t"), $"id".as("w"))),
+        vec("b" -> 10L)).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Project [sparsedotsorted"), plan)
+    assert(plan.contains("*(1)"), plan)
+    assert(df.as[Long].collect().toSeq == (0 until 10).map(_ * 10L))
+    // equals the interpreted map/intersect spelling on random data
+    val rnd = new scala.util.Random(7)
+    val fixture = (0 until 50).map { i =>
+      def side = (0 to rnd.nextInt(7)).map(j =>
+        (s"t${rnd.nextInt(10)}", rnd.nextInt(100).toLong))
+        .groupBy(_._1).map { case (t, g) => (t, g.head._2) }.toSeq.sortBy(_._1)
+      val (a, b) = (side, side)
+      val want = a.toMap.map { case (t, w) => w * b.toMap.getOrElse(t, 0L) }.sum
+      (i, a, b, want)
+    }
+    fixture.foreach { case (i, a, b, want) =>
+      val got = spark.range(1)
+        .select(call_function("graft_sdot", vec(a: _*), vec(b: _*)).as("d"))
+        .as[Long].head()
+      assert(got == want, s"random case $i")
+    }
+  }
 }

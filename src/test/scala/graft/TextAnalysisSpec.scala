@@ -82,6 +82,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("zz")._1 == 0L)
   }
 
+  test("cmsProfileX: exact counts equal the md5 twin's; estimates keep the one-sided sketch guarantee") {
+    val docs = Seq(
+      (0L, "a a a b c"),
+      (1L, "a b b d e f"),
+      (2L, "c c g h a")
+    ).toDF("doc_id", "text")
+    val probe = Seq("a", "b", "c", "zz")
+    val slow = graft.ops.TextAnalysis.cmsProfile(docs, probe, 3, 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fast = graft.ops.TextAnalysis.cmsProfileX(docs, probe, 3, 4).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // exact_count is hash-family-independent: must match the md5 twin
+    assert(fast.view.mapValues(_._1).toMap == slow)
+    // one-sided estimate and consistent overestimate column
+    fast.values.foreach { case (ex, est, over) =>
+      assert(est >= ex && over == est - ex)
+    }
+    // wide sketch: no collisions possible at w >> vocab -> estimate exact
+    val wide = graft.ops.TextAnalysis.cmsProfileX(docs, probe, 3, 65536).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    wide.foreach { case (t, (ex, est)) =>
+      assert(est == ex, s"term=$t estimate $est != exact $ex at collision-free width")
+    }
+  }
+
   test("substringDedup: cross-doc windows flagged at any alignment, coverage unions overlaps, within-doc repeats don't count") {
     val docs = Seq(
       (1L, "a b c d e f"),             // shares "a b c","b c d" with doc 2
