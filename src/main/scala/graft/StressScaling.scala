@@ -110,6 +110,19 @@ object StressScaling {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Disk-backed checkpoints for a single timed block: at the 100×+
+    // points a localCheckpoint pins its blocks in executor STORAGE
+    // memory and starves task memory on the single shared heap
+    // (measured: the cosine feats cut — ~20M rows at 500k docs —
+    // flipped the zipf run from 267 s green to OOM at 8g). Disk-backed
+    // cuts cost IO, keep the heap for tasks, and are the documented
+    // cluster mode. Scoped per-call so the other stress entries keep
+    // the localCheckpoint mode their recorded numbers were measured in.
+    def withReliableCuts[T](body: => T): T = {
+      spark.sparkContext.setCheckpointDir(tmp("ckpt"))
+      try body finally spark.sparkContext.setCheckpointDir(null)
+    }
+
     def timed(f: => DataFrame): Double = {
       val t0 = System.nanoTime()
       f.write.format("noop").mode("overwrite").save()
@@ -168,15 +181,15 @@ object StressScaling {
       // ~n/10k everywhere, prefixes can't shrink, candidates ~Σ|posting|²)
       // — kept at 1×/10× as the anti-baseline, like semantic_dedup_flat.
       if (scale <= 10L && want("cosine_allpairs"))
-        record("cosine_allpairs", scale, nDocs, timed(
-          ops.Similarity.allPairsCosine(d, 0.85)))
+        record("cosine_allpairs", scale, nDocs, withReliableCuts(timed(
+          ops.Similarity.allPairsCosine(d, 0.85))))
       // The Zipf-vocabulary corpus is the realistic case: rarest-first
       // prefixes land on tail types with short postings, so candidate
       // volume tracks near-dup mass, not posting-length².
       if (want("cosine_allpairs_zipf")) {
         lazy val dz = docsZipf(spark, nDocs).localCheckpoint()
-        record("cosine_allpairs_zipf", scale, nDocs, timed(
-          ops.Similarity.allPairsCosine(dz, 0.85)))
+        record("cosine_allpairs_zipf", scale, nDocs, withReliableCuts(timed(
+          ops.Similarity.allPairsCosine(dz, 0.85))))
       }
 
       val nVecs = baseVecs * scale

@@ -1289,19 +1289,28 @@ object Similarity {
       .filter(col("wq") > 0)
     val norms = wq.groupBy(col("doc_id"))
       .agg(sum(col("wq") * col("wq")).as("nx"))
-    val feats = wq.join(norms.hint("merge"), "doc_id")
+    // Materialization cut: feats feeds SIX consumers (maxw, the prefix
+    // window, both candidate legs, both verify vector sides), and
+    // without a barrier each consumer re-runs the tokenize→tf→idf→norm
+    // subtree — the physical plan shows the corpus scan replicated per
+    // branch. One token-volume materialization replaces six passes
+    // (reliable checkpoint when a dir is configured, else local — the
+    // Checkpoints.stable contract).
+    val feats = Checkpoints.stable(wq.join(norms.hint("merge"), "doc_id")
       .withColumn("wnq",
         floor((col("wq").cast("double") / sqrt(col("nx").cast("double"))) *
           lit(1048576.0)).cast("long"))
       .filter(col("wnq") > 0)
-      .select(col("doc_id"), col("t"), col("wnq"), col("df"))
+      .select(col("doc_id"), col("t"), col("wnq"), col("df")))
     val maxw = feats.groupBy(col("t")).agg(max(col("wnq")).as("mw"))
     val suffixW = W.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
       .rowsBetween(W.currentRow, W.unboundedFollowing)
-    val pref = feats.join(maxw.hint("merge"), "t")
+    // Second cut: both candidate legs consume pref — (id, term) rows,
+    // far smaller than feats — so the maxw join + suffix window run once.
+    val pref = Checkpoints.stable(feats.join(maxw.hint("merge"), "t")
       .withColumn("s_bound", sum(col("wnq") * col("mw")).over(suffixW))
       .filter(col("s_bound") >= tq)
-      .select(col("doc_id"), col("t"))
+      .select(col("doc_id"), col("t")))
     // prefix × PREFIX is lossless BECAUSE the order is global: all of a
     // pair's shared terms sort by the one canonical (df, t) key, so the
     // EARLIEST shared term t* is the same on both sides, and

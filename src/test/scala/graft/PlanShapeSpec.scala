@@ -263,4 +263,23 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
     }
   }
+
+  test("cosine_allpairs: merge-joined candidate/verify legs above the cuts, codegen'd sdot verify, no nested loop") {
+    // feats/pref sit below Checkpoints.stable materialization cuts (the
+    // tokenize→idf→norm subtree otherwise replays once per consumer —
+    // six times in the un-cut physical tree), so the composed plan under
+    // test is the candidate join + verify stage above the cuts.
+    val p = plan("cosine_allpairs")
+    // prefix×prefix candidates and both per-doc vector attaches must be
+    // sort-merge: a mis-estimated broadcast or shuffled-hash build on a
+    // post-window side is the OOM path the 50k-doc stress measured
+    assert("SortMergeJoin".r.findAllIn(p).length >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // verify runs the native sorted-merge dot, not an interpreted HOF
+    // and not a per-(doc, term) row-join re-aggregation
+    assert(p.toLowerCase.contains("sparsedotsorted"), p)
+    // candidate-pair dedup is a hash aggregate, never a global funnel
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }
