@@ -153,6 +153,58 @@ object SparkEntry {
        |$out""".stripMargin
   }
 
+  /** Encode oracle (bpe_encode): replay `n` training rounds like
+    * [[bpeMergesOracle]] but carry the word identity through every round
+    * and ALWAYS apply the round's merge (the train oracle skips the
+    * last application — it only reports the rule). Encoding the training
+    * corpus with its own rank-ordered table IS the final training state
+    * (sequential-rank application ≡ priority encode for a consistent
+    * table — see [[graft.ops.Tokenizer.bpeEncode]]), so the per-word
+    * subword count is one chr(2)-per-symbol length difference on
+    * r(n+1), joined back to per-doc word counts. Carrying `w` changes
+    * no pair statistic: w ↔ symbol string is bijective (the symbols
+    * concatenate to w + sentinel), so the round tables keep exactly one
+    * row per word type either way.
+    */
+  private def bpeEncodeOracle(n: Int): String = {
+    val rounds = (1 to n).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT a[j] AS l, a[j+1] AS r, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT string_split(trim(s, chr(1) || chr(2)), chr(2) || chr(1)) AS a,
+         |          freq FROM r$i),
+         |       UNNEST(generate_series(1, len(a) - 1)) AS t(j)
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         |r${i + 1} AS MATERIALIZED (
+         |  SELECT w, replace(s,
+         |      chr(1) || (SELECT l FROM m$i) || chr(2) ||
+         |        chr(1) || (SELECT r FROM m$i) || chr(2),
+         |      chr(1) || (SELECT l FROM m$i) || (SELECT r FROM m$i) || chr(2)) AS s,
+         |    freq
+         |  FROM r$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH r1 AS MATERIALIZED (
+       |  SELECT w, array_to_string(list_transform(
+       |      list_transform(generate_series(1, length(w)), i -> substr(w, i, 1))
+       |        || ['</w>'],
+       |      c -> chr(1) || c || chr(2)), '') AS s, freq
+       |  FROM (SELECT t AS w, count(*) AS freq
+       |        FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+       |        GROUP BY 1)),
+       |$rounds,
+       |wc AS (SELECT w, length(s) - length(replace(s, chr(2), '')) AS n_sub
+       |       FROM r${n + 1}),
+       |dw AS (SELECT doc_id, t AS w, count(*) AS cnt
+       |       FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+       |             FROM documents)
+       |       GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+       |  CAST(sum(cnt * n_sub) AS BIGINT) AS n_subwords,
+       |  CAST(sum(cnt * length(w)) AS BIGINT) AS n_chars
+       |FROM dw JOIN wc USING (w)
+       |GROUP BY doc_id""".stripMargin
+  }
+
   /** The synthetic documents are PII-free word salad, so the pii_scrub
     * fixture plants one email, one IPv4 and one SSN-shaped token per doc,
     * derived from doc_id — the DuckDB oracle plants the identical strings,
@@ -461,6 +513,12 @@ object SparkEntry {
     // non-overlapping left-to-right replace on delimiter-wrapped symbol
     // strings — provably the same scan as the fold).
     "bpe_merges" -> ((s, d) => Tokenizer.bpeTrain(Tables.documents(s, d), 8)),
+    // The ENCODE side: per-doc token statistics under the trained
+    // tokenizer (train → encode in one compose). Merge loop is
+    // word-TYPE-space; ONE corpus join, pre-aggregated to
+    // (doc, word, cnt) so the Zipf head can't amplify rows.
+    "bpe_encode" -> ((s, d) => Tokenizer.bpeEncode(Tables.documents(s, d),
+      Tokenizer.bpeTrain(Tables.documents(s, d), 8))),
     // Count-Min sketch point-frequency estimates (md5-bucketed, fully
     // oracle-able) with exact recount per probe term; w=16 is sized so
     // the synthetic 31-term vocabulary shows BOTH behaviors in the gate:
@@ -2532,6 +2590,7 @@ object SparkEntry {
         |SELECT sym_a, sym_b, CAST(n AS BIGINT) AS n FROM p
         |ORDER BY n DESC, sym_a, sym_b LIMIT 50""".stripMargin,
     "bpe_merges" -> bpeMergesOracle(8),
+    "bpe_encode" -> bpeEncodeOracle(8),
     // CMS mirror: same md5 row:token buckets, min over d=4 rows, exact
     // recount of the probe terms; estimate >= exact by construction.
     "cms_profile" ->

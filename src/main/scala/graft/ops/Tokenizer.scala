@@ -128,4 +128,69 @@ object Tokenizer {
     }
     merges.toSeq.toDF("rank", "sym_a", "sym_b", "n")
   }
+
+  /** ENCODE with a trained merge table: per-document token statistics
+    * under the ACTUAL tokenizer — `(doc_id, n_words, n_subwords,
+    * n_chars)` — the numbers a packing/budgeting stage
+    * ([[Packing]], [[Sampling.mixTokenBudget]]) needs, where the
+    * regex-proxy count (`token_bpe`) only approximates.
+    *
+    * Scale shape — token volume is touched exactly TWICE, both
+    * embarrassingly parallel:
+    *
+    *   1. The merge loop runs in word-TYPE space (vocabulary-sized,
+    *      orders of magnitude below token volume). Merges apply
+    *      SEQUENTIALLY IN RANK ORDER, batched [[mergeBatch]] per
+    *      projection with a lineage cut per batch so neither codegen
+    *      size nor plan depth grows with the table. Rank order is
+    *      exactly priority-order encode for a TRAINED table: a merge's
+    *      sides exist only after all strictly-earlier merges (training
+    *      consistency), and merging (l, r) → lr creates only pairs that
+    *      contain lr — a symbol no earlier rule references — so a pass
+    *      at rank k can never re-enable a rank < k match.
+    *   2. One corpus pass explodes (doc_id, word) and pre-aggregates to
+    *      (doc_id, word, cnt) BEFORE joining the per-type subword
+    *      lengths: the join emits exactly one row per input row (no
+    *      amplification), so Zipf-head words skew group SIZE only —
+    *      AQE's skew split handles that without salting.
+    *
+    * `n_subwords` counts symbols of the final sequence (an unmerged
+    * `</w>` sentinel is its own symbol — the reference convention, where
+    * the sentinel merges into the final subword only when a trained rule
+    * says so). The merge table is bounded by the [[bpeTrain]] contract
+    * (≤ 1000 rows), so the driver collect is O(vocab budget), the
+    * [[Ivf]] centroid precedent.
+    */
+  def bpeEncode(documents: DataFrame, merges: DataFrame): DataFrame = {
+    val ms = merges.select(col("rank").cast("int"), col("sym_a"), col("sym_b"))
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    require(ms.length <= 1000,
+      s"merge table carries ${ms.length} rules; the train contract caps at 1000")
+    var enc = Checkpoints.stable(
+      documents.select(explode(toks).as("w")).distinct()
+        .select(col("w"), initialSymbols(col("w")).as("s")))
+    ms.grouped(mergeBatch).foreach { batch =>
+      val folded = batch.foldLeft(col("s")) {
+        case (c, (l, r)) => mergePair(c, l, r)
+      }
+      enc = Checkpoints.stable(enc.select(col("w"), folded.as("s")))
+    }
+    val lens = enc.select(col("w"), size(col("s")).cast("long").as("n_sub"))
+    documents.select(col("doc_id"), explode(toks).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(lens, "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_sub")).as("n_subwords"),
+        sum(col("cnt") * length(col("w")).cast("long")).as("n_chars"))
+  }
+
+  /** Merges folded per projection before a lineage cut: 8 nested
+    * `aggregate` folds stay comfortably inside codegen's method-size
+    * budget while keeping the pass count over the type table at
+    * ⌈rules/8⌉.
+    */
+  private val mergeBatch = 8
 }

@@ -49,6 +49,36 @@ class TokenizerSpec extends SparkSpec {
     assert(top(4) == (("l", "o", 7L)))
   }
 
+  test("bpeEncode: hand-computed per-doc stats under an explicit merge table") {
+    // merges: (a,a) then (aa,b) — rank order matters: "aab" encodes as
+    // aa b </w> after rank 1, then aab </w> after rank 2 (the rank-2
+    // rule consumes rank 1's product); "aaab" -> aa a b </w> -> no
+    // rank-2 match (aa is followed by a, not b) -> 4 symbols.
+    val merges = Seq((1, "a", "a", 9L), (2, "aa", "b", 9L))
+      .toDF("rank", "sym_a", "sym_b", "n")
+    val docs = Seq((0L, "aab aaab"), (1L, "aab aab c")).toDF("doc_id", "text")
+    val out = Tokenizer.bpeEncode(docs, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 0: aab = [aab, </w>] = 2, aaab = [aa, a, b, </w>] = 4; chars 3+4
+    assert(out(0L) == ((2L, 6L, 7L)))
+    // doc 1: aab twice (2 each), c = [c, </w>] = 2; chars 3+3+1
+    assert(out(1L) == ((3L, 6L, 7L)))
+  }
+
+  test("bpeEncode: sentinel merges only by rule; encode of the training corpus matches the train state") {
+    // (b, </w>) attaches the sentinel: "ab" -> [a, b</w>] = 2 symbols
+    val m = Seq((1, "b", "</w>", 9L)).toDF("rank", "sym_a", "sym_b", "n")
+    val one = Tokenizer.bpeEncode(Seq((0L, "ab")).toDF("doc_id", "text"), m)
+      .collect()(0)
+    assert((one.getLong(1), one.getLong(2), one.getLong(3)) == ((1L, 2L, 2L)))
+    // Sennrich fixture: after 6 trained merges the hand state is
+    // low -> [low, </w>] (2), lower -> [low, e, r, </w>] (4),
+    // newest -> [n, ew, est</w>] (3), widest -> [w, i, d, est</w>] (4)
+    val stats = Tokenizer.bpeEncode(fixture, Tokenizer.bpeTrain(fixture, 6))
+    val total = stats.agg(sum("n_subwords")).collect()(0).getLong(0)
+    assert(total == 5 * 2 + 2 * 4 + 6 * 3 + 3 * 4)
+  }
+
   test("bpeTrain: the hand-computed first six merges of the Sennrich fixture") {
     val merges = Tokenizer.bpeTrain(fixture, 6).orderBy("rank").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
