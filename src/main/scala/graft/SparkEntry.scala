@@ -500,6 +500,11 @@ object SparkEntry {
     "dedup_spans" -> ((s, d) => TextAnalysis.dedupSpans(Tables.documents(s, d), 10)),
     // FastText-style hashed unigram+bigram features, sparse long form.
     "hash_features" -> ((s, d) => TextAnalysis.hashFeatures(Tables.documents(s, d), 64)),
+    // DSIR importance weights toward the src0 slice's feature
+    // distribution: one corpus explode, dim-row broadcast log-ratio
+    // join, per-doc reduce. Composes with sample_weighted for the
+    // resampling step.
+    "dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(Tables.documents(s, d), "src0", 64)),
     // Linear-classifier inference over the hashed feature map: the
     // model-based quality-filter pass. Integer weight accumulation
     // (BIGINT score_q), one exact division for the reported score.
@@ -2551,6 +2556,28 @@ object SparkEntry {
         |  ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS bucket,
         |  count(*) AS tf
         |FROM g GROUP BY 1, 2""".stripMargin,
+    // DSIR mirror: identical md5 bucket map, add-1-smoothed bucket
+    // distributions (target slice vs whole corpus), per-bucket exact
+    // integer log2 ratios; the per-doc float sum rides the checker's
+    // tolerance (rows keyed by the integer doc_id).
+    "dsir_weights" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(w || list_transform(generate_series(1, len(w) - 1),
+        |      i -> concat(w[i], ' ', w[i+1]))) AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+        |f AS (SELECT doc_id,
+        |        ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS bucket,
+        |        count(*) AS tf
+        |      FROM g GROUP BY 1, 2),
+        |b AS (SELECT bucket, sum(tf) AS qc,
+        |        sum(CASE WHEN source = 'src0' THEN tf ELSE 0 END) AS pc
+        |      FROM f JOIN documents USING (doc_id) GROUP BY 1),
+        |t AS (SELECT sum(qc) AS q_n, sum(pc) AS p_n FROM b)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
+        |  sum(CAST(tf AS DOUBLE) * (log2(pc + 1) - log2(qc + 1)))
+        |    + CAST(sum(tf) AS DOUBLE) * (log2(q_n + 64) - log2(p_n + 64)) AS log_w
+        |FROM f JOIN b USING (bucket), t
+        |GROUP BY doc_id, q_n, p_n""".stripMargin,
     // Same hashed feature map as hash_features; the synthetic model
     // weight is md5('w:' || bucket) folded into [-1000, 1000]; the
     // accumulation is an order-free BIGINT sum, the score one division.

@@ -612,6 +612,55 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
   }
 
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by how much more likely its hashed n-gram features
+    * are under a TARGET distribution than under the raw-corpus one —
+    * log w(d) = Σ_b tf_b(d)·(log p_b − log q_b), the recipe used to
+    * select pretraining data "like Wikipedia/books" from a crawl. The
+    * target here is a corpus slice (`source = targetSource`); p and q
+    * are add-1-smoothed bucket distributions over [[hashFeatures]]'s
+    * uni+bigram map, so the weights compose directly with the
+    * weight-biased exact-k sampler ([[Sampling.sampleWeighted]]) for the
+    * resampling step.
+    *
+    * Scale shape: token volume is exploded ONCE ([[hashFeatures]]);
+    * both distributions aggregate from those (doc, bucket, tf) rows —
+    * the target side via a doc_id-keyed source tag join, never a second
+    * corpus pass. The bucket table is `dim` rows: the log-ratio join is
+    * an explicit broadcast, and the per-doc reduce is one map-side
+    * combinable aggregate. Per-BUCKET log ratios are correctly-rounded
+    * doubles of exact integers (log2(pc+1) − log2(qc+1)); the add-1
+    * normalizers (log2(q_n+dim) − log2(p_n+dim)) multiply n_feats once
+    * per doc; per-doc summation rides float tolerance like every score
+    * in this library. Buckets absent from the raw corpus cannot occur in
+    * any document (q counts every doc), so smoothing only ever fires on
+    * the target side.
+    */
+  def dsirWeights(documents: DataFrame, targetSource: String,
+      dim: Int = 64): DataFrame = {
+    val feats = hashFeatures(documents, dim)
+    val buckets = feats
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("bucket"))
+      .agg(sum(col("tf")).as("qc"),
+        sum(when(col("source") === targetSource, col("tf"))
+          .otherwise(lit(0L))).as("pc"))
+    val totals = buckets.agg(sum(col("qc")).as("q_n"), sum(col("pc")).as("p_n"))
+    feats
+      .join(broadcast(buckets.select(col("bucket"),
+        (log2(col("pc") + lit(1L)) - log2(col("qc") + lit(1L))).as("lr"))),
+        "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_feats"),
+        sum(col("tf").cast("double") * col("lr")).as("sum_lr"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_feats"),
+        (col("sum_lr") + col("n_feats").cast("double") *
+          (log2(col("q_n") + lit(dim.toLong)) -
+            log2(col("p_n") + lit(dim.toLong)))).as("log_w"))
+  }
+
   /** Linear-classifier INFERENCE over the hashed feature map — the
     * fastText-style quality/topic filter pass every production curation
     * pipeline runs after training such a model offline (the classifier

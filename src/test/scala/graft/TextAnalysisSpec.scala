@@ -398,4 +398,48 @@ class TextAnalysisSpec extends SparkSpec {
       assert(math.abs(out(id)._3) <= 1.0)
     }
   }
+
+  test("dsirWeights: target-vocabulary docs outrank off-target ones; JVM replay within 1e-9") {
+    import spark.implicits._
+    // target slice speaks {alpha, beta}; the bulk speaks {delta, epsilon};
+    // two probe docs in the bulk use one vocabulary each — the
+    // target-speaking probe must carry the strictly higher weight
+    val docs = Seq(
+      (0L, "alpha beta alpha beta", "tgt"),
+      (1L, "alpha beta beta alpha", "tgt"),
+      (2L, "delta epsilon delta epsilon", "web"),
+      (3L, "epsilon delta epsilon delta", "web"),
+      (10L, "alpha beta", "web"),
+      (11L, "delta epsilon", "web")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.ops.TextAnalysis.dsirWeights(docs, "tgt", 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(10L)._2 > out(11L)._2,
+      s"target-vocab probe ${out(10L)} must outrank off-target ${out(11L)}")
+
+    // replay: same md5 buckets, add-1 bucket distributions, log2 ratios
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(g: String): Long = java.lang.Long.parseLong(md5hex(g).take(15), 16) % 64
+    def grams(text: String): Seq[Long] = {
+      val t = text.toLowerCase.split(" ").toSeq
+      (t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))).map(bucket)
+    }
+    val rows = Seq(
+      (0L, "alpha beta alpha beta", true), (1L, "alpha beta beta alpha", true),
+      (2L, "delta epsilon delta epsilon", false), (3L, "epsilon delta epsilon delta", false),
+      (10L, "alpha beta", false), (11L, "delta epsilon", false))
+    val qc = rows.flatMap(r => grams(r._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pc = rows.filter(_._3).flatMap(r => grams(r._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val qN = qc.values.sum; val pN = pc.values.sum
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    rows.foreach { case (id, text, _) =>
+      val g = grams(text)
+      val exp = g.map(b => log2(pc.getOrElse(b, 0L) + 1.0) - log2(qc(b) + 1.0)).sum +
+        g.size * (log2(qN + 64.0) - log2(pN + 64.0))
+      assert(out(id)._1 == g.size.toLong, s"doc $id n_feats")
+      assert(math.abs(out(id)._2 - exp) < 1e-9, s"doc $id log_w ${out(id)._2} vs $exp")
+    }
+  }
 }
