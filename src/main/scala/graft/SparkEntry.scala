@@ -718,6 +718,10 @@ object SparkEntry {
     // Unigram-LM perplexity proxy (CCNet-style): per-doc mean token
     // -log2 p under the corpus's own unigram distribution.
     "unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(Tables.documents(s, d))),
+    // Interpolated bigram-LM bits per bigram position: the fluency
+    // signal the permutation-invariant unigram proxy can't see. Same
+    // explode-once/type-space-join shape as unigram_logprob.
+    "bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(Tables.documents(s, d))),
     // Per-source KL drift from the corpus token distribution — the
     // off-distribution monitoring metric.
     "kl_drift" -> ((s, d) => TextAnalysis.klDrift(Tables.documents(s, d))),
@@ -2243,6 +2247,32 @@ object SparkEntry {
         | sum(dt.c * (log2(n_total) - log2(CAST(cnt AS DOUBLE))))
         |   / sum(dt.c) AS bits_per_token
         |FROM dt JOIN v USING (t), n
+        |GROUP BY 1""".stripMargin,
+    // Bigram mirror: identical expression tree per pair type (elementary
+    // IEEE ops on exact integer ratios), positional left marginal from
+    // the pair table, per-doc float sum under the checker's tolerance.
+    "bigram_logprob" ->
+      """WITH b AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |      i -> concat(w[i], ' ', w[i+1]))) AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+        |dp AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+        |pcs AS (SELECT g, string_split(g, ' ')[1] AS prev, string_split(g, ' ')[2] AS t,
+        |          sum(c) AS c12
+        |        FROM dp GROUP BY 1, 2, 3),
+        |lc AS (SELECT prev, sum(c12) AS c1 FROM pcs GROUP BY 1),
+        |u AS (SELECT t, count(*) AS cnt
+        |      FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+        |      GROUP BY 1),
+        |n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM u),
+        |s AS (SELECT g,
+        |        -log2(0.75 * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+        |          + 0.25 * (CAST(cnt AS DOUBLE) / n_total)) AS bits
+        |      FROM pcs JOIN lc USING (prev) JOIN u USING (t), n)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  sum(CAST(c AS DOUBLE) * bits) AS sum_nll,
+        |  sum(CAST(c AS DOUBLE) * bits) / CAST(sum(c) AS DOUBLE) AS bits_per_bigram
+        |FROM dp JOIN s USING (g)
         |GROUP BY 1""".stripMargin,
     // KL(slice ‖ corpus) with q and p as explicit double divisions, the
     // ratio inside log2 computed the same way on both sides.

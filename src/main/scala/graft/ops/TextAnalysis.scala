@@ -348,6 +348,57 @@ object TextAnalysis {
       .withColumn("bits_per_token", col("sum_nll") / col("n_tokens"))
   }
 
+  /** Interpolated bigram-LM perplexity proxy — the v2 of
+    * [[unigramLogProb]]: per-document bits per bigram position under the
+    * Jelinek–Mercer mixture λ·p(t|prev) + (1−λ)·p(t), the standard
+    * fluency/quality signal that separates coherent prose from shuffled
+    * or templated token soup the unigram model scores identically
+    * (unigram bits are permutation-INVARIANT; bigram bits are exactly
+    * what reordering perturbs). p(t|prev) = c(prev,t)/c1(prev) with the
+    * left positional marginal c1 = Σ_t c(prev,t) (the [[pmiPairs]]
+    * marginal — every bigram's context mass, not the raw token count,
+    * so the mixture is a proper distribution per context); p(t) is the
+    * corpus unigram MLE. λ·pbi + (1−λ)·puni > 0 whenever the pair
+    * occurs (c12 ≥ 1), so the log never sees zero.
+    *
+    * Scale shape mirrors [[unigramLogProb]]: one adjacent-zip explode →
+    * (doc, bigram) hash aggregate (map-side combined); corpus pair
+    * stats, left marginals and the vocabulary all re-aggregate THOSE
+    * rows in TYPE space; the scored pair table joins back on the bigram
+    * string — plain equi-joins AQE splits under Zipf-head skew; the
+    * grand total is one broadcast row. Per-PAIR bits are elementary
+    * IEEE-754 binary64 ops on exact integer ratios (engine-identical);
+    * the per-doc summation rides float tolerance like every score here.
+    * Single-token documents have no bigram position and drop out, as in
+    * the DuckDB mirror.
+    */
+  def bigramLogProb(documents: DataFrame, lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"need 0 < lambda < 1, got $lambda")
+    val docPair = documents
+      .select(col("doc_id"), explode(bigrams).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val pairCnt = docPair.groupBy(col("g")).agg(sum(col("c")).as("c12"))
+      .withColumn("prev", split(col("g"), " ").getItem(0))
+      .withColumn("t", split(col("g"), " ").getItem(1))
+    val leftCnt = pairCnt.groupBy(col("prev")).agg(sum(col("c12")).as("c1"))
+    val uniCnt = documents.select(explode(toks).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val total = uniCnt.agg(sum(col("cnt")).cast("double").as("n_total"))
+    val scored = pairCnt.join(leftCnt, "prev").join(uniCnt, "t")
+      .crossJoin(broadcast(total))
+      .select(col("g"),
+        (-log2(lit(lambda) *
+            (col("c12").cast("double") / col("c1").cast("double")) +
+          lit(1.0 - lambda) *
+            (col("cnt").cast("double") / col("n_total")))).as("bits"))
+    docPair.join(scored, "g")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c").cast("double") * col("bits")).as("sum_nll"))
+      .withColumn("bits_per_bigram", col("sum_nll") / col("n_bigrams"))
+  }
+
   /** Per-slice corpus drift: KL divergence (bits) of each slice's token
     * distribution from the corpus-wide one — the monitoring metric that
     * catches a source going off-distribution (scraper broke, new domain

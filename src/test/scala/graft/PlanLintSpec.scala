@@ -49,6 +49,7 @@ class PlanLintSpec extends SparkSpec {
     "histogram_price" -> "1-row min/max bounds broadcast into the codegen bin map",
     "kl_drift" -> "1-row distribution totals broadcast",
     "unigram_logprob" -> "1-row corpus token total broadcast",
+    "bigram_logprob" -> "1-row corpus token total broadcast",
     "dsir_weights" -> "1-row feature-total normalizers broadcast",
     "salient_terms" -> "1-row corpus totals broadcast",
     "distinctive_terms" -> "1-row corpus totals broadcast",

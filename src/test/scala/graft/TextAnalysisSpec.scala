@@ -399,6 +399,37 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bigramLogProb: hand-computed mixture bits; reordering raises bigram bits but not unigram bits") {
+    import spark.implicits._
+    // corpus: "a b" ×3 and one "b a" — c(a,b)=3, c(b,a)=1, c1(a)=3,
+    // c1(b)=1, cnt(a)=cnt(b)=4, N=8
+    val docs = Seq((0L, "a b"), (1L, "a b"), (2L, "a b"), (3L, "b a"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.bigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val abBits = -log2(0.75 * (3.0 / 3.0) + 0.25 * (4.0 / 8.0)) // t=b
+    val baBits = -log2(0.75 * (1.0 / 1.0) + 0.25 * (4.0 / 8.0)) // t=a
+    assert(out(0L)._1 == 1L)
+    assert(math.abs(out(0L)._2 - abBits) < 1e-12)
+    assert(math.abs(out(3L)._2 - baBits) < 1e-12)
+    // the fluency property: in a corpus dominated by "a b b", the doc
+    // "a b b" must score strictly fewer bits/bigram than the reordered
+    // "b a b" — same unigram multiset, but (b,a) is a rare transition
+    // (an alternating two-word fixture would NOT work: every context
+    // would have a single successor and all conditionals collapse to 1)
+    val corpus = (0L until 20L).map(i => (i, "a b b")) ++
+      Seq((100L, "b a b"))
+    val o2 = graft.ops.TextAnalysis.bigramLogProb(corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(o2(0L) < o2(100L),
+      s"in-order ${o2(0L)} must beat reordered ${o2(100L)}")
+    val u = graft.ops.TextAnalysis.unigramLogProb(corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(u(0L) - u(100L)) < 1e-12,
+      "unigram bits are permutation-invariant on the same multiset")
+  }
+
   test("dsirWeights: target-vocabulary docs outrank off-target ones; JVM replay within 1e-9") {
     import spark.implicits._
     // target slice speaks {alpha, beta}; the bulk speaks {delta, epsilon};
