@@ -500,6 +500,16 @@ object SparkEntry {
     "dedup_spans" -> ((s, d) => TextAnalysis.dedupSpans(Tables.documents(s, d), 10)),
     // FastText-style hashed unigram+bigram features, sparse long form.
     "hash_features" -> ((s, d) => TextAnalysis.hashFeatures(Tables.documents(s, d), 64)),
+    // Integer signed-random-projection doc embeddings over the hashed
+    // feature map: one aggregate, no join, exact BIGINT components —
+    // ANN-tier input from the text tier. Registered in the flattened
+    // e0..e15 form (the seq_sliding precedent: the gate's compare sorts
+    // on scalar columns).
+    "doc_embed" -> ((s, d) => {
+      val e = TextAnalysis.featureEmbed(Tables.documents(s, d), 64, 16)
+      e.select(col("doc_id") +:
+        (0 until 16).map(j => col("emb").getItem(j).as(s"e$j")): _*)
+    }),
     // DSIR importance weights toward the src0 slice's feature
     // distribution: one corpus explode, dim-row broadcast log-ratio
     // join, per-doc reduce. Composes with sample_weighted for the
@@ -2586,6 +2596,26 @@ object SparkEntry {
         |  ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS bucket,
         |  count(*) AS tf
         |FROM g GROUP BY 1, 2""".stripMargin,
+    // Embedding mirror: identical md5 buckets and md5-parity signs,
+    // exact integer sums, one flattened component column per projection.
+    "doc_embed" -> {
+      val comps = (0 until 16).map(j =>
+        s"""CAST(sum(tf * (CASE WHEN ('0x' || substr(md5(
+           |      'p:$j:' || CAST(bucket AS VARCHAR)
+           |    ), 1, 15))::BIGINT % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT) AS e$j"""
+          .stripMargin).mkString(",\n")
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(w || list_transform(generate_series(1, len(w) - 1),
+         |      i -> concat(w[i], ' ', w[i+1]))) AS g
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+         |f AS (SELECT doc_id,
+         |        ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS bucket,
+         |        count(*) AS tf
+         |      FROM g GROUP BY 1, 2)
+         |SELECT doc_id,
+         |$comps
+         |FROM f GROUP BY 1""".stripMargin
+    },
     // DSIR mirror: identical md5 bucket map, add-1-smoothed bucket
     // distributions (target slice vs whole corpus), per-bucket exact
     // integer log2 ratios; the per-doc float sum rides the checker's

@@ -663,6 +663,34 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
   }
 
+  /** Integer doc embeddings by signed random projection of the hashed
+    * feature map (Achlioptas 2003 / the SimHash projection family, kept
+    * UNQUANTIZED): emb_j = Σ_b tf_b · sign_j(b) with ±1 signs drawn from
+    * md5 — the cheap, training-free featurizer that turns the text tier
+    * into ANN-tier INPUT (brute/batched cosine, IVF, LSH all take any
+    * vector column). Components are exact BIGINTs — engine-exact like
+    * every md5 twin, and JL-style distance-preserving in expectation.
+    *
+    * Scale shape: one corpus explode ([[hashFeatures]]); the k
+    * projections are k map-side-combinable sums inside ONE hash
+    * aggregate over the (doc, bucket, tf) rows — no join at all (the
+    * sign is a codegen'd md5 of (j, bucket), not a table); output is one
+    * k-element array per doc.
+    */
+  def featureEmbed(documents: DataFrame, dim: Int = 64, k: Int = 16): DataFrame = {
+    require(k >= 2 && k <= 64, s"need 2 <= k <= 64 projections, got $k")
+    def sign(j: Int): org.apache.spark.sql.Column =
+      when(pmod(conv(substring(md5(
+          concat(lit(s"p:$j:"), col("bucket").cast("string"))), 1, 15), 16, 10)
+        .cast("long"), lit(2L)) === 0, lit(1L)).otherwise(lit(-1L))
+    val comps = (0 until k).map(j => sum(col("tf") * sign(j)).as(s"e$j"))
+    hashFeatures(documents, dim)
+      .groupBy(col("doc_id"))
+      .agg(comps.head, comps.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(j => col(s"e$j")): _*).as("emb"))
+  }
+
   /** DSIR-style importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): score
     * every document by how much more likely its hashed n-gram features

@@ -399,6 +399,28 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("featureEmbed: exact JVM replay of the md5-signed projection; parity bound per component") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(g: String): Long = java.lang.Long.parseLong(md5hex(g).take(15), 16) % 64
+    def sign(j: Int, b: Long): Long =
+      if (java.lang.Long.parseLong(md5hex(s"p:$j:$b").take(15), 16) % 2 == 0) 1L else -1L
+    val texts = Seq((0L, "alpha beta gamma alpha"), (1L, "x y"), (2L, "solo"))
+    val out = graft.ops.TextAnalysis.featureEmbed(texts.toDF("doc_id", "text"), 64, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.foreach { case (id, text) =>
+      val t = text.toLowerCase.split(" ").toSeq
+      val grams = t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      val tf = grams.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+      val exp = (0 until 16).map(j => tf.map { case (b, c) => c * sign(j, b) }.sum)
+      assert(out(id) == exp, s"doc $id")
+      // each component is a ±1-weighted sum of n features
+      out(id).foreach(v => assert(math.abs(v) <= grams.size))
+    }
+  }
+
   test("bigramLogProb: hand-computed mixture bits; reordering raises bigram bits but not unigram bits") {
     import spark.implicits._
     // corpus: "a b" ×3 and one "b a" — c(a,b)=3, c(b,a)=1, c1(a)=3,
