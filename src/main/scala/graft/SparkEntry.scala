@@ -943,6 +943,9 @@ object SparkEntry {
     // The full chain with corpus-level boilerplate removal in front —
     // quality, keys and stats all measured on the CLEANED text.
     "curation_full" -> ((s, d) => Pipeline.curationFull(Tables.documents(s, d))),
+    // Per-source data card: volume, exact-dup count, mean quality, and
+    // language-mix entropy — one map pass, source-keyed aggregates only.
+    "data_card" -> ((s, d) => Pipeline.dataCard(Tables.documents(s, d))),
     // Gap-based sessionization: the batch twin of the streaming session
     // window (flag + running sum per user; one shuffle on user_id).
     "sessionize" -> ((s, d) => Sessions.sessionize(ev(s, d), 1800L)),
@@ -3429,6 +3432,39 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     // Span-dedup CTE verbatim from dedup_spans, then the curation chain
     // over the cleaned text (same formulas as curation_pipeline).
+    // Data-card mirror: quality_score's exact formula inlined as a CTE,
+    // entropy as (c/n)(log2 n − log2 c) — the engine-identical tree.
+    "data_card" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+        |      + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.5
+        |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality
+        |  FROM (SELECT doc_id,
+        |          CAST(len(w) AS INTEGER) AS n_tokens,
+        |          CAST(len(list_filter(w, x -> list_contains(
+        |            ['the','a','of','and','to','in','is','it'], x))) AS INTEGER) AS n_stop,
+        |          len(list_distinct(w)) AS n_uniq
+        |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))),
+        |pd AS (SELECT d.doc_id, source, lang,
+        |         len(string_split(lower(text), ' ')) AS n_toks,
+        |         length(text) AS n_chr, md5(text) AS h, quality
+        |       FROM documents d JOIN q USING (doc_id)),
+        |bs AS (SELECT source, count(*) AS n_docs,
+        |         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |         CAST(sum(n_chr) AS BIGINT) AS n_chars,
+        |         count(DISTINCT h) AS n_unique,
+        |         avg(quality) AS mean_quality
+        |       FROM pd GROUP BY 1),
+        |e AS (SELECT source,
+        |        sum((CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE)) *
+        |          (log2(CAST(n_docs AS DOUBLE)) - log2(CAST(c AS DOUBLE)))) AS lang_entropy
+        |      FROM (SELECT source, lang, count(*) AS c FROM pd GROUP BY 1, 2)
+        |        JOIN (SELECT source, n_docs FROM bs) USING (source)
+        |      GROUP BY 1)
+        |SELECT source, n_docs, n_tokens, n_chars,
+        |  n_docs - n_unique AS n_exact_dups, mean_quality, lang_entropy
+        |FROM bs JOIN e USING (source)""".stripMargin,
     "curation_full" ->
       """WITH sp AS (
         |  SELECT doc_id, i AS ord,

@@ -166,4 +166,48 @@ object Pipeline {
         sum(length(col("text")).cast("long")).as("sum_text_len"),
         countDistinct(col("source")).as("n_sources"))
   }
+
+  /** Per-source data card — the governance summary a curation run
+    * publishes next to its output (the "datasheet" row per source: how
+    * much, how clean, how diverse): doc/token/char volume, exact-dup
+    * count, mean quality ([[TextAnalysis.qualityScore]]'s exact
+    * semantics, reused not re-derived), and the language-mix entropy
+    * −Σ (c/n)·log2(c/n) that flags a source silently collapsing to one
+    * language.
+    *
+    * Scale shape: ONE map pass projects per-doc facts (token count,
+    * length, 16-byte content key); everything aggregates by source —
+    * thousands of groups, not corpus-sized. The exact distinct rides the
+    * (source, key) hash aggregate; the language histogram is a
+    * (source, lang) aggregate re-joined source-wise (≤ sources×langs
+    * rows). The quality join is doc_id-keyed, skew-free. At 100 TB every
+    * shuffle here carries keys and counters only.
+    */
+  def dataCard(documents: DataFrame): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val perDoc = documents
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(toks).cast("long").as("n_toks"),
+        length(col("text")).cast("long").as("n_chr"),
+        md5(col("text")).as("h"))
+      .join(TextAnalysis.qualityScore(documents)
+        .select(col("doc_id"), col("quality")), "doc_id")
+    val bySource = perDoc.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_toks")).as("n_tokens"),
+      sum(col("n_chr")).as("n_chars"),
+      countDistinct(col("h")).as("n_unique"),
+      avg(col("quality")).as("mean_quality"))
+    val ent = perDoc.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .join(bySource.select(col("source"), col("n_docs")), "source")
+      .groupBy(col("source"))
+      .agg(sum((col("c").cast("double") / col("n_docs").cast("double")) *
+        (log2(col("n_docs").cast("double")) - log2(col("c").cast("double"))))
+        .as("lang_entropy"))
+    bySource.join(ent, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        (col("n_docs") - col("n_unique")).as("n_exact_dups"),
+        col("mean_quality"), col("lang_entropy"))
+  }
 }

@@ -399,6 +399,30 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("dataCard: per-source volume, planted dup, and hand-computed language entropy") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat sat", "en", "a"),
+      (1L, "the cat sat", "en", "a"), // exact dup of doc 0 within source a
+      (2L, "der hund", "de", "a"),
+      (3L, "une seule langue ici", "fr", "b")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = graft.ops.Pipeline.dataCard(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(6)))).toMap
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    // source a: 3 docs (one dup), 3+3+2=8 tokens, langs {en:2, de:1}
+    val entA = (2.0 / 3.0) * (log2(3.0) - log2(2.0)) + (1.0 / 3.0) * (log2(3.0) - log2(1.0))
+    assert(out("a")._1 == 3L)
+    assert(out("a")._2 == 8L)
+    assert(out("a")._3 == ("the cat sat".length * 2 + "der hund".length).toLong)
+    assert(out("a")._4 == 1L, "one planted exact dup")
+    assert(math.abs(out("a")._5 - entA) < 1e-12)
+    // source b: single doc, single lang → zero dups, zero entropy
+    assert(out("b")._1 == 1L && out("b")._4 == 0L)
+    assert(out("b")._5 == 0.0)
+  }
+
   test("featureEmbed: exact JVM replay of the md5-signed projection; parity bound per component") {
     import spark.implicits._
     def md5hex(s: String): String =
