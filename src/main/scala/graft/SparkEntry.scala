@@ -205,6 +205,19 @@ object SparkEntry {
        |GROUP BY doc_id""".stripMargin
   }
 
+  /** The synthetic documents are clean ASCII, so normalize_text plants
+    * deterministic dirt per doc: a leading tab+space, a C0 control
+    * splice, an NBSP run, a DECOMPOSED e+combining-acute pair (NFC has
+    * real work to do), and trailing newlines. The DuckDB oracle plants
+    * the identical code points via chr() and normalizes with the
+    * equivalent nfc_normalize + regexp_replace chain.
+    */
+  private def plantDirt(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.withColumn("text", concat(
+      lit("\t "), col("text"), lit("\u0001 \u00a0 tail e\u0301\n\n")))
+  }
+
   /** The synthetic documents are PII-free word salad, so the pii_scrub
     * fixture plants one email, one IPv4 and one SSN-shaped token per doc,
     * derived from doc_id — the DuckDB oracle plants the identical strings,
@@ -1015,6 +1028,13 @@ object SparkEntry {
     // Character-entropy quality signal via the native codegen'd
     // graft_entropy expression — no per-character explode, no shuffle.
     "char_entropy" -> ((s, d) => TextAnalysis.charEntropy(Tables.documents(s, d))),
+    // Native one-pass NFC + whitespace/control normalization. The
+    // synthetic corpus is already clean, so the gate plants
+    // deterministic dirt (tabs/controls/NBSP/combining NFC pair) per
+    // doc — the oracle plants the identical bytes and normalizes with
+    // the equivalent nfc_normalize + regexp_replace chain.
+    "normalize_text" -> ((s, d) =>
+      TextAnalysis.normalizeText(plantDirt(Tables.documents(s, d)))),
     // Per-document shingle novelty vs everything earlier in corpus order
     // (the dataset-diversity curve: near-dups of earlier docs score ~0).
     "ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(Tables.documents(s, d))),
@@ -3535,6 +3555,26 @@ object SparkEntry {
     // Same per-char (k/n)·log2(k/n) terms the native expression sums in
     // sorted-code-point order; the group-aggregate spelling here is the
     // oracle, not the production shape.
+    // Normalize mirror: identical planted dirt via chr(), NFC via
+    // nfc_normalize, then the regexp chain equivalent to the native
+    // one-pass (spaces mapped before controls are stripped before the
+    // collapse — a control between two produced spaces merges in both).
+    "normalize_text" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    chr(9) || ' ' || text || chr(1) || ' ' || chr(160) ||
+        |      ' tail e' || chr(769) || chr(10) || chr(10) AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id, length(text) AS n_chars_raw,
+        |        trim(regexp_replace(regexp_replace(regexp_replace(
+        |          nfc_normalize(text),
+        |          '[\p{Zs}\t\n\x0B\f\r]', ' ', 'g'),
+        |          '[\x00-\x1f\x7f-\x9f]', '', 'g'),
+        |          ' +', ' ', 'g')) AS clean_text
+        |      FROM dirty)
+        |SELECT doc_id, n_chars_raw, clean_text,
+        |  length(clean_text) AS n_chars_clean
+        |FROM c""".stripMargin,
     "char_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS c

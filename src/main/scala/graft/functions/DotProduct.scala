@@ -275,6 +275,15 @@ object GraftFunctions {
       s"graft_entropy takes exactly 1 argument, got ${other.length}")
   }
 
+  private val normalizeInfo = new ExpressionInfo(
+    classOf[NormalizeTextExpr].getName, "graft_normalize")
+
+  private val normalizeBuilder: Seq[Expression] => Expression = {
+    case Seq(s) => NormalizeTextExpr(s)
+    case other => throw new IllegalArgumentException(
+      s"graft_normalize takes exactly 1 argument, got ${other.length}")
+  }
+
   // Spark ships Bloom-filter expressions for its own runtime row-level
   // filtering but does NOT register them as SQL functions; exposing them
   // through the registry gives the dedup tier a standing membership
@@ -325,6 +334,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_entropy"), entropyInfo, entropyBuilder)
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_normalize"), normalizeInfo, normalizeBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, bloomAggBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder)
@@ -352,6 +363,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_entropy"),
       new ExpressionInfo(classOf[CharEntropyExpr].getName, "graft_entropy"),
       (exprs: Seq[Expression]) => CharEntropyExpr(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[NormalizeTextExpr].getName, "graft_normalize"),
+      (exprs: Seq[Expression]) => NormalizeTextExpr(exprs(0))))
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(

@@ -1101,6 +1101,30 @@ object TextAnalysis {
       call_function("graft_entropy", col("text")).as("h_bits"))
   }
 
+  /** Canonical text normalization — NFC + Unicode-space/control cleanup
+    * + whitespace collapse — as ONE native codegen'd pass per document
+    * ([[graft.functions.NormalizeTextExpr]]): the transform every
+    * ingestion front-end runs before hashing, deduping or tokenizing
+    * (un-normalized text makes byte-identical prose hash differently —
+    * NFC composition, NBSP vs space, stray controls from broken
+    * encodings). Returns the cleaned text with before/after lengths, so
+    * the dirt VOLUME per doc is itself a diagnostic.
+    *
+    * Scale shape: pure map inside the scan's codegen stage — the
+    * statistic of interest at 100 TB is bytes-per-second, and this pass
+    * reads each code point once with no intermediate strings (the SQL
+    * spelling is a four-deep regexp_replace chain materializing three
+    * copies per row).
+    */
+  def normalizeText(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_raw"),
+      call_function("graft_normalize", col("text")).as("clean_text"))
+      .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
+  }
+
   /** Per-document n-gram NOVELTY against everything that came before it
     * in corpus order (RefinedWeb/FineWeb-style dataset-diversity curve):
     * of a document's distinct 3-token shingles, the fraction whose

@@ -45,6 +45,36 @@ class TextMetricsSpec extends SparkSpec {
     assert(out.length == 1) // anagrams are bit-identical, not just close
   }
 
+  test("graft_normalize: NFC composition, Zs/control cleanup, collapse, trim, idempotence, null") {
+    GraftFunctions.register(spark)
+    val rows = Seq(
+      (0L, "\t  hello  world    x \n\n"), // full cleanup
+      (1L, "café"),              // NFC: e + U+0301 -> U+00E9
+      (2L, "ab"),                // control BETWEEN letters joins them
+      (3L, "a  b"),              // control between spaces -> one space
+      (4L, "　wide　space　"), // ideographic space is Zs
+      (5L, ""),
+      (6L, "already clean")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), call_function("graft_normalize", col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(0L) == "hello world x")
+    assert(rows(1L) == "café")
+    assert(rows(1L).length == 4, "NFC composed to one code point")
+    assert(rows(2L) == "ab")
+    assert(rows(3L) == "a b")
+    assert(rows(4L) == "wide space")
+    assert(rows(5L) == "")
+    assert(rows(6L) == "already clean")
+    // idempotence: a normalized string is its own normalization
+    val twice = Seq(rows(0L), rows(1L), rows(4L)).toDF("text")
+      .select(call_function("graft_normalize", col("text"))).collect().map(_.getString(0))
+    assert(twice.toSeq == Seq(rows(0L), rows(1L), rows(4L)))
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(call_function("graft_normalize", col("text"))).collect()
+    assert(n(0).isNullAt(0))
+  }
+
   test("charEntropy op: flags the repeated-char doc below natural prose") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
