@@ -974,6 +974,10 @@ object SparkEntry {
     // Jaccard pair list → canonical doc + keep/drop verdict per member.
     "dedup_clusters" -> ((s, d) => Clustering.dedupClusters(
       Similarity.ngramJaccard(Tables.documents(s, d), 500L, 0.1))),
+    // Dedup governance: component-size histogram of the same near-dup
+    // graph — the look-before-you-delete removal budget per size class.
+    "cluster_size_hist" -> ((s, d) => Clustering.clusterSizeHistogram(
+      Similarity.ngramJaccard(Tables.documents(s, d), 500L, 0.1))),
     // Quality-aware terminal stage: same components, survivor chosen by
     // quality score (ties -> lowest id) instead of min id.
     "cluster_keep_best" -> ((s, d) =>
@@ -3337,6 +3341,36 @@ object SparkEntry {
         | CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
         | doc_id = cluster_id AS keep
         |FROM comp""".stripMargin,
+    // Same recursive closure as dedup_clusters, aggregated to the
+    // per-size histogram.
+    "cluster_size_hist" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |        WHERE doc_id < 500)
+        |  WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(a.s || b.s)) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.1),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+        |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+        |cs AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+        |  CAST(sum(cluster_size) - count(*) AS BIGINT) AS n_removable
+        |FROM cs GROUP BY 1""".stripMargin,
     // Same recursive closure as dedup_clusters; the survivor per
     // component is row 1 under (quality DESC, doc_id ASC) — the same
     // total order as Spark's max(struct(quality, -doc_id)). Quality

@@ -205,4 +205,25 @@ object Clustering {
       .select(col("id").as(idCol), col("cluster_id"), col("cluster_size"),
         col("_score").as(scoreCol), (col("id") === col("best_id")).as("keep"))
   }
+
+  /** Cluster-SIZE histogram of the near-dup graph — the dedup
+    * governance chart every curation report carries: how many
+    * components of each size, how many documents they hold, and the
+    * implied removal count (size − 1 per component). A fat tail here
+    * means template families or mirror sites; a spike at huge sizes
+    * usually means the similarity threshold is too loose — this is the
+    * number to look at BEFORE deleting (size·clusters − clusters) docs.
+    *
+    * Shape: [[connectedComponents]]'s output aggregates twice — per
+    * component (near-dup-population-sized) then per SIZE (a handful of
+    * rows). Nothing corpus-sized shuffles.
+    */
+  def clusterSizeHistogram(pairs: DataFrame,
+                           aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"),
+        (sum(col("cluster_size")) - count(lit(1))).as("n_removable"))
 }

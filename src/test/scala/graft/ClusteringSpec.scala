@@ -85,6 +85,18 @@ class ClusteringSpec extends SparkSpec {
       (30L, 30L, 2L, true), (31L, 30L, 2L, false)))
   }
 
+  test("clusterSizeHistogram: sizes, counts, and removal budget on a mixed graph") {
+    // components: {5,7,9} size 3, {30,31} size 2, {40,41} size 2
+    val pairs = Seq((5L, 9L), (9L, 7L), (30L, 31L), (40L, 41L))
+      .toDF("doc_a", "doc_b")
+    val out = Clustering.clusterSizeHistogram(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      3L -> ((1L, 3L, 2L)), // one size-3 cluster: 3 docs, 2 removable
+      2L -> ((2L, 4L, 2L))  // two size-2 clusters: 4 docs, 2 removable
+    ))
+  }
+
   test("reliable-checkpoint path: with a checkpoint dir configured the CC loop survives on checkpoint files and matches the local result") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (12L, 11L))
       .toDF("doc_a", "doc_b")
