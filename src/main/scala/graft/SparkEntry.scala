@@ -205,6 +205,51 @@ object SparkEntry {
        |GROUP BY doc_id""".stripMargin
   }
 
+  /** Vocabulary oracle (bpe_vocab): the same carried-identity training
+    * replay as [[bpeEncodeOracle]], terminated by exploding the final
+    * state's delimiter-wrapped symbols (frequency-weighted) and marking
+    * symbols any round's merge produced.
+    */
+  private def bpeVocabOracle(n: Int): String = {
+    val rounds = (1 to n).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT a[j] AS l, a[j+1] AS r, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT string_split(trim(s, chr(1) || chr(2)), chr(2) || chr(1)) AS a,
+         |          freq FROM r$i),
+         |       UNNEST(generate_series(1, len(a) - 1)) AS t(j)
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         |r${i + 1} AS MATERIALIZED (
+         |  SELECT w, replace(s,
+         |      chr(1) || (SELECT l FROM m$i) || chr(2) ||
+         |        chr(1) || (SELECT r FROM m$i) || chr(2),
+         |      chr(1) || (SELECT l FROM m$i) || (SELECT r FROM m$i) || chr(2)) AS s,
+         |    freq
+         |  FROM r$i)""".stripMargin
+    }.mkString(",\n")
+    val mergedUnion = (1 to n)
+      .map(i => s"SELECT l || r AS symbol FROM m$i")
+      .mkString("\nUNION ")
+    s"""WITH r1 AS MATERIALIZED (
+       |  SELECT w, array_to_string(list_transform(
+       |      list_transform(generate_series(1, length(w)), i -> substr(w, i, 1))
+       |        || ['</w>'],
+       |      c -> chr(1) || c || chr(2)), '') AS s, freq
+       |  FROM (SELECT t AS w, count(*) AS freq
+       |        FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+       |        GROUP BY 1)),
+       |$rounds,
+       |v AS (SELECT unnest(string_split(trim(s, chr(1) || chr(2)),
+       |        chr(2) || chr(1))) AS symbol, freq
+       |      FROM r${n + 1}),
+       |g AS (SELECT symbol, CAST(sum(freq) AS BIGINT) AS n_occurrences
+       |      FROM v GROUP BY 1),
+       |mm AS ($mergedUnion)
+       |SELECT symbol, n_occurrences,
+       |  symbol IN (SELECT symbol FROM mm) AS is_merged
+       |FROM g""".stripMargin
+  }
+
   /** The synthetic documents are clean ASCII, so normalize_text plants
     * deterministic dirt per doc: a leading tab+space, a C0 control
     * splice, an NBSP run, a DECOMPOSED e+combining-acute pair (NFC has
@@ -546,6 +591,11 @@ object SparkEntry {
     // word-TYPE-space; ONE corpus join, pre-aggregated to
     // (doc, word, cnt) so the Zipf head can't amplify rows.
     "bpe_encode" -> ((s, d) => Tokenizer.bpeEncode(Tables.documents(s, d),
+      Tokenizer.bpeTrain(Tables.documents(s, d), 8))),
+    // The shipped vocabulary: final-state symbols with occurrence mass
+    // and merged/base provenance — the budget-acceptance view of the
+    // trained table.
+    "bpe_vocab" -> ((s, d) => Tokenizer.bpeVocab(Tables.documents(s, d),
       Tokenizer.bpeTrain(Tables.documents(s, d), 8))),
     // Count-Min sketch point-frequency estimates (md5-bucketed, fully
     // oracle-able) with exact recount per probe term; w=16 is sized so
@@ -2705,6 +2755,7 @@ object SparkEntry {
         |ORDER BY n DESC, sym_a, sym_b LIMIT 50""".stripMargin,
     "bpe_merges" -> bpeMergesOracle(8),
     "bpe_encode" -> bpeEncodeOracle(8),
+    "bpe_vocab" -> bpeVocabOracle(8),
     // CMS mirror: same md5 row:token buckets, min over d=4 rows, exact
     // recount of the probe terms; estimate >= exact by construction.
     "cms_profile" ->

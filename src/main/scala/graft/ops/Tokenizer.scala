@@ -162,21 +162,8 @@ object Tokenizer {
     * [[Ivf]] centroid precedent.
     */
   def bpeEncode(documents: DataFrame, merges: DataFrame): DataFrame = {
-    val ms = merges.select(col("rank").cast("int"), col("sym_a"), col("sym_b"))
-      .orderBy(col("rank")).collect()
-      .map(r => (r.getString(1), r.getString(2)))
-    require(ms.length <= 1000,
-      s"merge table carries ${ms.length} rules; the train contract caps at 1000")
-    var enc = Checkpoints.stable(
-      documents.select(explode(toks).as("w")).distinct()
-        .select(col("w"), initialSymbols(col("w")).as("s")))
-    ms.grouped(mergeBatch).foreach { batch =>
-      val folded = batch.foldLeft(col("s")) {
-        case (c, (l, r)) => mergePair(c, l, r)
-      }
-      enc = Checkpoints.stable(enc.select(col("w"), folded.as("s")))
-    }
-    val lens = enc.select(col("w"), size(col("s")).cast("long").as("n_sub"))
+    val lens = bpeEncodeTypes(documents, merges)
+      .select(col("w"), size(col("s")).cast("long").as("n_sub"))
     documents.select(col("doc_id"), explode(toks).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("cnt"))
@@ -193,4 +180,53 @@ object Tokenizer {
     * ⌈rules/8⌉.
     */
   private val mergeBatch = 8
+
+  /** The type-space half of encoding: every word TYPE's final symbol
+    * sequence under the rank-ordered merge table, with its corpus
+    * frequency — the shared substrate of [[bpeEncode]] (joins lengths
+    * back to documents) and [[bpeVocab]] (aggregates symbol mass).
+    * Vocabulary-sized throughout; see [[bpeEncode]] for why sequential
+    * rank order is exactly priority-order encode.
+    */
+  def bpeEncodeTypes(documents: DataFrame, merges: DataFrame): DataFrame = {
+    val ms = merges.select(col("rank").cast("int"), col("sym_a"), col("sym_b"))
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    require(ms.length <= 1000,
+      s"merge table carries ${ms.length} rules; the train contract caps at 1000")
+    var enc = Checkpoints.stable(
+      wordFreqs(documents)
+        .select(col("w"), initialSymbols(col("w")).as("s"), col("freq")))
+    ms.grouped(mergeBatch).foreach { batch =>
+      val folded = batch.foldLeft(col("s")) {
+        case (c, (l, r)) => mergePair(c, l, r)
+      }
+      enc = Checkpoints.stable(
+        enc.select(col("w"), folded.as("s"), col("freq")))
+    }
+    enc
+  }
+
+  /** The VOCABULARY a trained tokenizer ships: every symbol of the
+    * final encoded state with its corpus occurrence mass and whether a
+    * merge rule produced it (base characters and the `</w>` sentinel are
+    * the un-merged rest). The usual acceptance check before freezing a
+    * tokenizer: merged symbols should carry most of the mass, and a
+    * merge whose product barely occurs was wasted vocabulary budget.
+    *
+    * Shape: one explode of the TYPE table's symbol arrays (vocabulary ×
+    * symbols-per-word rows, far below token volume), one hash aggregate,
+    * one broadcast membership join against the ≤1000-row merge table.
+    */
+  def bpeVocab(documents: DataFrame, merges: DataFrame): DataFrame = {
+    val merged = merges
+      .select(concat(col("sym_a"), col("sym_b")).as("symbol")).distinct()
+      .withColumn("m", lit(true))
+    bpeEncodeTypes(documents, merges)
+      .select(explode(col("s")).as("symbol"), col("freq"))
+      .groupBy(col("symbol")).agg(sum(col("freq")).as("n_occurrences"))
+      .join(broadcast(merged), Seq("symbol"), "left")
+      .select(col("symbol"), col("n_occurrences"),
+        coalesce(col("m"), lit(false)).as("is_merged"))
+  }
 }

@@ -79,6 +79,22 @@ class TokenizerSpec extends SparkSpec {
     assert(total == 5 * 2 + 2 * 4 + 6 * 3 + 3 * 4)
   }
 
+  test("bpeVocab: final-state symbols, mass, and merge provenance on the Sennrich fixture") {
+    // after 6 merges: low→[low,</w>]×5, lower→[low,e,r,</w>]×2,
+    // newest→[n,ew,est</w>]×6, widest→[w,i,d,est</w>]×3
+    val v = Tokenizer.bpeVocab(fixture, Tokenizer.bpeTrain(fixture, 6))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(v("low") == ((7L, true)))       // 5 + 2, product of merge 5
+    assert(v("est</w>") == ((9L, true)))   // 6 + 3, product of merge 3
+    assert(v("ew") == ((6L, true)))        // product of merge 6
+    assert(v("</w>") == ((7L, false)))     // unmerged sentinel: low + lower
+    assert(v("e") == ((2L, false)))        // only lower's interior e remains
+    assert(v("w") == ((3L, false)))        // only widest's leading w remains
+    // every base char is un-merged; every merged symbol is multi-char
+    v.foreach { case (s, (_, m)) =>
+      if (s.length == 1) assert(!m, s"base char $s flagged merged") }
+  }
+
   test("bpeTrain: the hand-computed first six merges of the Sennrich fixture") {
     val merges = Tokenizer.bpeTrain(fixture, 6).orderBy("rank").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
