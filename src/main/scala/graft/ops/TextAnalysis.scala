@@ -679,11 +679,21 @@ object TextAnalysis {
     */
   def featureEmbed(documents: DataFrame, dim: Int = 64, k: Int = 16): DataFrame = {
     require(k >= 2 && k <= 64, s"need 2 <= k <= 64 projections, got $k")
-    def sign(j: Int): org.apache.spark.sql.Column =
-      when(pmod(conv(substring(md5(
-          concat(lit(s"p:$j:"), col("bucket").cast("string"))), 1, 15), 16, 10)
-        .cast("long"), lit(2L)) === 0, lit(1L)).otherwise(lit(-1L))
-    val comps = (0 until k).map(j => sum(col("tf") * sign(j)).as(s"e$j"))
+    // The sign matrix has only dim×k distinct entries; evaluating
+    // md5("p:j:bucket") per ROW would repeat those k·dim hashes once per
+    // (doc, bucket) — millions of times for a 1024-value table. Compute
+    // the same md5 parity ONCE driver-side (bit-identical to the
+    // oracle's SQL md5 path: 15 hex digits < 2^60, Long-exact) and ship
+    // it as k map literals the aggregate reads with element_at.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sign(j: Int): org.apache.spark.sql.Column = typedLit(
+      (0L until dim.toLong).map(b => b ->
+        (if (java.lang.Long.parseLong(md5hex(s"p:$j:$b").take(15), 16) % 2 == 0) 1L
+         else -1L)).toMap)
+    val comps = (0 until k).map(j =>
+      sum(col("tf") * element_at(sign(j), col("bucket"))).as(s"e$j"))
     hashFeatures(documents, dim)
       .groupBy(col("doc_id"))
       .agg(comps.head, comps.tail: _*)
