@@ -186,11 +186,34 @@ object StressScaling {
       // The Zipf-vocabulary corpus is the realistic case: rarest-first
       // prefixes land on tail types with short postings, so candidate
       // volume tracks near-dup mass, not posting-length².
-      if (want("cosine_allpairs_zipf")) {
-        lazy val dz = docsZipf(spark, nDocs).localCheckpoint()
+      lazy val dz = docsZipf(spark, nDocs).localCheckpoint()
+      if (want("cosine_allpairs_zipf"))
         record("cosine_allpairs_zipf", scale, nDocs, withReliableCuts(timed(
           ops.Similarity.allPairsCosine(dz, 0.85))))
-      }
+
+      // Round-11 closing ops. dsir/doc_embed share hashFeatures'
+      // explode-once shape (the scaling question is the gram explode +
+      // bucket aggregate); the bigram LM runs on the Zipf+Heaps corpus
+      // where pair-TYPE space actually grows with the vocabulary (the
+      // fixed-10k-vocab corpus would flatter the ratios); bpe_encode's
+      // merge loop is word-TYPE-space by construction, so its line
+      // measures the corpus explode + the skew-free doc join;
+      // normalize_text is the pure byte-bandwidth native-expression map.
+      if (want("dsir_weights"))
+        record("dsir_weights", scale, nDocs, timed(
+          ops.TextAnalysis.dsirWeights(d, "s0", 64)))
+      if (want("doc_embed"))
+        record("doc_embed", scale, nDocs, timed(
+          ops.TextAnalysis.featureEmbed(d, 64, 16)))
+      if (want("bigram_logprob"))
+        record("bigram_logprob", scale, nDocs, timed(
+          ops.TextAnalysis.bigramLogProb(dz)))
+      if (want("bpe_encode"))
+        record("bpe_encode", scale, nDocs, timed(
+          ops.Tokenizer.bpeEncode(d, ops.Tokenizer.bpeTrain(d, 8))))
+      if (want("normalize_text"))
+        record("normalize_text", scale, nDocs, timed(
+          ops.TextAnalysis.normalizeText(d)))
 
       val nVecs = baseVecs * scale
       lazy val emb = embeddings(spark, nVecs)

@@ -190,8 +190,9 @@ object Pipeline {
         size(toks).cast("long").as("n_toks"),
         length(col("text")).cast("long").as("n_chr"),
         md5(col("text")).as("h"))
+      // merge-hinted: both sides corpus-sized (jaccard_allpairs precedent)
       .join(TextAnalysis.qualityScore(documents)
-        .select(col("doc_id"), col("quality")), "doc_id")
+        .select(col("doc_id"), col("quality")).hint("merge"), "doc_id")
     val bySource = perDoc.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_toks")).as("n_tokens"),

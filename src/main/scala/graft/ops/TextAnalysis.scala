@@ -392,7 +392,10 @@ object TextAnalysis {
             (col("c12").cast("double") / col("c1").cast("double")) +
           lit(1.0 - lambda) *
             (col("cnt").cast("double") / col("n_total")))).as("bits"))
-    docPair.join(scored, "g")
+    // merge-hinted: the scored pair table is pair-TYPE-sized, which
+    // under Zipf+Heaps grows with the corpus — a mis-estimated
+    // broadcast is the 8g OOM path (jaccard_allpairs precedent)
+    docPair.join(scored.hint("merge"), "g")
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),
         sum(col("c").cast("double") * col("bits")).as("sum_nll"))
@@ -729,8 +732,12 @@ object TextAnalysis {
   def dsirWeights(documents: DataFrame, targetSource: String,
       dim: Int = 64): DataFrame = {
     val feats = hashFeatures(documents, dim)
+    // merge-hinted: both sides are corpus-sized; a mis-estimated
+    // broadcast of the post-aggregate side OOMed the 8g stress driver
+    // at 500k docs (the jaccard_allpairs precedent)
     val buckets = feats
-      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .join(documents.select(col("doc_id"), col("source")).hint("merge"),
+        "doc_id")
       .groupBy(col("bucket"))
       .agg(sum(col("tf")).as("qc"),
         sum(when(col("source") === targetSource, col("tf"))

@@ -167,7 +167,11 @@ object Tokenizer {
     documents.select(col("doc_id"), explode(toks).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("cnt"))
-      .join(lens, "w")
+      // merge-hinted: lens is vocabulary-sized (grows with the corpus
+      // under Heaps' law) and the left side corpus-sized — mis-estimated
+      // broadcasts of post-aggregate sides OOM (jaccard_allpairs
+      // precedent); AQE still splits any Zipf-head skew
+      .join(lens.hint("merge"), "w")
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_words"),
         sum(col("cnt") * col("n_sub")).as("n_subwords"),
