@@ -3682,7 +3682,8 @@ object SparkEntry {
         |       UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
         |fs AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY 1)
         |SELECT sh.doc_id, count(*) AS n_distinct,
-        | sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel,
+        | CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_novel,
         | CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
         |   / count(*) AS novelty
         |FROM sh JOIN fs USING (h) GROUP BY 1""".stripMargin,
@@ -3715,8 +3716,9 @@ object SparkEntry {
         |       FROM (SELECT t, min(b) AS fb FROM tok GROUP BY 1) GROUP BY 1)
         |SELECT pb.b AS bucket, pb.n_tokens,
         | coalesce(nt.n_new, 0) AS n_new,
-        | sum(pb.n_tokens) OVER (ORDER BY pb.b) AS cum_tokens,
-        | sum(coalesce(nt.n_new, 0)) OVER (ORDER BY pb.b) AS cum_types
+        | CAST(sum(pb.n_tokens) OVER (ORDER BY pb.b) AS BIGINT) AS cum_tokens,
+        | CAST(sum(coalesce(nt.n_new, 0)) OVER (ORDER BY pb.b) AS BIGINT)
+        |   AS cum_types
         |FROM pb LEFT JOIN nt ON pb.b = nt.b""".stripMargin,
     // Distinct (source, token) rows; the pair join runs in type space
     // keyed on the token with source order s1 < s2.
