@@ -352,6 +352,28 @@ object SparkEntry {
     // Day-anchored running TWAP (the anchored-VWAP family): two prefix
     // sums under one (symbol, day) window — the anchor IS the chunking.
     "twap_anchored" -> ((s, d) => Resample.twapAnchored(ev(s, d))),
+    // --- microstructure & risk diagnostics (ops/Microstructure.scala) ---
+    // Hourly VWAP: price weighted by the props.$k trade size — the
+    // execution benchmark twin of TWAP; one JSON projection + one agg.
+    "vwap_hourly" -> ((s, d) => Microstructure.vwapHourly(ev(s, d))),
+    // Daily Parkinson + Garman–Klass realized vol from hourly bars:
+    // range-based estimators, aggregate-of-aggregate, rows = days×symbols.
+    "realized_vol" -> ((s, d) =>
+      Microstructure.realizedVol(Resample.ohlcHourly(ev(s, d)))),
+    // Roll implied spread per symbol: serial covariance of price changes,
+    // two lags + covar_samp, NULL when the estimator is undefined.
+    "roll_spread" -> ((s, d) => Microstructure.rollSpread(ev(s, d))),
+    // Lo–MacKinlay variance ratio, q ∈ {2,4,8}: boundary-sampled q-step
+    // changes vs 1-step variance — the random-walk diagnostic.
+    "variance_ratio" -> ((s, d) => Microstructure.varianceRatio(ev(s, d))),
+    // Kaufman efficiency ratio (n=10): net move over path length, strict
+    // min_periods, one lag + one trailing-sum window in a single pass.
+    "kaufman_er" -> ((s, d) => Microstructure.kaufmanEr(ev(s, d))),
+    // Donchian 20-bar channel + causal breakout flag over hourly bars.
+    "donchian" -> ((s, d) =>
+      Microstructure.donchian(Resample.ohlcHourly(ev(s, d)))),
+    // Hurst exponent via R/S over dyadic block sizes + log-log slope.
+    "hurst_rs" -> ((s, d) => Microstructure.hurstRs(ev(s, d))),
     // Lag-1 autocorrelation of returns per symbol: one window pass for
     // the return pair, one map-side-combined five-sum aggregate.
     "returns_autocorr" -> ((s, d) => Rolling.returnsAutocorr(ev(s, d))),
@@ -836,6 +858,26 @@ object SparkEntry {
     // the timed production shape, unlike the reusable scratch artifacts)
     "minhash_neardup" -> ((s, d) => Similarity.minhashNearDupPersisted(
       Tables.documents(s, d), cleanedTempDir("minhash") + "/shingle_hashes")),
+    // Incremental fuzzy dedup: the last 20% of ids (the "tonight's batch")
+    // probe a persisted band+hash index built ONCE from the first 80% (the
+    // standing corpus, reused across invocations via scratch) — only the
+    // batch is tokenized; emitted pairs are exactly the near-dup pairs the
+    // batch introduces (new×base and new×new).
+    "minhash_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{broadcast, expr}
+      val docs = Tables.documents(s, d)
+      val bounds = docs.agg(expr("((max(doc_id) + 1) * 8) DIV 10").as("split"))
+      val idxDir = scratch("minhash_idx", d)(p => Similarity.writeNearDupIndex(
+        docs.crossJoin(broadcast(bounds))
+          .filter(col("doc_id") < col("split")).drop("split"), p))
+      Similarity.minhashNearDupIncremental(
+        docs.crossJoin(broadcast(bounds))
+          .filter(col("doc_id") >= col("split")).drop("split"), idxDir)
+    }),
+    // Near-duplication rolled up to source pairs: the redundancy matrix a
+    // mixing pipeline weights sources by (least/greatest-unordered cells).
+    "neardup_by_source" -> ((s, d) =>
+      Similarity.nearDupBySource(Tables.documents(s, d))),
     // Bounded brute baseline: doc_id < 500 covers the whole sf0.01 verify
     // corpus (25 real pairs ≥ 0.1) while keeping the all-pairs cost fixed
     // at any SF. (The old bound of 100 made the result vacuously empty —
@@ -1394,6 +1436,40 @@ object SparkEntry {
         |         arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
         |         arg_max(value, ts) AS close, sum(value) AS volume
         |  FROM events GROUP BY 1, 2)""".stripMargin
+    // R/S per dyadic block size, built per size by the same Scala loop as
+    // the Spark side (one edit changes both). Exact algebra throughout;
+    // the final fit is regr_slope over |sizes| points per symbol.
+    val hurstOracle = {
+      val perSize = Seq(32, 64, 128, 256).map { n =>
+        s"""  SELECT event_type, $n AS n, avg(r / s) AS rs FROM (
+           |    SELECT event_type, blk, count(*) AS m,
+           |      max(cum) - min(cum) AS r, stddev_pop(dp) AS s
+           |    FROM (
+           |      SELECT event_type, blk, dp,
+           |        sum(dp - mu) OVER (PARTITION BY event_type, blk ORDER BY o
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |      FROM (
+           |        SELECT event_type, rn // $n AS blk, rn % $n AS o, dp,
+           |          avg(dp) OVER (PARTITION BY event_type, rn // $n) AS mu
+           |        FROM f))
+           |    GROUP BY 1, 2)
+           |  WHERE m = $n AND s > 0 GROUP BY 1""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH d AS (
+         |  SELECT event_type, ts,
+         |    value - lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS dp
+         |  FROM events),
+         |f AS (
+         |  SELECT event_type, dp,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS rn
+         |  FROM d WHERE dp IS NOT NULL),
+         |sz AS (
+         |$perSize)
+         |SELECT event_type,
+         |  regr_slope(log2(rs), log2(CAST(n AS DOUBLE))) AS hurst,
+         |  count(*) AS n_sizes
+         |FROM sz GROUP BY 1""".stripMargin
+    }
     val base = Map(
     "ohlc_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
@@ -1552,6 +1628,101 @@ object SparkEntry {
         |    sqrt(greatest(cnt * sxx - sx * sx, 0) *
         |         greatest(cnt * syy - sy * sy, 0)) AS autocorr
         |FROM s""".stripMargin,
+    // VWAP: size from the JSON payload; zero-size bar → NULL via DuckDB's
+    // NULL-on-zero double division (= Spark try_divide).
+    "vwap_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+        | event_type,
+        | sum(value * k) / sum(k) AS vwap,
+        | sum(k) AS total_qty, count(*) AS n_trades
+        |FROM (SELECT ts, event_type, value,
+        |        CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+        |      FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+    // Day key via integer epoch-day arithmetic — no timezone dependence
+    // on either engine.
+    "realized_vol" -> (hourlyClose + "\n" +
+      """SELECT DATE '1970-01-01' + CAST(bucket // 86400 AS INTEGER) AS day,
+        | event_type,
+        | sqrt(avg(pow(ln(high / low), 2)) / (4 * ln(2))) AS parkinson,
+        | sqrt(avg(0.5 * pow(ln(high / low), 2)
+        |          - (2 * ln(2) - 1) * pow(ln(close / open), 2)))
+        |   AS garman_klass,
+        | count(*) AS n_bars
+        |FROM hourly WHERE low > 0 AND open > 0
+        |GROUP BY 1, 2""".stripMargin),
+    "roll_spread" ->
+      """WITH d AS (
+        |  SELECT event_type, ts,
+        |    value - lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS dp
+        |  FROM events),
+        |d2 AS (
+        |  SELECT event_type, dp,
+        |    lag(dp) OVER (PARTITION BY event_type ORDER BY ts) AS dp_prev
+        |  FROM d),
+        |s AS (
+        |  SELECT event_type, covar_samp(dp, dp_prev) AS cov_dp,
+        |    count(dp_prev) AS n_pairs
+        |  FROM d2 GROUP BY 1)
+        |SELECT event_type, cov_dp, n_pairs,
+        |  CASE WHEN cov_dp < 0 THEN 2 * sqrt(-cov_dp) END AS roll_spread
+        |FROM s""".stripMargin,
+    // Boundary-sampled q-step changes: survivors of rn % q = 0 are
+    // exactly q ticks apart, so lag(1) over them spans q one-step moves.
+    "variance_ratio" ->
+      """WITH r AS (
+        |  SELECT event_type, ts, value,
+        |    row_number() OVER w - 1 AS rn,
+        |    value - lag(value) OVER w AS dp
+        |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+        |v1 AS (
+        |  SELECT event_type, var_samp(dp) AS var_1, count(dp) AS n_1
+        |  FROM r GROUP BY 1),
+        |vq AS (
+        |  SELECT event_type, 2 AS q, var_samp(dq) AS var_q, count(dq) AS n_q
+        |  FROM (SELECT event_type,
+        |          value - lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS dq
+        |        FROM r WHERE rn % 2 = 0) GROUP BY 1
+        |  UNION ALL
+        |  SELECT event_type, 4 AS q, var_samp(dq) AS var_q, count(dq) AS n_q
+        |  FROM (SELECT event_type,
+        |          value - lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS dq
+        |        FROM r WHERE rn % 4 = 0) GROUP BY 1
+        |  UNION ALL
+        |  SELECT event_type, 8 AS q, var_samp(dq) AS var_q, count(dq) AS n_q
+        |  FROM (SELECT event_type,
+        |          value - lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS dq
+        |        FROM r WHERE rn % 8 = 0) GROUP BY 1)
+        |SELECT vq.event_type, q, n_q, n_1, var_q / (q * var_1) AS vr
+        |FROM vq JOIN v1 ON vq.event_type = v1.event_type""".stripMargin,
+    "kaufman_er" ->
+      """WITH d AS (
+        |  SELECT event_id, event_type, ts, value,
+        |    value - lag(value) OVER w AS dp,
+        |    lag(value, 10) OVER w AS p_n
+        |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+        |e AS (
+        |  SELECT event_id, event_type, value, p_n,
+        |    sum(abs(dp)) OVER (PARTITION BY event_type ORDER BY ts
+        |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS path
+        |  FROM d)
+        |SELECT event_id, event_type, value,
+        |  CASE WHEN p_n IS NOT NULL THEN abs(value - p_n) / path END AS er
+        |FROM e""".stripMargin,
+    "donchian" -> (hourlyClose + ",\n" +
+      """ch AS (
+        |  SELECT bucket, event_type, close,
+        |    max(high) OVER wN AS upper, min(low) OVER wN AS lower
+        |  FROM hourly
+        |  WINDOW wN AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT bucket, event_type, close, upper, lower,
+        |  (upper + lower) / 2 AS mid,
+        |  (close - lower) / (upper - lower) AS pos,
+        |  coalesce(close > lag(upper)
+        |    OVER (PARTITION BY event_type ORDER BY bucket), false) AS breakout
+        |FROM ch""".stripMargin),
+    "hurst_rs" -> hurstOracle,
     "amihud" -> (hourlyClose + ",\n" +
       """r AS (
         |  SELECT bucket, event_type,
@@ -2478,6 +2649,46 @@ object SparkEntry {
         |      / len(list_distinct(a.s || b.s)) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.3""".stripMargin,
+    // Brute mirror of the incremental probe: pairs whose LARGER id is in
+    // the new batch (last 20% of ids) — recall 1 at t=0.3/k=32, so the
+    // verified LSH output equals the exact restricted pair set.
+    "minhash_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |sp AS (SELECT ((max(doc_id) + 1) * 8) // 10 AS split FROM documents)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / len(list_distinct(a.s || b.s)) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id, sp
+        |  WHERE b.doc_id >= split)
+        |WHERE jaccard >= 0.3""".stripMargin,
+    "neardup_by_source" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |pr AS (
+        |  SELECT doc_a, doc_b, jaccard FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(a.s || b.s)) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.3),
+        |j AS (
+        |  SELECT least(da.source, db.source) AS s1,
+        |    greatest(da.source, db.source) AS s2, jaccard
+        |  FROM pr JOIN documents da ON pr.doc_a = da.doc_id
+        |          JOIN documents db ON pr.doc_b = db.doc_id
+        |  WHERE da.source IS NOT NULL AND db.source IS NOT NULL)
+        |SELECT s1, s2, count(*) AS n_pairs, avg(jaccard) AS avg_jaccard
+        |FROM j GROUP BY 1, 2""".stripMargin,
     "ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -1,0 +1,232 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Market-microstructure and risk diagnostics over the tick stream — the
+  * analytics a trading-data platform layers on the reference's OHLC
+  * pipeline (`/root/reference/components/process_data.py:44-59` produces
+  * the bars; the notebook's indicator cells stop at moving averages).
+  * Everything here is EXACT window/aggregate algebra — no smoothing
+  * recursions — so each query is one or two codegen'd window passes plus
+  * a hash aggregate, and every one has a closed-form SQL oracle.
+  *
+  * Scale shape shared by all of them: the only shuffle is the per-symbol
+  * window repartition (event_type), identical to the partitioning every
+  * indicator in [[Rolling]] already pays; downstream aggregates are
+  * map-side combined and emit rows proportional to symbols × buckets,
+  * never ticks. At 100 TB the tick scan dominates and each operator
+  * reads it exactly once.
+  */
+object Microstructure {
+
+  private def byTypeTime = Window.partitionBy(col("event_type")).orderBy(col("ts"))
+
+  /** Hourly VWAP per symbol: Σ(price·size)/Σ(size) with the per-tick size
+    * taken from the event's JSON props (`$.k` — the reference's payload
+    * convention, cf. [[Functions.jsonProps]]). The volume-weighted twin
+    * of [[Resample.twapHourly]]: TWAP weights by holding TIME, VWAP by
+    * traded SIZE — the execution-quality benchmark. Ticks with no/zero
+    * size contribute nothing to the weighted mean but still count in
+    * n_trades; an all-zero-size bar yields NULL vwap (`try_divide`).
+    *
+    * One `get_json_object` projection inside the scan stage, then the
+    * same partial+final hash aggregate as the flagship OHLC — no window,
+    * no extra shuffle.
+    */
+  def vwapHourly(events: DataFrame): DataFrame =
+    events
+      .withColumn("qty", get_json_object(col("props"), "$.k").cast("double"))
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("bucket"),
+        col("event_type"))
+      .agg(
+        try_divide(sum(col("value") * col("qty")), sum(col("qty"))).as("vwap"),
+        sum(col("qty")).as("total_qty"),
+        count(lit(1)).as("n_trades"))
+
+  /** Daily realized-volatility estimators from hourly OHLC bars:
+    * Parkinson (range-based, `sqrt(avg(ln(h/l)²) / (4·ln 2))`) and
+    * Garman–Klass (`sqrt(avg(0.5·ln(h/l)² − (2·ln2 − 1)·ln(c/o)²))`) per
+    * (day, symbol). Both use intra-bar range information a close-to-close
+    * estimator throws away — 5–7× more efficient per observation, the
+    * standard daily risk number built from bar artifacts instead of
+    * rescanning ticks. Bars with a non-positive side are excluded (log
+    * undefined; cannot occur for a positive price stream but the guard
+    * keeps the algebra total).
+    *
+    * Composes on the RESAMPLED series: aggregate of an aggregate, rows =
+    * symbols × days. GK can go negative on pathological bars (its known
+    * bias-correction artifact) — `sqrt` of a negative is NULL, reported
+    * as such rather than clamped.
+    */
+  def realizedVol(bars: DataFrame): DataFrame = {
+    val lhl = log(col("high") / col("low"))
+    val lco = log(col("close") / col("open"))
+    bars
+      .filter(col("low") > 0 && col("open") > 0)
+      .groupBy(to_date(timestamp_seconds(col("bucket"))).as("day"),
+        col("event_type"))
+      .agg(
+        sqrt(avg(lhl * lhl) / (4.0 * math.log(2.0))).as("parkinson"),
+        sqrt(avg(lhl * lhl * 0.5 - lco * lco * (2.0 * math.log(2.0) - 1.0)))
+          .as("garman_klass"),
+        count(lit(1)).as("n_bars"))
+  }
+
+  /** Roll's implied effective spread per symbol:
+    * `2·sqrt(−cov(Δp_t, Δp_{t−1}))` when the serial covariance of price
+    * changes is negative (bid–ask bounce), NULL otherwise (the estimator
+    * is undefined on positive covariance — reported honestly instead of
+    * clamped to 0, and the sign is visible in the `cov_dp` column). The
+    * classic trade-data-only transaction-cost estimate (Roll 1984).
+    *
+    * Two lag windows (Δp and its lag — same partition/order, one sort)
+    * feeding `covar_samp`; output is one row per symbol.
+    */
+  def rollSpread(events: DataFrame): DataFrame = {
+    val dp  = col("value") - lag(col("value"), 1).over(byTypeTime)
+    events
+      .withColumn("dp", dp)
+      .withColumn("dp_prev", lag(col("dp"), 1).over(byTypeTime))
+      .groupBy(col("event_type"))
+      .agg(
+        covar_samp(col("dp"), col("dp_prev")).as("cov_dp"),
+        count(col("dp_prev")).as("n_pairs"))
+      .withColumn("roll_spread",
+        when(col("cov_dp") < 0, lit(2.0) * sqrt(-col("cov_dp"))))
+  }
+
+  /** Lo–MacKinlay variance-ratio diagnostic per symbol:
+    * `VR(q) = var(q-step change) / (q · var(1-step change))` over
+    * NON-overlapping q-tick windows, for q ∈ `qs`. A random walk gives
+    * VR ≈ 1; mean reversion < 1; momentum > 1 — the stationarity check a
+    * forecasting pipeline runs before trusting return features. Price
+    * CHANGES (not log returns) keep the algebra total on any price path.
+    *
+    * The q-step series is the price at every q-th tick rank (one shared
+    * row_number pass), differenced by a lag over the SAMPLED rows —
+    * consecutive survivors of `rn % q = 0` are exactly q ticks apart, so
+    * each dq spans q one-step changes, never q−1 (the off-by-one that
+    * biases a within-block first/last construction toward VR=(q−1)/q).
+    * Output rows = symbols × |qs|.
+    */
+  def varianceRatio(events: DataFrame, qs: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+    val ranked = events
+      .withColumn("rn", row_number().over(byTypeTime) - 1)
+      .withColumn("dp", col("value") - lag(col("value"), 1).over(byTypeTime))
+    val var1 = ranked.groupBy(col("event_type"))
+      .agg(var_samp(col("dp")).as("var_1"), count(col("dp")).as("n_1"))
+    val perQ = qs.map { q =>
+      ranked
+        .filter(col("rn") % q === 0)
+        .withColumn("dq", col("value") - lag(col("value"), 1).over(byTypeTime))
+        .groupBy(col("event_type"))
+        .agg(var_samp(col("dq")).as("var_q"), count(col("dq")).as("n_q"))
+        .withColumn("q", lit(q))
+    }
+    perQ.reduce(_ unionByName _)
+      .join(var1, Seq("event_type"))
+      .select(col("event_type"), col("q"), col("n_q"), col("n_1"),
+        try_divide(col("var_q"), col("q") * col("var_1")).as("vr"))
+  }
+
+  /** Kaufman efficiency ratio per tick: `|p_t − p_{t−n}| / Σ|Δp|` over
+    * the trailing n changes — net displacement over path length, 1 on a
+    * straight trend, →0 in chop. The adaptive-smoothing front end (KAMA
+    * gears its EMA span by this) and a regime feature in its own right.
+    * Rows with fewer than n prior ticks report NULL (strict min_periods,
+    * like [[Rolling.maVolatility]]'s strict form); a flat window (zero
+    * path length) is NULL via `try_divide`.
+    *
+    * One lag + one trailing-sum window over the SAME per-symbol sort —
+    * Catalyst plans both in a single WindowExec pass.
+    */
+  def kaufmanEr(events: DataFrame, n: Int = 10): DataFrame = {
+    require(n >= 1, s"n $n must be >= 1")
+    val wTrail = byTypeTime.rowsBetween(-(n - 1), 0)
+    events
+      .withColumn("dp", col("value") - lag(col("value"), 1).over(byTypeTime))
+      .withColumn("p_n", lag(col("value"), n).over(byTypeTime))
+      .withColumn("path", sum(abs(col("dp"))).over(wTrail))
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(col("p_n").isNotNull,
+          try_divide(abs(col("value") - col("p_n")), col("path"))).as("er"))
+  }
+
+  /** Donchian channel over resampled OHLC bars: trailing n-bar
+    * `max(high)` / `min(low)` (min_periods=1 at series start, like
+    * [[Rolling.stochastic]]), the midline, the close's position in the
+    * channel (0 = at the low rail, 1 = at the high rail, NULL on a flat
+    * channel), and the breakout flag — close strictly above the PREVIOUS
+    * bar's upper rail (the turtle-rule entry; the shifted rail keeps the
+    * signal causal: a bar can't break a channel it itself extended).
+    *
+    * Two trailing extrema + one lag over one per-symbol bar sort; rows =
+    * bars, not ticks.
+    */
+  def donchian(bars: DataFrame, n: Int = 20): DataFrame = {
+    val byTypeBucket = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wN = byTypeBucket.rowsBetween(-(n - 1), 0)
+    bars
+      .withColumn("upper", max(col("high")).over(wN))
+      .withColumn("lower", min(col("low")).over(wN))
+      .withColumn("mid", (col("upper") + col("lower")) / 2.0)
+      .withColumn("pos",
+        try_divide(col("close") - col("lower"), col("upper") - col("lower")))
+      .withColumn("breakout",
+        coalesce(col("close") > lag(col("upper"), 1).over(byTypeBucket),
+          lit(false)))
+      .select(col("bucket"), col("event_type"), col("close"),
+        col("upper"), col("lower"), col("mid"), col("pos"), col("breakout"))
+  }
+
+  /** Hurst exponent per symbol by classic rescaled-range (R/S) analysis:
+    * for each block size n in `sizes`, split the symbol's 1-step change
+    * series into consecutive complete n-blocks, compute per block
+    * R = max−min of the within-block demeaned cumulative sum and
+    * S = population stddev, average R/S across blocks, then fit
+    * `log2(avg R/S) ~ H·log2(n)` — the slope is H (0.5 = random walk,
+    * > 0.5 trending, < 0.5 mean-reverting). The long-memory diagnostic
+    * behind "does this series reward trend features at all".
+    *
+    * Exact algebra end to end: one rank+lag pass per symbol (shared by
+    * all sizes), per size a within-block cumulative window (blocks are
+    * disjoint, so the window partitions by (symbol, block) — thousands
+    * of small independent partitions, no single-partition funnel), a
+    * per-block aggregate, a per-size average, and a final regr_slope
+    * over |sizes| points per symbol. Work is |sizes| passes over the
+    * change rows; rows out = symbols.
+    */
+  def hurstRs(events: DataFrame, sizes: Seq[Int] = Seq(32, 64, 128, 256)): DataFrame = {
+    require(sizes.forall(_ >= 8), s"block sizes $sizes must be >= 8")
+    val ranked = events
+      .withColumn("dp", col("value") - lag(col("value"), 1).over(byTypeTime))
+      .filter(col("dp").isNotNull)
+      .withColumn("rn", row_number().over(byTypeTime) - 1)
+    val perSize = sizes.map { n =>
+      val wBlk = Window.partitionBy(col("event_type"), col("blk"))
+        .orderBy(col("rn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranked
+        .withColumn("blk", (col("rn") / n).cast("long"))
+        .withColumn("mu", avg(col("dp"))
+          .over(Window.partitionBy(col("event_type"), col("blk"))))
+        .withColumn("cum", sum(col("dp") - col("mu")).over(wBlk))
+        .groupBy(col("event_type"), col("blk"))
+        .agg(count(lit(1)).as("m"),
+          (max(col("cum")) - min(col("cum"))).as("r"),
+          stddev_pop(col("dp")).as("s"))
+        .filter(col("m") === n && col("s") > 0)
+        .groupBy(col("event_type"))
+        .agg(avg(col("r") / col("s")).as("rs"), count(lit(1)).as("n_blocks"))
+        .withColumn("n", lit(n))
+    }
+    perSize.reduce(_ unionByName _)
+      .groupBy(col("event_type"))
+      .agg(
+        regr_slope(log2(col("rs")), log2(col("n").cast("double"))).as("hurst"),
+        count(lit(1)).as("n_sizes"))
+  }
+}

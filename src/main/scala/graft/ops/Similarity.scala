@@ -271,21 +271,29 @@ object Similarity {
     nearDupFromHashes(documents.sparkSession.read.parquet(artifactDir), k, threshold)
   }
 
-  private def nearDupFromHashes(hashes: DataFrame, k: Int,
-                                threshold: Double): DataFrame = {
-    // r=1 banding: each signature position is its own band. The candidate
-    // join carries ONLY (band, key, id) — never the shingle payload. With
-    // a skewed shingle distribution a popular min-value makes big buckets
-    // whose m² pairs would otherwise drag two ~kB arrays each through the
-    // shuffle; as id pairs the same candidates are 16 bytes.
+  /** r=1 banded signature rows (doc_id, band_idx, band_key) from hashed
+    * shingles: each signature position is its own band. Shared by the
+    * one-shot near-dup path and the persisted incremental index.
+    */
+  private def bandRows(hashes: DataFrame, k: Int): DataFrame = {
     val sigAggs = (0 until k).map { i =>
       val a = hashParam(i)
       min(pmod(lit(a) * col("h") + lit(a + 13L), lit(MinhashP))).as(s"mh_$i")
     }
-    val bands = hashes.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    hashes.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
       .select(col("doc_id"),
         posexplode(array((0 until k).map(i => col(s"mh_$i")): _*))
           .as(Seq("band_idx", "band_key")))
+  }
+
+  private def nearDupFromHashes(hashes: DataFrame, k: Int,
+                                threshold: Double): DataFrame = {
+    // r=1 banding via [[bandRows]]. The candidate join carries ONLY
+    // (band, key, id) — never the shingle payload. With a skewed shingle
+    // distribution a popular min-value makes big buckets whose m² pairs
+    // would otherwise drag two ~kB arrays each through the shuffle; as id
+    // pairs the same candidates are 16 bytes.
+    val bands = bandRows(hashes, k)
     val candIds = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -293,11 +301,18 @@ object Similarity {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // Verification joins the hashed shingle SETS by id — primitive long
-    // arrays (fast-path set ops), shuffled once per side proportional to
-    // the candidate id set, not its square. |A∪B| = |A|+|B|-|A∩B| avoids
-    // materializing the union. Hash-set Jaccard equals string-set Jaccard
-    // up to 64-bit collisions (~1e-13 per pair — far below any tolerance).
+    verifyPairs(candIds, hashes, threshold)
+  }
+
+  /** Exact-Jaccard verification of LSH candidate id pairs. Joins the
+    * hashed shingle SETS by id — primitive long arrays (fast-path set
+    * ops), shuffled once per side proportional to the candidate id set,
+    * not its square. |A∪B| = |A|+|B|-|A∩B| avoids materializing the
+    * union. Hash-set Jaccard equals string-set Jaccard up to 64-bit
+    * collisions (~1e-13 per pair — far below any tolerance).
+    */
+  private def verifyPairs(candIds: DataFrame, hashes: DataFrame,
+                          threshold: Double): DataFrame = {
     val hsets = hashes.groupBy(col("doc_id"))
       .agg(collect_set(col("h")).as("hs"))
       .withColumn("n", size(col("hs")))
@@ -310,6 +325,82 @@ object Similarity {
         col("inter") / (col("sa.n") + col("sb.n") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Build the standing fuzzy-dedup index for incremental ingest: the
+    * base corpus's hashed shingles AND its banded signature rows, each
+    * persisted as a parquet artifact (`<dir>/hashes`, `<dir>/bands`).
+    * Tomorrow's batch probes the bands without re-reading — let alone
+    * re-tokenizing — the 100 TB base corpus; the hashes are kept because
+    * exact verification of a candidate pair needs the base side's
+    * shingle set.
+    */
+  def writeNearDupIndex(base: DataFrame, artifactDir: String,
+                        k: Int = 32): Unit = {
+    val hashes = shingleHashes(base)
+    hashes.write.mode("overwrite").parquet(s"$artifactDir/hashes")
+    val spark = base.sparkSession
+    bandRows(spark.read.parquet(s"$artifactDir/hashes"), k)
+      .write.mode("overwrite").parquet(s"$artifactDir/bands")
+  }
+
+  /** Incremental MinHash-LSH near-dup: dedup an arriving batch against
+    * the persisted [[writeNearDupIndex]] artifact AND within itself,
+    * without touching base-corpus text. The contract mirrors
+    * [[minhashNearDup]] restricted to pairs whose LARGER id is new —
+    * exactly "every near-dup pair the new batch introduces" under
+    * append-only monotone ids (the base index holds the smaller ids).
+    *
+    * Scale shape: only the NEW batch is tokenized; its bands probe the
+    * union of persisted base bands and its own (new×base and new×new
+    * candidates in one join — the probe side is batch-sized, the build
+    * side streams from the artifact). Verification unions the two hash
+    * tables and aggregates per-doc sets once; everything shuffled is
+    * longs keyed by id or (band, key). Per nightly batch the cost is
+    * O(batch + matched base postings), not O(corpus).
+    */
+  def minhashNearDupIncremental(newDocs: DataFrame, artifactDir: String,
+                                k: Int = 32, threshold: Double = 0.3): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newHashes = shingleHashes(newDocs).localCheckpoint()
+    val newBands = bandRows(newHashes, k)
+    val allBands = spark.read.parquet(s"$artifactDir/bands").unionByName(newBands)
+    val candIds = allBands.as("a")
+      .join(newBands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val allHashes = spark.read.parquet(s"$artifactDir/hashes").unionByName(newHashes)
+    verifyPairs(candIds, allHashes, threshold)
+  }
+
+  /** Near-duplication attributed to SOURCE pairs: the verified
+    * [[minhashNearDup]] pair set rolled up to (source, source) cells with
+    * pair counts and mean overlap — the redundancy matrix a mixing
+    * pipeline reads before weighting sources (two crawls of the same site
+    * light up one off-diagonal cell; a source that templates its own
+    * pages lights up its diagonal). Unordered cells: (s1 ≤ s2) by
+    * least/greatest, so A×B and B×A accumulate together.
+    *
+    * Cost = the near-dup miner + two id-keyed joins of the (small)
+    * verified pair set against the doc→source projection + one tiny
+    * aggregate; the rollup adds no payload shuffle.
+    */
+  def nearDupBySource(documents: DataFrame, k: Int = 32,
+                      threshold: Double = 0.3): DataFrame = {
+    val pairs = minhashNearDup(documents, k, threshold)
+    val src = documents.filter(col("source").isNotNull)
+      .select(col("doc_id"), col("source"))
+    pairs
+      .join(src.as("xa"), col("doc_a") === col("xa.doc_id"))
+      .join(src.as("xb"), col("doc_b") === col("xb.doc_id"))
+      .select(least(col("xa.source"), col("xb.source")).as("s1"),
+        greatest(col("xa.source"), col("xb.source")).as("s2"),
+        col("jaccard"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_pairs"), avg(col("jaccard")).as("avg_jaccard"))
   }
 
   /** Exact n-gram Jaccard over a bounded id-range (the brute-force

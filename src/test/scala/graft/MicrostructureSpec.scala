@@ -1,0 +1,170 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Microstructure, Similarity}
+
+/** Hand-computed contracts for the microstructure/risk tier and the
+  * incremental fuzzy-dedup index.
+  */
+class MicrostructureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tick(i: Int, sym: String, v: Double, props: String = """{"k": 1}""") =
+    (i.toLong, new Timestamp(1704067200000L + i * 1000L), sym, v, props)
+
+  test("vwapHourly: size-weighted mean, zero-size bucket is NULL") {
+    val df = Seq(
+      tick(0, "a", 10.0, """{"k": 1}"""),
+      tick(1, "a", 20.0, """{"k": 3}"""),
+      tick(2, "a", 30.0, """{"k": 0}"""),
+      tick(3, "z", 5.0, """{"k": 0}"""), // all-zero size symbol
+      tick(4, "z", 7.0, """{"k": 0}""")
+    ).toDF("event_id", "ts", "event_type", "value", "props")
+    val out = Microstructure.vwapHourly(df).collect()
+      .map(r => r.getString(1) -> r).toMap
+    // (10*1 + 20*3 + 30*0) / 4 = 17.5
+    assert(approx(out("a").getDouble(2), 17.5))
+    assert(out("a").getLong(4) === 3L)
+    assert(out("z").isNullAt(2)) // try_divide by zero qty
+    assert(approx(out("z").getDouble(3), 0.0))
+  }
+
+  test("realizedVol: Parkinson and Garman-Klass closed forms on one day") {
+    // Two hourly bars, same UTC day: (o,h,l,c) = (4,8,2,4) and (1,e,1,e).
+    val bars = Seq(
+      (0L, "a", 4.0, 8.0, 2.0, 4.0),
+      (3600L, "a", 1.0, math.E, 1.0, math.E)
+    ).toDF("bucket", "event_type", "open", "high", "low", "close")
+    val r = Microstructure.realizedVol(bars).collect().head
+    val ln2 = math.log(2.0)
+    val lhl1 = math.log(8.0 / 2.0); val lco1 = 0.0
+    val lhl2 = 1.0; val lco2 = 1.0
+    val park = math.sqrt((lhl1 * lhl1 + lhl2 * lhl2) / 2.0 / (4.0 * ln2))
+    val gk = math.sqrt((0.5 * lhl1 * lhl1 - (2 * ln2 - 1) * lco1 * lco1
+      + 0.5 * lhl2 * lhl2 - (2 * ln2 - 1) * lco2 * lco2) / 2.0)
+    assert(approx(r.getDouble(2), park))
+    assert(approx(r.getDouble(3), gk))
+    assert(r.getLong(4) === 2L)
+  }
+
+  test("rollSpread: negative serial covariance implies 2*sqrt(-cov); trending is NULL") {
+    // Bouncing series p = 10,11,10,11,10 → dp = +1,-1,+1,-1 → cov = -4/3.
+    val bounce = Seq(10.0, 11.0, 10.0, 11.0, 10.0).zipWithIndex
+      .map { case (v, i) => tick(i, "b", v) }
+    // Trending series → all dp = +1 → cov 0 (constant) → NULL spread.
+    val trend = (0 until 5).map(i => tick(100 + i, "t", 10.0 + i))
+    val out = Microstructure.rollSpread((bounce ++ trend)
+      .toDF("event_id", "ts", "event_type", "value", "props").drop("props"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx(out("b").getDouble(1), -4.0 / 3.0))
+    assert(approx(out("b").getDouble(3), 2.0 * math.sqrt(4.0 / 3.0)))
+    assert(out("b").getLong(2) === 3L)
+    assert(out("t").isNullAt(3))
+  }
+
+  test("varianceRatio: q-step changes span exactly q ticks") {
+    // Sawtooth 0,1,0,1,... over 17 ticks: dp = ±1 (var_1 > 0); prices at
+    // even ranks are all 0 → every 2-step change is 0 → VR(2) = 0.
+    val saw = (0 until 17).map(i => tick(i, "s", (i % 2).toDouble))
+    val out = Microstructure.varianceRatio(
+      saw.toDF("event_id", "ts", "event_type", "value", "props").drop("props"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    val vr2 = out(("s", 2))
+    assert(approx(vr2.getDouble(4), 0.0))
+    assert(vr2.getLong(2) === 8L) // 9 sampled ranks 0,2,...,16 → 8 diffs
+    assert(vr2.getLong(3) === 16L) // 16 one-step changes
+    // q=4: sampled ranks 0,4,8,12,16 — all price 0 → VR(4) = 0 too.
+    assert(approx(out(("s", 4)).getDouble(4), 0.0))
+  }
+
+  test("kaufmanEr: 1 on a monotone path, NULL before n and on a flat path") {
+    val mono = (0 until 15).map(i => tick(i, "m", 100.0 + i))
+    val flat = (0 until 15).map(i => tick(100 + i, "f", 50.0))
+    val out = Microstructure.kaufmanEr((mono ++ flat)
+      .toDF("event_id", "ts", "event_type", "value", "props").drop("props"), n = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(5L).isNullAt(3)) // fewer than n prior ticks
+    assert(approx(out(12L).getDouble(3), 1.0)) // net move == path length
+    assert(out(112L).isNullAt(3)) // zero path length
+  }
+
+  test("donchian: rails, position and causal breakout") {
+    val bars = Seq(
+      (0L, "a", 10.0, 12.0, 8.0, 11.0),
+      (1L, "a", 11.0, 15.0, 10.0, 14.0),
+      (2L, "a", 14.0, 20.0, 13.0, 16.0) // close 16 > prev upper 15 → breakout
+    ).toDF("bucket", "event_type", "open", "high", "low", "close")
+    val out = Microstructure.donchian(bars, n = 2).orderBy("bucket").collect()
+    assert(approx(out(0).getDouble(3), 12.0)) // upper = max high so far (window 2)
+    assert(!out(0).getBoolean(7)) // no previous rail → coalesced false
+    assert(approx(out(1).getDouble(4), 8.0))  // lower over bars 0-1
+    assert(out(1).getBoolean(7)) // close 14 > prev upper 12
+    assert(out(2).getBoolean(7)) // close 16 > prev upper 15
+  }
+
+  test("hurstRs: exact 0 for a deterministic ±1 sawtooth") {
+    // dp alternates +1/-1: every block has mean 0, cumdev range 1 and
+    // pop stddev 1 → R/S = 1 at every size → log2(rs) = 0 → slope 0.
+    val saw = (0 until 600).map(i => tick(i, "s", (i % 2).toDouble))
+    val out = Microstructure.hurstRs(
+      saw.toDF("event_id", "ts", "event_type", "value", "props").drop("props"),
+      sizes = Seq(16, 32, 64))
+      .collect().head
+    assert(approx(out.getDouble(1), 0.0, 1e-9))
+    assert(out.getLong(2) === 3L)
+  }
+
+  test("hurstRs: seeded random walk lands near 0.5") {
+    val rnd = new scala.util.Random(42)
+    var p = 0.0
+    val walk = (0 until 4000).map { i =>
+      p += (if (rnd.nextBoolean()) 1.0 else -1.0)
+      tick(i, "w", p)
+    }
+    val h = Microstructure.hurstRs(
+      walk.toDF("event_id", "ts", "event_type", "value", "props").drop("props"))
+      .collect().head.getDouble(1)
+    assert(h > 0.3 && h < 0.75, s"hurst $h outside random-walk band")
+  }
+
+  test("minhashNearDupIncremental equals the full miner restricted to new-id pairs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (0 until 40).map { i =>
+      val words = base.split(" ")
+      val txt =
+        if (i % 7 == 3) base + s" mutated$i" // near-dup family
+        else words.map(w => s"${w}_$i").mkString(" ") // unique docs
+      (i.toLong, txt, "en", s"src${i % 3}", txt.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val split = 30L
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_test_").toString
+    Similarity.writeNearDupIndex(docs.filter(col("doc_id") < split), dir)
+    val inc = Similarity.minhashNearDupIncremental(
+      docs.filter(col("doc_id") >= split), dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.minhashNearDup(docs)
+      .filter(col("doc_b") >= split)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty) // the planted family crosses the split
+    assert(inc.forall(_._2 >= split))
+  }
+
+  test("nearDupBySource: planted cross-source family lands in one unordered cell") {
+    val tpl = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (0L, tpl + " x", "en", "sA", 1L),
+      (1L, tpl + " y", "en", "sB", 1L),
+      (2L, "totally different words entirely unrelated content here now", "en", "sA", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Similarity.nearDupBySource(docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "sA" && r.getString(1) === "sB")
+    assert(r.getLong(2) === 1L)
+    assert(r.getDouble(3) > 0.3)
+  }
+}
