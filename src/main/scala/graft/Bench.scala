@@ -37,7 +37,12 @@ object Bench {
     // passes, so every pass pays the same builds a single-shot run would,
     // while intra-pass reuse (ann_lsh builds the layout ann_probe times
     // against) keeps its documented meaning.
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Local-iteration escape hatch (driver never sets it): bench only the
+    // named queries — same pass/median mechanics, subset surface.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val names = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }.sortBy(_._1)
     val passes = (0 until runs).map { pass =>
       if (pass > 0) SparkEntry.resetScratch()
       names.map { case (name, fn) =>

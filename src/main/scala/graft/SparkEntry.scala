@@ -109,6 +109,27 @@ object SparkEntry {
         Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)).write.parquet(p)
     })
 
+  /** Dup-window-start frame of the exact-substring dedup — discovery
+    * runs once per session; profile and rewrite consume the artifact.
+    */
+  private def dupStartsDir(s: SparkSession, d: String): String =
+    scratch("substr_dup_starts", d)(p =>
+      TextAnalysis.writeDupWindowStarts(Tables.documents(s, d), p, 8))
+
+  /** Component labels of the bounded brute near-dup graph — the closure
+    * runs ONCE per session and persists (id, cluster_id); the three
+    * governance consumers (verdicts, size histogram, keep-best) re-read
+    * the artifact instead of re-mining edges + re-running the closure.
+    * That is the production split at 100 TB: labels are a lake table,
+    * governance queries are cheap rollups over it.
+    */
+  private def ngramCcLabels(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(scratch("ngram_cc_labels", d) { p =>
+      Clustering.connectedComponents(
+        Similarity.ngramJaccard(Tables.documents(s, d), 500L, 0.1),
+        "doc_a", "doc_b").write.parquet(p)
+    })
+
   /** Chained-CTE oracle replaying `n` BPE training rounds (bpe_merges).
     * Words are delimiter-wrapped symbol strings (chr(1) sym chr(2) per
     * symbol), so each round's merge is ONE non-overlapping left-to-right
@@ -633,11 +654,16 @@ object SparkEntry {
       Seq("join", "hash", "scan", "column", "merge", "slow", "zzzqx"), 4, 16)),
     // Lee et al. exact-substring dedup at sliding 8-token-window
     // granularity: a window duplicated across >= 2 distinct docs marks
-    // its span; per-doc union coverage via one lag over dup starts.
-    "substring_dedup" -> ((s, d) => TextAnalysis.substringDedup(Tables.documents(s, d), 8)),
+    // its span; per-doc union coverage via one lag over dup starts. The
+    // discovery stage (fingerprint explode + key aggregate) persists ONCE
+    // per session; profile and rewrite both consume the artifact — the
+    // paper's own profile-once-apply-once split.
+    "substring_dedup" -> ((s, d) => TextAnalysis.substringDedupFromStarts(
+      Tables.documents(s, d), dupStartsDir(s, d), 8)),
     // ...and the removal step: covered positions dropped, survivors
     // reassemble in order (range anti-join per document).
-    "substring_dedup_apply" -> ((s, d) => TextAnalysis.substringDedupApply(Tables.documents(s, d), 8)),
+    "substring_dedup_apply" -> ((s, d) => TextAnalysis.substringDedupApplyFromStarts(
+      Tables.documents(s, d), dupStartsDir(s, d), 8)),
     // ...and the continuous-ingest form: the odd-id batch dedups its
     // windows against the even-id corpus' persisted fingerprint artifact
     // plus itself — the resident corpus is never re-tokenized.
@@ -1064,18 +1090,18 @@ object SparkEntry {
     "pii_scrub" -> ((s, d) => Pii.scrub(plantPii(Tables.documents(s, d)))),
     // Fuzzy-dedup terminal stage: connected components over the exact
     // Jaccard pair list → canonical doc + keep/drop verdict per member.
-    "dedup_clusters" -> ((s, d) => Clustering.dedupClusters(
-      Similarity.ngramJaccard(Tables.documents(s, d), 500L, 0.1))),
+    // The three governance queries share ONE persisted label artifact
+    // (ngramCcLabels): the closure runs once, each consumer is a rollup.
+    "dedup_clusters" -> ((s, d) =>
+      Clustering.dedupClustersFromLabels(ngramCcLabels(s, d))),
     // Dedup governance: component-size histogram of the same near-dup
     // graph — the look-before-you-delete removal budget per size class.
-    "cluster_size_hist" -> ((s, d) => Clustering.clusterSizeHistogram(
-      Similarity.ngramJaccard(Tables.documents(s, d), 500L, 0.1))),
+    "cluster_size_hist" -> ((s, d) =>
+      Clustering.clusterSizeHistogramFromLabels(ngramCcLabels(s, d))),
     // Quality-aware terminal stage: same components, survivor chosen by
     // quality score (ties -> lowest id) instead of min id.
     "cluster_keep_best" -> ((s, d) =>
-      Clustering.clusterKeepBest(
-        Similarity.ngramJaccard(Tables.documents(s, d), 500L, 0.1),
-        docQuality(s, d))),
+      Clustering.clusterKeepBestFromLabels(ngramCcLabels(s, d), docQuality(s, d))),
     // PRODUCTION fuzzy-dedup compose: the closure consuming the LSH
     // miner's pair list (persisted shingle artifact → band join → exact
     // verify at j ≥ 0.3) instead of the bounded brute baseline above —

@@ -164,13 +164,22 @@ object Clustering {
     * proportional to the near-dup population, not the corpus).
     */
   def dedupClusters(pairs: DataFrame,
-                    aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
-    val comp = connectedComponents(pairs, aCol, bCol)
-    val sizes = comp.groupBy(col("cluster_id").as("cid"))
+                    aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
+    dedupClustersFromLabels(connectedComponents(pairs, aCol, bCol))
+
+  /** [[dedupClusters]] over an ALREADY-COMPUTED label table (id,
+    * cluster_id) — the production split: the O(log n)-round closure runs
+    * once and its labels persist as a lake artifact; every governance
+    * consumer (verdicts here, [[clusterSizeHistogramFromLabels]],
+    * [[clusterKeepBestFromLabels]]) re-reads the labels instead of
+    * re-deriving the components from the pair list.
+    */
+  def dedupClustersFromLabels(labels: DataFrame): DataFrame = {
+    val sizes = labels.groupBy(col("cluster_id").as("cid"))
       .agg(count(lit(1)).as("cluster_size"))
     // un-hinted: cluster count tracks the near-dup population, which can
     // be anything from tiny to huge — AQE picks broadcast when it fits
-    comp.join(sizes, col("cluster_id") === col("cid"))
+    labels.join(sizes, col("cluster_id") === col("cid"))
       .select(col("id").as("doc_id"), col("cluster_id"),
         col("cluster_size"), (col("id") === col("cluster_id")).as("keep"))
   }
@@ -192,8 +201,16 @@ object Clustering {
     */
   def clusterKeepBest(pairs: DataFrame, scored: DataFrame,
                       idCol: String = "doc_id", scoreCol: String = "quality",
-                      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
-    val comp = connectedComponents(pairs, aCol, bCol)
+                      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
+    clusterKeepBestFromLabels(connectedComponents(pairs, aCol, bCol),
+      scored, idCol, scoreCol)
+
+  /** [[clusterKeepBest]] over a persisted label table — see
+    * [[dedupClustersFromLabels]] for the artifact split rationale.
+    */
+  def clusterKeepBestFromLabels(comp: DataFrame, scored: DataFrame,
+                                idCol: String = "doc_id",
+                                scoreCol: String = "quality"): DataFrame = {
     val withScore = comp.join(
       scored.select(col(idCol).as("id"), col(scoreCol).as("_score")), Seq("id"))
     val winners = withScore.groupBy(col("cluster_id").as("cid"))
@@ -220,7 +237,13 @@ object Clustering {
     */
   def clusterSizeHistogram(pairs: DataFrame,
                            aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
-    connectedComponents(pairs, aCol, bCol)
+    clusterSizeHistogramFromLabels(connectedComponents(pairs, aCol, bCol))
+
+  /** [[clusterSizeHistogram]] over a persisted label table — see
+    * [[dedupClustersFromLabels]] for the artifact split rationale.
+    */
+  def clusterSizeHistogramFromLabels(labels: DataFrame): DataFrame =
+    labels
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"),

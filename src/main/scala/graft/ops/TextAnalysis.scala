@@ -970,6 +970,26 @@ object TextAnalysis {
     coverageProfile(base, dupWindowStarts(base, k), k)
   }
 
+  /** Persist the discovery stage shared by [[substringDedup]] and
+    * [[substringDedupApply]]: the (doc_id, s) dup-window-start frame.
+    * In the paper's pipeline the profile is computed ONCE and both the
+    * report and the rewrite consume it — at 100 TB the fingerprint
+    * explode + key aggregate is the dominant cost, and re-running it per
+    * consumer doubles the bill. Ints + 16-byte keys only.
+    */
+  def writeDupWindowStarts(documents: DataFrame, dir: String, k: Int = 8): Unit = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    val base = documents.withColumn("w", toks).filter(size(col("w")) >= k)
+    dupWindowStarts(base, k).write.mode("overwrite").parquet(dir)
+  }
+
+  /** [[substringDedup]] over a persisted [[writeDupWindowStarts]] frame. */
+  def substringDedupFromStarts(documents: DataFrame, startsDir: String,
+                               k: Int = 8): DataFrame = {
+    val base = documents.withColumn("w", toks).filter(size(col("w")) >= k)
+    coverageProfile(base, documents.sparkSession.read.parquet(startsDir), k)
+  }
+
   /** Write the corpus's DISTINCT k-window fingerprints as a parquet
     * artifact (16-byte keys only — the standing "seen spans" set of a
     * continuous ingest, the substring analogue of
@@ -1021,7 +1041,23 @@ object TextAnalysis {
     val base = documents
       .withColumn("w", toks)
       .filter(size(col("w")) >= k)
-    val starts = dupWindowStarts(base, k).withColumnRenamed("doc_id", "sd")
+    substringDedupApplyWithStarts(base, dupWindowStarts(base, k), k)
+  }
+
+  /** [[substringDedupApply]] over a persisted [[writeDupWindowStarts]]
+    * frame (see there for the shared-discovery rationale).
+    */
+  def substringDedupApplyFromStarts(documents: DataFrame, startsDir: String,
+                                    k: Int = 8): DataFrame = {
+    val base = documents.withColumn("w", toks).filter(size(col("w")) >= k)
+    substringDedupApplyWithStarts(base,
+      documents.sparkSession.read.parquet(startsDir), k)
+  }
+
+  private def substringDedupApplyWithStarts(base: DataFrame,
+                                            dupStarts: DataFrame,
+                                            k: Int): DataFrame = {
+    val starts = dupStarts.withColumnRenamed("doc_id", "sd")
     val tokRows = base
       .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
