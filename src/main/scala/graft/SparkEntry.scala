@@ -395,6 +395,17 @@ object SparkEntry {
       Microstructure.donchian(Resample.ohlcHourly(ev(s, d)))),
     // Hurst exponent via R/S over dyadic block sizes + log-log slope.
     "hurst_rs" -> ((s, d) => Microstructure.hurstRs(ev(s, d))),
+    // Money Flow Index over qty-bars (props.$k as real volume): the
+    // volume-weighted RSI, one lag + two trailing sums per symbol.
+    "mfi" -> ((s, d) => Microstructure.mfi(Microstructure.ohlcQtyHourly(ev(s, d)))),
+    // Chaikin Money Flow: close-position-scaled volume over 20 bars.
+    "cmf" -> ((s, d) => Microstructure.cmf(Microstructure.ohlcQtyHourly(ev(s, d)))),
+    // CCI-20: typical-price deviation over window MAD — the MAD folds
+    // the collected ≤20-element window array with a codegen'd aggregate.
+    "cci" -> ((s, d) => Microstructure.cci(Resample.ohlcHourly(ev(s, d)))),
+    // +DI/−DI/DX: gated directional moves, three Wilder-style EWMs in
+    // ONE window pass over bars.
+    "dmi" -> ((s, d) => Microstructure.dmi(Resample.ohlcHourly(ev(s, d)))),
     // Lag-1 autocorrelation of returns per symbol: one window pass for
     // the return pair, one map-side-combined five-sum aggregate.
     "returns_autocorr" -> ((s, d) => Rolling.returnsAutocorr(ev(s, d))),
@@ -1450,6 +1461,78 @@ object SparkEntry {
          |    AS atr
          |FROM pre p LEFT JOIN carry c
          |  ON p.event_type = c.event_type AND c.blk = p.blk - 1""".stripMargin
+    // DMI oracle: the atr chunk-carry EMA template widened to THREE value
+    // columns (+DM, −DM, TR) sharing one decay denominator. First-bar
+    // moves are NULL > ... → ELSE 0, matching the Spark when().otherwise.
+    val dmiOracle =
+      s"""WITH RECURSIVE hourly AS (
+         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
+         |    max(value) AS high, min(value) AS low, arg_max(value, ts) AS close
+         |  FROM events GROUP BY 1, 2),
+         |base AS (
+         |  SELECT bucket, event_type,
+         |    CASE WHEN up > dn AND up > 0 THEN up ELSE 0 END AS pdm,
+         |    CASE WHEN dn > up AND dn > 0 THEN dn ELSE 0 END AS mdm,
+         |    tr, rn
+         |  FROM (
+         |    SELECT bucket, event_type,
+         |      high - lag(high) OVER w AS up,
+         |      lag(low) OVER w - low AS dn,
+         |      greatest(high - low, abs(high - lag(close) OVER w),
+         |               abs(low - lag(close) OVER w)) AS tr,
+         |      row_number() OVER w - 1 AS rn
+         |    FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY bucket))),
+         |rws AS (
+         |  SELECT *, CAST(floor(rn / 500) AS INTEGER) AS blk, rn % 500 AS o
+         |  FROM base),
+         |pre AS (
+         |  SELECT *,
+         |    sum(pow(1.0/$kR, o) * pdm) OVER wb AS pnum_p,
+         |    sum(pow(1.0/$kR, o) * mdm) OVER wb AS pnum_m,
+         |    sum(pow(1.0/$kR, o) * tr)  OVER wb AS pnum_t,
+         |    sum(pow(1.0/$kR, o))       OVER wb AS pden
+         |  FROM rws
+         |  WINDOW wb AS (PARTITION BY event_type, blk ORDER BY o
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |blocks AS (
+         |  SELECT event_type, blk,
+         |    sum(pow($kR, 499 - o) * pdm) AS wnum_p,
+         |    sum(pow($kR, 499 - o) * mdm) AS wnum_m,
+         |    sum(pow($kR, 499 - o) * tr)  AS wnum_t,
+         |    sum(pow($kR, 499 - o))       AS wden
+         |  FROM rws GROUP BY 1, 2),
+         |carry AS (
+         |  SELECT event_type, blk, wnum_p AS rnp, wnum_m AS rnm,
+         |    wnum_t AS rnt, wden AS rden
+         |  FROM blocks WHERE blk = 0
+         |  UNION ALL
+         |  SELECT b.event_type, b.blk,
+         |    pow($kR, 500) * c.rnp + b.wnum_p,
+         |    pow($kR, 500) * c.rnm + b.wnum_m,
+         |    pow($kR, 500) * c.rnt + b.wnum_t,
+         |    pow($kR, 500) * c.rden + b.wden
+         |  FROM blocks b JOIN carry c
+         |    ON b.event_type = c.event_type AND b.blk = c.blk + 1),
+         |res AS (
+         |  SELECT p.bucket, p.event_type,
+         |    (pow($kR, p.o + 1) * coalesce(c.rnp, 0) + pow($kR, p.o) * p.pnum_p)
+         |    / (pow($kR, p.o + 1) * coalesce(c.rden, 0) + pow($kR, p.o) * p.pden)
+         |      AS sm_p,
+         |    (pow($kR, p.o + 1) * coalesce(c.rnm, 0) + pow($kR, p.o) * p.pnum_m)
+         |    / (pow($kR, p.o + 1) * coalesce(c.rden, 0) + pow($kR, p.o) * p.pden)
+         |      AS sm_m,
+         |    (pow($kR, p.o + 1) * coalesce(c.rnt, 0) + pow($kR, p.o) * p.pnum_t)
+         |    / (pow($kR, p.o + 1) * coalesce(c.rden, 0) + pow($kR, p.o) * p.pden)
+         |      AS sm_t
+         |  FROM pre p LEFT JOIN carry c
+         |    ON p.event_type = c.event_type AND c.blk = p.blk - 1)
+         |SELECT bucket, event_type, di_plus, di_minus,
+         |  100.0 * abs(di_plus - di_minus) / nullif(di_plus + di_minus, 0) AS dx
+         |FROM (
+         |  SELECT bucket, event_type,
+         |    100.0 * sm_p / nullif(sm_t, 0) AS di_plus,
+         |    100.0 * sm_m / nullif(sm_t, 0) AS di_minus
+         |  FROM res)""".stripMargin
     // Shared hourly bar CTE — the single definition every
     // hourly-indicator oracle builds on (ma_* family, OBV, Amihud,
     // stochastic): the full OHLCV superset, of which each consumer names

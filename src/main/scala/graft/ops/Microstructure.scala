@@ -182,6 +182,126 @@ object Microstructure {
         col("upper"), col("lower"), col("mid"), col("pos"), col("breakout"))
   }
 
+  /** Hourly OHLC bars carrying the JSON trade size as real volume:
+    * the [[Resample.ohlcHourly]] aggregate plus `qty` = Σ props.$k — the
+    * bar frame the money-flow indicators ([[mfi]], [[cmf]]) need, where
+    * "volume" must be traded size, not the synthetic price-sum column.
+    */
+  def ohlcQtyHourly(events: DataFrame): DataFrame =
+    events
+      .withColumn("q", get_json_object(col("props"), "$.k").cast("double"))
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("bucket"),
+        col("event_type"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        sum(col("q")).as("qty"))
+
+  /** Money Flow Index over qty-bars: typical price (h+l+c)/3 signs the
+    * bar's raw money flow tp·qty; MFI = 100·posFlow/(posFlow+negFlow)
+    * over the trailing n bars. The volume-weighted RSI — overbought/
+    * oversold with SIZE behind it. First bar (no Δtp) and unchanged-tp
+    * bars feed neither side (the classic convention); an all-flat window
+    * is NULL (0/0).
+    *
+    * One lag + two trailing sums in a single per-symbol window pass over
+    * bars.
+    */
+  def mfi(bars: DataFrame, n: Int = 14): DataFrame = {
+    val byTypeBucket = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wN = byTypeBucket.rowsBetween(-(n - 1), 0)
+    val tp = (col("high") + col("low") + col("close")) / 3.0
+    bars
+      .withColumn("tp", tp)
+      .withColumn("dtp", col("tp") - lag(col("tp"), 1).over(byTypeBucket))
+      .withColumn("pos", when(col("dtp") > 0, col("tp") * col("qty")).otherwise(0.0))
+      .withColumn("neg", when(col("dtp") < 0, col("tp") * col("qty")).otherwise(0.0))
+      .withColumn("pos_flow", sum(col("pos")).over(wN))
+      .withColumn("neg_flow", sum(col("neg")).over(wN))
+      .select(col("bucket"), col("event_type"), col("tp"),
+        col("pos_flow"), col("neg_flow"),
+        (lit(100.0) * try_divide(col("pos_flow"),
+          col("pos_flow") + col("neg_flow"))).as("mfi"))
+  }
+
+  /** Chaikin Money Flow over qty-bars: the close's position in the bar's
+    * range scales its volume into money-flow volume
+    * `((c−l)−(h−c))/(h−l)·qty` (a flat bar contributes 0 — the h=l
+    * 0/0 is coalesced, the standard convention); CMF = Σmfv/Σqty over
+    * the trailing n bars — accumulation/distribution pressure in
+    * [−1, 1]. A zero-qty window is NULL.
+    */
+  def cmf(bars: DataFrame, n: Int = 20): DataFrame = {
+    val byTypeBucket = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wN = byTypeBucket.rowsBetween(-(n - 1), 0)
+    bars
+      .withColumn("mfv",
+        coalesce(try_divide((col("close") - col("low")) - (col("high") - col("close")),
+          col("high") - col("low")), lit(0.0)) * col("qty"))
+      .select(col("bucket"), col("event_type"),
+        try_divide(sum(col("mfv")).over(wN), sum(col("qty")).over(wN)).as("cmf"))
+  }
+
+  /** Commodity Channel Index over OHLC bars: deviation of typical price
+    * from its n-bar SMA, scaled by the window's MEAN ABSOLUTE DEVIATION
+    * about that same SMA — the part a plain window aggregate can't
+    * express, computed here by collecting the n window values and
+    * folding |tp_i − sma_t| with a codegen'd higher-order `aggregate`
+    * (window arrays are ≤ n elements — bounded, never corpus-sized).
+    * A zero-MAD (flat) window is NULL via `try_divide`.
+    */
+  def cci(bars: DataFrame, n: Int = 20): DataFrame = {
+    val byTypeBucket = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wN = byTypeBucket.rowsBetween(-(n - 1), 0)
+    bars
+      .withColumn("tp", (col("high") + col("low") + col("close")) / 3.0)
+      .withColumn("sma", avg(col("tp")).over(wN))
+      .withColumn("arr", collect_list(col("tp")).over(wN))
+      .withColumn("mad",
+        aggregate(col("arr"), lit(0.0),
+          (acc, x) => acc + abs(x - col("sma"))) / size(col("arr")))
+      .select(col("bucket"), col("event_type"), col("tp"), col("sma"),
+        col("mad"),
+        try_divide(col("tp") - col("sma"), lit(0.015) * col("mad")).as("cci"))
+  }
+
+  /** Directional movement (+DI/−DI/DX) over OHLC bars: up-move h−h₋₁ and
+    * down-move l₋₁−l gate each other (only the strictly larger, positive
+    * one counts — first bar counts as no movement), each smoothed by the
+    * same `ewm(alpha=1/n, adjust=True)` recursion as [[Rolling.rsi]]/
+    * [[Rolling.atr]], normalized by the smoothed true range;
+    * DX = 100·|+DI−−DI|/(+DI+−DI) is the trend-STRENGTH reading the ADX
+    * family averages. Three EWM aggregators ride ONE window pass (same
+    * frame), after one lag pass — two sorts of #bars total.
+    */
+  def dmi(bars: DataFrame, n: Int = 14): DataFrame = {
+    val byTypeBucket = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wGrow = byTypeBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val alpha = 1.0 / n
+    bars
+      .withColumn("up", col("high") - lag(col("high"), 1).over(byTypeBucket))
+      .withColumn("dn", lag(col("low"), 1).over(byTypeBucket) - col("low"))
+      .withColumn("prev_close", lag(col("close"), 1).over(byTypeBucket))
+      .withColumn("pdm",
+        when(col("up") > col("dn") && col("up") > 0, col("up")).otherwise(0.0))
+      .withColumn("mdm",
+        when(col("dn") > col("up") && col("dn") > 0, col("dn")).otherwise(0.0))
+      .withColumn("tr", greatest(col("high") - col("low"),
+        abs(col("high") - col("prev_close")),
+        abs(col("low") - col("prev_close"))))
+      .withColumn("sm_p", graft.agg.Ewma.ewma(col("pdm"), alpha).over(wGrow))
+      .withColumn("sm_m", graft.agg.Ewma.ewma(col("mdm"), alpha).over(wGrow))
+      .withColumn("sm_t", graft.agg.Ewma.ewma(col("tr"), alpha).over(wGrow))
+      .withColumn("di_plus", lit(100.0) * try_divide(col("sm_p"), col("sm_t")))
+      .withColumn("di_minus", lit(100.0) * try_divide(col("sm_m"), col("sm_t")))
+      .select(col("bucket"), col("event_type"), col("di_plus"), col("di_minus"),
+        (lit(100.0) * try_divide(abs(col("di_plus") - col("di_minus")),
+          col("di_plus") + col("di_minus"))).as("dx"))
+  }
+
   /** Hurst exponent per symbol by classic rescaled-range (R/S) analysis:
     * for each block size n in `sizes`, split the symbol's 1-step change
     * series into consecutive complete n-blocks, compute per block
