@@ -65,12 +65,12 @@ object AnnRecall {
       println(f"""ANN_RECALL {"query":"$name","k":$k,"recall_at_k":$recall%.3f}""")
     }
 
-    // ann_ivf recall-vs-scan-fraction curve: the registered nprobe=2/16
-    // point is the steady-state pruned probe; the curve shows what the
-    // knob buys on THIS corpus (weakly clustered at sf0.1, so deep
-    // probes are needed for high recall — a data property, not an
-    // implementation one; the spec suite pins recall on planted
-    // clustered corpora where the route is designed to operate).
+    // ann_ivf recall-vs-scan-fraction curve, plus the ADAPTIVE routing
+    // point the queries actually register (cells within 1.3x of the
+    // nearest centroid distance, capped at a 50% scan budget): on this
+    // weakly-clustered sf0.1 corpus deep probes are needed for high
+    // recall — a data property the adaptive rule detects and pays for,
+    // while staying narrow on planted clustered corpora (IvfSpec).
     {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_recall_ivf").toString + "/layout"
@@ -83,9 +83,15 @@ object AnnRecall {
         val rec = got.intersect(exactTopK).size.toDouble / k
         f""""nprobe_$nprobe":{"scan_fraction":${nprobe / 16.0}%.3f,"recall_at_k":$rec%.3f}"""
       }
+      val adCells = ops.Ivf.adaptiveProbeCells(cents, q)
+      val adGot = ops.Ivf.ivfProbeCells(spark, dir, adCells, q, k,
+        excludeId = Some(0L)).collect().map(_.getLong(0)).toSet
+      val adRec = adGot.intersect(exactTopK).size.toDouble / k
+      val adaptive =
+        f""""adaptive":{"cells":${adCells.size},"scan_fraction":${adCells.size / 16.0}%.3f,"recall_at_k":$adRec%.3f}"""
       results("ann_ivf_curve") =
-        s""""ann_ivf_curve":{"kind":"curve","nlist":16,${curve.mkString(",")}}"""
-      println(s"""ANN_RECALL {"query":"ann_ivf_curve",${curve.mkString(",")}}""")
+        s""""ann_ivf_curve":{"kind":"curve","nlist":16,${curve.mkString(",")},$adaptive}"""
+      println(s"""ANN_RECALL {"query":"ann_ivf_curve",${curve.mkString(",")},$adaptive}""")
     }
 
     // pair-mining recall: exact all-pairs cosine >= threshold baseline
@@ -118,7 +124,7 @@ object AnnRecall {
     }
 
     val notes = Seq(
-      """"ann_ivf/ann_ivf_probe": "recall tracks the scan fraction on this weakly-clustered corpus (see ann_ivf_curve: 0.5 scan -> 1.0 recall); the registered nprobe=2/16 point is the steady-state pruned probe, and IvfSpec pins exactness at nprobe=nlist plus high recall on planted clustered corpora"""",
+      """"ann_ivf/ann_ivf_probe": "registered route is the ADAPTIVE probe (slack 1.3, 50% scan cap): on this weakly-clustered corpus the near-equidistant centroids widen the probe to the cap (see ann_ivf_curve.adaptive), buying the recall a fixed narrow nprobe loses; IvfSpec pins narrow routing + exactness on planted clustered corpora"""",
       """"ann_ivfpq": "bounded by the md5-seeded (untrained) coarse route at nprobe=4/8; the trained-coarse path is ann_ivf"""",
       """"ann_lsh/ann_probe": "radius-1 multi-probe over 2^6 buckets scans ~11% of the corpus for 0.8 recall"""",
       """"emb_neardup": "single-table LSH at threshold 0.4: per-pair catch probability (1-theta/pi)^5 = 0.10 - the closed form, matched by measurement; emb_neardup_banded is the amplified production form (sized for 0.9, measured 0.92)"""")

@@ -40,27 +40,46 @@ object Bench {
     // Local-iteration escape hatch (driver never sets it): bench only the
     // named queries — same pass/median mechanics, subset surface.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Fail loud on a typo'd/empty subset: unknown names silently benching
+    // nothing once cost a round of phantom "regressions".
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(o.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but names no queries")
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val names = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }.sortBy(_._1)
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        -1.0
+      }
+    }
+    // Sentinel: the flagship timed FIRST and LAST in every pass. A run
+    // contaminated by box load convicts itself — last/first drift > ~20%
+    // means the medians are not comparable round-over-round (BENCH_r12
+    // was exactly this; see bench/NOISE.md).
+    val sentinel = SparkEntry.queries("ohlc_hourly")
     val passes = (0 until runs).map { pass =>
       if (pass > 0) SparkEntry.resetScratch()
-      names.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          name -> (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          name -> -1.0
-        }
-      }.toMap
+      val first = timeOne("sentinel_first", sentinel)
+      val timed = names.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
+      val last = timeOne("sentinel_last", sentinel)
+      (timed, first, last)
     }
+    def med(ts: Seq[Double]): Double =
+      if (ts.contains(-1.0)) -1.0 else ts.sorted.apply(runs / 2)
+    val sentFirst = med(passes.map(_._2))
+    val sentLast = med(passes.map(_._3))
     val results = names.map { case (name, _) =>
-      val times = passes.map(_(name))
       // any failed pass poisons the query (-1): a flaky query must not
       // launder itself through the median of its surviving runs
-      val v = if (times.contains(-1.0)) -1.0 else times.sorted.apply(runs / 2)
-      name -> v
+      name -> med(passes.map(_._1(name)))
     }
     // ms precision keeps the one-line JSON short enough that a byte-bounded
     // tail capture can't truncate it (17-digit doubles once did).
@@ -69,7 +88,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"stat":"median"}""")
+    val drift =
+      if (sentFirst > 0 && sentLast > 0) sentLast / sentFirst else -1.0
+    val sent = s"""{"first":${fmt(sentFirst)},"last":${fmt(sentLast)},"drift":${fmt(drift)}}"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"stat":"median","sentinel":$sent}""")
     spark.stop()
   }
 }

@@ -1003,9 +1003,11 @@ object SparkEntry {
     }),
     // IVF (coarse-quantizer) ANN — the data-ADAPTIVE counterpart to the
     // hyperplane layout: deterministic k-means cells, cell-partitioned
-    // layout + persisted centroid artifact, probe = driver-side nearest
-    // cells → directory-pruned cosine top-k. Rows-only like ann_lsh
-    // (plan + exactness contracts pinned in IvfSpec).
+    // layout + persisted centroid artifact, probe = driver-side ADAPTIVE
+    // cell routing (cells within 1.3x of the nearest centroid distance,
+    // capped at a 50% scan budget — narrow on separated corpora, wide
+    // exactly when narrow loses recall) → directory-pruned cosine top-k.
+    // Rows-only like ann_lsh (plan + exactness contracts in IvfSpec).
     "ann_ivf" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val layout = scratch("ivf_layout", d)(p =>
@@ -1014,7 +1016,7 @@ object SparkEntry {
       val q = s.read.parquet(layout).filter(col("vec_id") === 0L)
         .select(col("embedding")).head()
         .getAs[scala.collection.Seq[Float]](0).toArray
-      Ivf.ivfProbe(s, layout, cents, q, 10, nprobe = 2, excludeId = Some(0L))
+      Ivf.ivfProbeAdaptive(s, layout, cents, q, 10, excludeId = Some(0L))
     }),
     // Steady-state IVF probe against the session-cached layout (bench
     // runs alphabetically: ann_ivf has always built the layout first) —
@@ -1028,7 +1030,7 @@ object SparkEntry {
       val q = s.read.parquet(layout).filter(col("vec_id") === 0L)
         .select(col("embedding")).head()
         .getAs[scala.collection.Seq[Float]](0).toArray
-      Ivf.ivfProbe(s, layout, cents, q, 10, nprobe = 2, excludeId = Some(0L))
+      Ivf.ivfProbeAdaptive(s, layout, cents, q, 10, excludeId = Some(0L))
     }),
     // All-corpus embedding near-dup pair mining via LSH bucket self-join;
     // plane count sized from the corpus cardinality (planesFor).
@@ -1533,6 +1535,51 @@ object SparkEntry {
          |    100.0 * sm_p / nullif(sm_t, 0) AS di_plus,
          |    100.0 * sm_m / nullif(sm_t, 0) AS di_minus
          |  FROM res)""".stripMargin
+    // Shared hourly QTY-bar CTE for the money-flow oracles (mfi/cmf):
+    // the ohlcQtyHourly frame — OHLC plus real traded size Σ props.$k —
+    // mirroring Microstructure.ohlcQtyHourly exactly.
+    val hourlyQty =
+      """WITH hourly AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
+        |    max(value) AS high, min(value) AS low, arg_max(value, ts) AS close,
+        |    sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS qty
+        |  FROM events GROUP BY 1, 2)""".stripMargin
+    // MFI oracle: typical-price delta signs each bar's raw money flow
+    // tp*qty; two trailing 14-bar sums; an all-flat window is NULL via
+    // nullif (Spark's try_divide). First bar's NULL dtp feeds neither
+    // side (CASE → ELSE 0), matching when().otherwise(0.0).
+    val mfiOracle = hourlyQty + ",\n" +
+      """t AS (
+        |  SELECT bucket, event_type, (high + low + close) / 3.0 AS tp, qty
+        |  FROM hourly),
+        |d AS (
+        |  SELECT bucket, event_type, tp, qty,
+        |    tp - lag(tp) OVER (PARTITION BY event_type ORDER BY bucket) AS dtp
+        |  FROM t),
+        |f AS (
+        |  SELECT bucket, event_type, tp,
+        |    sum(CASE WHEN dtp > 0 THEN tp * qty ELSE 0 END) OVER wN AS pos_flow,
+        |    sum(CASE WHEN dtp < 0 THEN tp * qty ELSE 0 END) OVER wN AS neg_flow
+        |  FROM d
+        |  WINDOW wN AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT bucket, event_type, tp, pos_flow, neg_flow,
+        |  100.0 * pos_flow / nullif(pos_flow + neg_flow, 0) AS mfi
+        |FROM f""".stripMargin
+    // CMF oracle: close-position-in-range scales qty into money-flow
+    // volume (flat bar → 0 via the coalesced nullif division, Spark's
+    // coalesce(try_divide)); 20-bar sums; zero-qty window is NULL.
+    val cmfOracle = hourlyQty + ",\n" +
+      """m AS (
+        |  SELECT bucket, event_type, qty,
+        |    coalesce(((close - low) - (high - close))
+        |             / nullif(high - low, 0), 0) * qty AS mfv
+        |  FROM hourly)
+        |SELECT bucket, event_type,
+        |  sum(mfv) OVER wN / nullif(sum(qty) OVER wN, 0) AS cmf
+        |FROM m
+        |WINDOW wN AS (PARTITION BY event_type ORDER BY bucket
+        |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin
     // Shared hourly bar CTE — the single definition every
     // hourly-indicator oracle builds on (ma_* family, OBV, Amihud,
     // stochastic): the full OHLCV superset, of which each consumer names
@@ -1832,6 +1879,30 @@ object SparkEntry {
         |    OVER (PARTITION BY event_type ORDER BY bucket), false) AS breakout
         |FROM ch""".stripMargin),
     "hurst_rs" -> hurstOracle,
+    "mfi" -> mfiOracle,
+    "cmf" -> cmfOracle,
+    // CCI oracle: the window MAD a plain SQL aggregate can't express is
+    // the collected ≤20-element frame folded with a list lambda —
+    // exactly the Spark side's collect_list + higher-order aggregate.
+    "cci" -> (hourlyClose + ",\n" +
+      """b AS (
+        |  SELECT bucket, event_type, (high + low + close) / 3.0 AS tp
+        |  FROM hourly),
+        |w AS (
+        |  SELECT bucket, event_type, tp,
+        |    avg(tp)  OVER wN AS sma,
+        |    list(tp) OVER wN AS arr
+        |  FROM b
+        |  WINDOW wN AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |m AS (
+        |  SELECT bucket, event_type, tp, sma,
+        |    list_sum(list_transform(arr, x -> abs(x - sma))) / len(arr) AS mad
+        |  FROM w)
+        |SELECT bucket, event_type, tp, sma, mad,
+        |  (tp - sma) / nullif(0.015 * mad, 0) AS cci
+        |FROM m""".stripMargin),
+    "dmi" -> dmiOracle,
     "amihud" -> (hourlyClose + ",\n" +
       """r AS (
         |  SELECT bucket, event_type,

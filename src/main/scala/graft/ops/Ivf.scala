@@ -747,14 +747,70 @@ object Ivf {
   def ivfProbe(spark: SparkSession, layoutDir: String,
                centroids: Array[Array[Float]], qEmb: Array[Float],
                k: Int, nprobe: Int = 2,
-               excludeId: Option[Long] = None): DataFrame = {
+               excludeId: Option[Long] = None): DataFrame =
+    ivfProbeCells(spark, layoutDir,
+      centroidDists(centroids, qEmb).take(nprobe).map(_._2), qEmb, k,
+      excludeId)
+
+  /** Squared L2 distance of every centroid to the query, ascending —
+    * the driver-side routing table both the fixed and adaptive probes
+    * read (nlist-bounded; never a Spark job).
+    */
+  private def centroidDists(centroids: Array[Array[Float]],
+                            qEmb: Array[Float]): Array[(Double, Int)] = {
+    val qNorm2 = qEmb.map(v => v.toDouble * v).sum
+    centroids.zipWithIndex.map { case (c, cid) =>
+      val dot = c.zip(qEmb).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      (qNorm2 - 2.0 * dot + c.map(v => v.toDouble * v).sum, cid)
+    }.sorted
+  }
+
+  /** Data-ADAPTIVE probe-cell selection: probe every cell whose centroid
+    * distance is within `slack` of the nearest cell's (compared on
+    * squared L2, hence slack²), floored at `minProbe` and capped at
+    * `maxScanFrac` of nlist. On a well-separated corpus the query's own
+    * cell dominates and the probe stays narrow (the cheap path IVF is
+    * for); on a weakly-clustered corpus the centroids are near-
+    * equidistant and the rule widens toward the cap — which is exactly
+    * when a narrow fixed nprobe silently loses recall (measured on the
+    * real testdata: fixed nprobe=2 scanned 12.5% for 0.30 recall@10
+    * while the curve needs a 50% scan for ≥0.8 — ANN_RECALL_r11).
+    * The cap keeps the worst case an explicit scan-budget knob.
+    */
+  def adaptiveProbeCells(centroids: Array[Array[Float]], qEmb: Array[Float],
+                         slack: Double = 1.3, minProbe: Int = 2,
+                         maxScanFrac: Double = 0.5): Seq[Int] = {
+    require(slack >= 1.0, s"slack $slack must be >= 1")
+    val d = centroidDists(centroids, qEmb)
+    val cap = math.max(minProbe,
+      math.round(centroids.length * maxScanFrac).toInt)
+    val dmin = math.max(d.head._1, 0.0)
+    val wide = d.count(_._1 <= dmin * slack * slack)
+    d.take(math.min(cap, math.max(minProbe, wide))).map(_._2).toSeq
+  }
+
+  /** [[ivfProbe]] with [[adaptiveProbeCells]] routing — the registered
+    * steady-state probe.
+    */
+  def ivfProbeAdaptive(spark: SparkSession, layoutDir: String,
+                       centroids: Array[Array[Float]], qEmb: Array[Float],
+                       k: Int, slack: Double = 1.3, minProbe: Int = 2,
+                       maxScanFrac: Double = 0.5,
+                       excludeId: Option[Long] = None): DataFrame =
+    ivfProbeCells(spark, layoutDir,
+      adaptiveProbeCells(centroids, qEmb, slack, minProbe, maxScanFrac),
+      qEmb, k, excludeId)
+
+  /** The pruned scan under both probes: a cosine top-k over ONLY the
+    * routed cells' directories (the `cid IN (...)` literal is a
+    * partition predicate — PartitionFilters in the plan, proven in the
+    * spec).
+    */
+  def ivfProbeCells(spark: SparkSession, layoutDir: String,
+                    cells: Seq[Int], qEmb: Array[Float], k: Int,
+                    excludeId: Option[Long] = None): DataFrame = {
     GraftFunctions.register(spark)
     val qNorm2 = qEmb.map(v => v.toDouble * v).sum
-    val cells = centroids.zipWithIndex.map { case (c, cid) =>
-      val dot = c.zip(qEmb).map { case (a, b) => a.toDouble * b.toDouble }.sum
-      val cNorm2 = c.map(v => v.toDouble * v).sum
-      (qNorm2 - 2.0 * dot + cNorm2, cid)
-    }.sorted.take(nprobe).map(_._2)
     val qCol = array(qEmb.toSeq.map(v => lit(v)): _*)
     def dotF(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       call_function("graft_dot", a, b)

@@ -113,9 +113,12 @@ object Microstructure {
     * Output rows = symbols × |qs|.
     */
   def varianceRatio(events: DataFrame, qs: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
-    val ranked = events
+    // |qs|+1 branches consume the ranked frame; without a cut each one
+    // re-derives the rank+lag window from the scan (Spark shares no
+    // common sub-plans across DataFrame branches) — 4x the tick I/O.
+    val ranked = Checkpoints.stable(events
       .withColumn("rn", row_number().over(byTypeTime) - 1)
-      .withColumn("dp", col("value") - lag(col("value"), 1).over(byTypeTime))
+      .withColumn("dp", col("value") - lag(col("value"), 1).over(byTypeTime)))
     val var1 = ranked.groupBy(col("event_type"))
       .agg(var_samp(col("dp")).as("var_1"), count(col("dp")).as("n_1"))
     val perQ = qs.map { q =>
@@ -321,10 +324,12 @@ object Microstructure {
     */
   def hurstRs(events: DataFrame, sizes: Seq[Int] = Seq(32, 64, 128, 256)): DataFrame = {
     require(sizes.forall(_ >= 8), s"block sizes $sizes must be >= 8")
-    val ranked = events
+    // One materialized rank+lag pass shared by all |sizes| branches —
+    // same cut as [[varianceRatio]]; without it each size re-scans ticks.
+    val ranked = Checkpoints.stable(events
       .withColumn("dp", col("value") - lag(col("value"), 1).over(byTypeTime))
       .filter(col("dp").isNotNull)
-      .withColumn("rn", row_number().over(byTypeTime) - 1)
+      .withColumn("rn", row_number().over(byTypeTime) - 1))
     val perSize = sizes.map { n =>
       val wBlk = Window.partitionBy(col("event_type"), col("blk"))
         .orderBy(col("rn"))

@@ -980,14 +980,36 @@ object TextAnalysis {
   def writeDupWindowStarts(documents: DataFrame, dir: String, k: Int = 8): Unit = {
     require(k >= 2, s"window must span at least 2 tokens, got $k")
     val base = documents.withColumn("w", toks).filter(size(col("w")) >= k)
-    dupWindowStarts(base, k).write.mode("overwrite").parquet(dir)
+    // The artifact is only meaningful at the k it was built with: stamp
+    // it as a constant column so a mismatched reader fails loud instead
+    // of silently producing wrong coverage spans.
+    dupWindowStarts(base, k).withColumn("k", lit(k))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Read a [[writeDupWindowStarts]] artifact, asserting its k stamp
+    * matches the k the consumer is about to apply (a mismatch means
+    * wrong window extents — silently, without this check). An empty
+    * artifact (no cross-doc dup windows) passes trivially.
+    */
+  private def readDupStarts(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, k: Int): DataFrame = {
+    val df = spark.read.parquet(dir)
+    require(df.columns.contains("k"),
+      s"dup-starts artifact at $dir carries no k stamp — rewrite it with writeDupWindowStarts")
+    df.select(col("k")).limit(1).collect().headOption.foreach { r =>
+      val wrote = r.getInt(0)
+      require(wrote == k,
+        s"dup-starts artifact at $dir was written with k=$wrote; reader requested k=$k")
+    }
+    df.select(col("doc_id"), col("s"))
   }
 
   /** [[substringDedup]] over a persisted [[writeDupWindowStarts]] frame. */
   def substringDedupFromStarts(documents: DataFrame, startsDir: String,
                                k: Int = 8): DataFrame = {
     val base = documents.withColumn("w", toks).filter(size(col("w")) >= k)
-    coverageProfile(base, documents.sparkSession.read.parquet(startsDir), k)
+    coverageProfile(base, readDupStarts(documents.sparkSession, startsDir, k), k)
   }
 
   /** Write the corpus's DISTINCT k-window fingerprints as a parquet
@@ -997,7 +1019,7 @@ object TextAnalysis {
     */
   def writeWindowHashes(documents: DataFrame, dir: String, k: Int = 8): Unit =
     windowRows(documents.withColumn("w", toks).filter(size(col("w")) >= k), k)
-      .select(col("h")).distinct()
+      .select(col("h")).distinct().withColumn("k", lit(k))
       .write.mode("overwrite").parquet(dir)
 
   /** Incremental substring dedup — the continuous-ingest form of
@@ -1014,8 +1036,16 @@ object TextAnalysis {
     val spark = newDocs.sparkSession
     val base = newDocs.withColumn("w", toks).filter(size(col("w")) >= k)
     val win = windowRows(base, k)
+    val corpus = spark.read.parquet(artifactDir)
+    // Same k-stamp guard as readDupStarts: fingerprints of k'-token
+    // windows match nothing (or the wrong thing) at k ≠ k'.
+    if (corpus.columns.contains("k"))
+      corpus.select(col("k")).limit(1).collect().headOption.foreach { r =>
+        require(r.getInt(0) == k,
+          s"window-hash artifact at $artifactDir was written with k=${r.getInt(0)}; reader requested k=$k")
+      }
     val corpusHits = win
-      .join(spark.read.parquet(artifactDir), Seq("h"), "left_semi")
+      .join(corpus.select(col("h")), Seq("h"), "left_semi")
       .select(col("doc_id"), col("s"))
     val batchHits = win.join(crossDocDupKeys(win), Seq("h"))
       .select(col("doc_id"), col("s"))
@@ -1051,7 +1081,7 @@ object TextAnalysis {
                                     k: Int = 8): DataFrame = {
     val base = documents.withColumn("w", toks).filter(size(col("w")) >= k)
     substringDedupApplyWithStarts(base,
-      documents.sparkSession.read.parquet(startsDir), k)
+      readDupStarts(documents.sparkSession, startsDir, k), k)
   }
 
   private def substringDedupApplyWithStarts(base: DataFrame,

@@ -125,6 +125,42 @@ class IvfSpec extends SparkSpec {
     assert(one.select("vec_id").as[Long].collect().forall(_ % 4 == 0))
   }
 
+  test("adaptiveProbeCells: narrow on separated centroids, widens to the scan cap when near-equidistant") {
+    // Separated: the query sits inside cell 0's basin, every other
+    // centroid is ~200x farther → the rule stays at the minProbe floor
+    // (and cell 0 routes first).
+    val far = Array(
+      Array(0f, 0f), Array(100f, 0f), Array(0f, 100f), Array(100f, 100f),
+      Array(-100f, 0f), Array(0f, -100f), Array(-100f, -100f),
+      Array(100f, -100f))
+    val narrow = Ivf.adaptiveProbeCells(far, Array(0.5f, 0.5f))
+    assert(narrow.size == 2, narrow) // minProbe floor
+    assert(narrow.head == 0, narrow)
+    // Equidistant ring around the query: every centroid is within slack
+    // of the nearest → the rule wants all 8 but the 50% scan cap holds.
+    val ring = (0 until 8).map { i =>
+      val a = 2 * math.Pi * i / 8
+      Array((10 * math.cos(a)).toFloat, (10 * math.sin(a)).toFloat)
+    }.toArray
+    val wide = Ivf.adaptiveProbeCells(ring, Array(0f, 0f))
+    assert(wide.size == 4, wide) // 8 * maxScanFrac(0.5)
+    // The adaptive probe returns the same rows as the fixed probe over
+    // the same routed cells — the scan is shared machinery.
+    val emb = planted(4, 50, 8)
+    val dir = Files.createTempDirectory("graft_ivf_ad").toString + "/layout"
+    val cents = Ivf.writeIvfLayout(emb, dir, nlist = 4, iters = 3)
+    val q = emb.filter($"vec_id" === 0L)
+      .head.getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val cells = Ivf.adaptiveProbeCells(cents, q)
+    val viaAdaptive = Ivf.ivfProbeAdaptive(spark, dir, cents, q, 10,
+      excludeId = Some(0L)).select("vec_id").as[Long].collect().toSeq
+    val viaCells = Ivf.ivfProbeCells(spark, dir, cells, q, 10,
+      excludeId = Some(0L)).select("vec_id").as[Long].collect().toSeq
+    assert(viaAdaptive == viaCells)
+    // planted separated clusters: every hit shares the query's cluster
+    assert(viaAdaptive.forall(_ % 4 == 0))
+  }
+
   test("ivf training sample: rate 1.0 is bit-identical; sampled training still separates planted clusters") {
     val emb = planted(4, 100, 8).localCheckpoint()
     // sampleRate = 1.0 must take the identical code path / results

@@ -105,6 +105,80 @@ class MicrostructureSpec extends SparkSpec {
     assert(out(2).getBoolean(7)) // close 16 > prev upper 15
   }
 
+  test("mfi: signed flows, 100 on all-up window, 0 on all-down, NULL on flat") {
+    // Flat bars (h=l=c=tp) isolate the flow algebra from the range.
+    def bar(b: Long, tp: Double, qty: Double) = (b, "a", tp, tp, tp, qty)
+    val bars = Seq(
+      bar(0, 10.0, 5.0), // no dtp → neither side → 0/0 → NULL
+      bar(1, 12.0, 2.0), // +2 → pos 24; window {0,1}: 24/(24+0) → 100
+      bar(2, 11.0, 4.0), // −1 → neg 44; window {1,2}: 24/(24+44)
+      bar(3, 11.0, 3.0), // unchanged → neither; window {2,3}: 0/44 → 0
+      bar(4, 11.0, 1.0)  // window {3,4} all-flat → NULL
+    ).toDF("bucket", "event_type", "high", "low", "close", "qty")
+    val out = Microstructure.mfi(bars, n = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).isNullAt(5))
+    assert(approx(out(1L).getDouble(5), 100.0))
+    assert(approx(out(2L).getDouble(5), 100.0 * 24.0 / 68.0))
+    assert(approx(out(3L).getDouble(5), 0.0))
+    assert(out(4L).isNullAt(5))
+  }
+
+  test("cmf: close-position-scaled volume; flat bar contributes 0; zero-qty window NULL") {
+    val bars = Seq(
+      // close at the high rail → mfv = +qty = +4; window {0}: 4/4 = 1
+      (0L, "a", 10.0, 0.0, 10.0, 4.0),
+      // close at the low rail → mfv = −qty = −6; window {0,1}: (4−6)/10
+      (1L, "a", 10.0, 0.0, 0.0, 6.0),
+      // flat bar (h=l) → mfv coalesced to 0; window {1,2}: −6/6 = −1
+      (2L, "a", 5.0, 5.0, 5.0, 0.0),
+      // window {2,3}: 0 qty → NULL
+      (3L, "a", 5.0, 5.0, 5.0, 0.0)
+    ).toDF("bucket", "event_type", "high", "low", "close", "qty")
+    val out = Microstructure.cmf(bars, n = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(approx(out(0L).getDouble(2), 1.0))
+    assert(approx(out(1L).getDouble(2), -0.2))
+    assert(approx(out(2L).getDouble(2), -1.0))
+    assert(out(3L).isNullAt(2))
+  }
+
+  test("cci: deviation over window MAD; flat window is NULL") {
+    def bar(b: Long, tp: Double) = (b, "a", tp, tp, tp)
+    val bars = Seq(bar(0, 10.0), bar(1, 14.0), bar(2, 14.0))
+      .toDF("bucket", "event_type", "high", "low", "close")
+    val out = Microstructure.cci(bars, n = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).isNullAt(5)) // single-bar window: MAD 0
+    // window {10,14}: sma 12, MAD 2 → (14−12)/(0.015·2)
+    assert(approx(out(1L).getDouble(3), 12.0))
+    assert(approx(out(1L).getDouble(4), 2.0))
+    assert(approx(out(1L).getDouble(5), 2.0 / 0.03))
+    assert(out(2L).isNullAt(5)) // window {14,14}: MAD 0
+  }
+
+  test("dmi: gated moves, Wilder EWM smoothing, DX closed form") {
+    // n=2 → alpha=1/2, adjust=true weights (1, 1/2, 1/4, ...).
+    val bars = Seq(
+      (0L, "a", 10.0, 8.0, 9.0),  // first bar: no moves, tr = h−l = 2
+      (1L, "a", 12.0, 9.0, 11.0), // up 2 > dn −1 → pdm 2; tr = 3
+      (2L, "a", 11.0, 7.0, 8.0)   // dn 2 > up −1 → mdm 2; tr = max(4,0,4) = 4
+    ).toDF("bucket", "event_type", "high", "low", "close")
+    val out = Microstructure.dmi(bars, n = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(approx(out(0L).getDouble(2), 0.0)) // di_plus
+    assert(out(0L).isNullAt(4))               // dx 0/0 → NULL
+    // t=1: sm_p = 2/1.5, sm_t = (3 + 0.5·2)/1.5 → di+ = 50, di− = 0, dx = 100
+    assert(approx(out(1L).getDouble(2), 50.0))
+    assert(approx(out(1L).getDouble(3), 0.0))
+    assert(approx(out(1L).getDouble(4), 100.0))
+    // t=2: sm_p = 1/1.75, sm_m = 2/1.75, sm_t = (4 + 1.5 + 0.5)/1.75
+    // → di+ = 100/6, di− = 100/3, dx = 100·(100/6)/(50)
+    assert(approx(out(2L).getDouble(2), 100.0 / 6.0))
+    assert(approx(out(2L).getDouble(3), 100.0 / 3.0))
+    assert(approx(out(2L).getDouble(4), 100.0 / 3.0))
+  }
+
   test("hurstRs: exact 0 for a deterministic ±1 sawtooth") {
     // dp alternates +1/-1: every block has mean 0, cumdev range 1 and
     // pop stddev 1 → R/S = 1 at every size → log2(rs) = 0 → slope 0.

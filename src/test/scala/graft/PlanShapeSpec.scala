@@ -264,6 +264,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("microstructure tier: bar/tick windows partition by symbol — never single-task") {
+    // mfi/cmf/cci/dmi/donchian: OHLC(-qty) hash aggregate + one
+    // symbol-partitioned bar window (shuffle 1 = groupBy, shuffle 2 =
+    // repartition to the symbol axis); vwap: pure aggregate;
+    // kaufman_er/roll_spread: tick windows riding one symbol shuffle.
+    for ((q, maxSh) <- Seq("mfi" -> 2, "cmf" -> 2, "cci" -> 2, "dmi" -> 2,
+        "donchian" -> 2, "vwap_hourly" -> 1, "kaufman_er" -> 1,
+        "roll_spread" -> 2, "realized_vol" -> 2)) {
+      val p = plan(q)
+      assert(shuffles(p) <= maxSh, s"$q shuffles=${shuffles(p)}\n$p")
+      assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // variance_ratio / hurst_rs branch off a materialized rank+lag cut;
+    // the guard is that no branch (sampled lags, per-block windows)
+    // funnels into a single task.
+    for (q <- Seq("variance_ratio", "hurst_rs")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
+    }
+  }
+
   test("cosine_allpairs: merge-joined candidate/verify legs above the cuts, codegen'd sdot verify, no nested loop") {
     // feats/pref sit below Checkpoints.stable materialization cuts (the
     // tokenize→idf→norm subtree otherwise replays once per consumer —
