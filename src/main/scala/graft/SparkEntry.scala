@@ -406,6 +406,17 @@ object SparkEntry {
     // +DI/−DI/DX: gated directional moves, three Wilder-style EWMs in
     // ONE window pass over bars.
     "dmi" -> ((s, d) => Microstructure.dmi(Resample.ohlcHourly(ev(s, d)))),
+    // Ichimoku features over hourly bars — causal spans (lagged, never
+    // forward-displaced), four extrema + two lags in one window pass.
+    "ichimoku" -> ((s, d) =>
+      Microstructure.ichimoku(Resample.ohlcHourly(ev(s, d)))),
+    // Fractional differencing (d=0.4, 20-term FIR): stationarity with
+    // memory; exact driver-side binomial weights, one window pass.
+    "frac_diff" -> ((s, d) =>
+      Microstructure.fracDiff(Resample.ohlcHourly(ev(s, d)))),
+    // Daily return skew / excess kurtosis per symbol from power sums.
+    "return_moments" -> ((s, d) =>
+      Microstructure.returnMoments(Resample.ohlcHourly(ev(s, d)))),
     // Lag-1 autocorrelation of returns per symbol: one window pass for
     // the return pair, one map-side-combined five-sum aggregate.
     "returns_autocorr" -> ((s, d) => Rolling.returnsAutocorr(ev(s, d))),
@@ -1903,6 +1914,67 @@ object SparkEntry {
         |  (tp - sma) / nullif(0.015 * mad, 0) AS cci
         |FROM m""".stripMargin),
     "dmi" -> dmiOracle,
+    // Ichimoku oracle: three midlines in one window clause, the two
+    // cloud spans lagged by the kijun horizon — causal like the Spark
+    // side; warm-up bars coalesce above_cloud to false (donchian
+    // convention) in both engines.
+    "ichimoku" -> (hourlyClose + ",\n" +
+      """i AS (
+        |  SELECT bucket, event_type, close,
+        |    (max(high) OVER w9  + min(low) OVER w9)  / 2.0 AS tenkan,
+        |    (max(high) OVER w26 + min(low) OVER w26) / 2.0 AS kijun,
+        |    (max(high) OVER w52 + min(low) OVER w52) / 2.0 AS mid52
+        |  FROM hourly
+        |  WINDOW
+        |    w9  AS (PARTITION BY event_type ORDER BY bucket
+        |            ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+        |    w26 AS (PARTITION BY event_type ORDER BY bucket
+        |            ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+        |    w52 AS (PARTITION BY event_type ORDER BY bucket
+        |            ROWS BETWEEN 51 PRECEDING AND CURRENT ROW))
+        |SELECT bucket, event_type, close, tenkan, kijun,
+        |  senkou_a, senkou_b,
+        |  coalesce(close > greatest(senkou_a, senkou_b), false) AS above_cloud
+        |FROM (
+        |  SELECT bucket, event_type, close, tenkan, kijun,
+        |    lag((tenkan + kijun) / 2.0, 26) OVER w AS senkou_a,
+        |    lag(mid52, 26) OVER w AS senkou_b
+        |  FROM i WINDOW w AS (PARTITION BY event_type ORDER BY bucket))""".stripMargin),
+    // Frac-diff oracle: the SAME driver-side binomial weights rendered
+    // as literals (shortest round-trip doubles — both engines parse the
+    // identical IEEE value), same left-assoc addition order.
+    "frac_diff" -> {
+      val terms = graft.ops.Microstructure.fracDiffWeights(0.4, 20)
+        .zipWithIndex
+        .map { case (wk, k) => s"($wk) * lag(close, $k) OVER w" }
+        .mkString(" + ")
+      hourlyClose + "\n" +
+        s"""SELECT bucket, event_type, close,
+           |  $terms AS frac_diff
+           |FROM hourly
+           |WINDOW w AS (PARTITION BY event_type ORDER BY bucket)""".stripMargin
+    },
+    // Return-moments oracle: identical raw-power-sum recombination.
+    "return_moments" -> (hourlyClose + ",\n" +
+      """r AS (
+        |  SELECT DATE '1970-01-01' + CAST(bucket // 86400 AS INTEGER) AS day,
+        |    event_type,
+        |    close / lag(close) OVER (PARTITION BY event_type ORDER BY bucket)
+        |      - 1.0 AS r
+        |  FROM hourly),
+        |s AS (
+        |  SELECT day, event_type, count(*) AS n_rets, avg(r) AS mu,
+        |    avg(r * r) AS p2, avg(r * r * r) AS p3,
+        |    avg(r * r * r * r) AS p4
+        |  FROM r WHERE r IS NOT NULL GROUP BY 1, 2)
+        |SELECT day, event_type, n_rets, mu,
+        |  p2 - mu * mu AS m2,
+        |  (p3 - 3.0 * mu * p2 + 2.0 * mu * mu * mu)
+        |    / nullif(pow(p2 - mu * mu, 1.5), 0) AS skew,
+        |  (p4 - 4.0 * mu * p3 + 6.0 * mu * mu * p2
+        |    - 3.0 * mu * mu * mu * mu)
+        |    / nullif(pow(p2 - mu * mu, 2.0), 0) - 3.0 AS ex_kurt
+        |FROM s""".stripMargin),
     "amihud" -> (hourlyClose + ",\n" +
       """r AS (
         |  SELECT bucket, event_type,

@@ -355,21 +355,27 @@ object Ivf {
     * threshold) — the SemDeDup neighborhood graph, shared by the greedy
     * removal and the cluster composition.
     *
-    * Execution shape — exact partner-bucket decomposition: a plain
-    * self-join on the group key sends ALL of a group's pairs to ONE
-    * reducer (sz² row combos in a single task — 64M for the largest
+    * Execution shape — exact TRIANGLE (bucket×bucket) decomposition: a
+    * plain self-join on the group key sends ALL of a group's pairs to
+    * ONE reducer (sz² row combos in a single task — 64M for the largest
     * md5-seeded leaf at the 1M-vector stress point, a straggler no
-    * cluster width can absorb). Instead each group of size sz splits
-    * into `nb = ceil(sz / pairTarget)` id-hash buckets; the y side keys
-    * by its own bucket, the x side replicates once per PARTNER bucket
-    * (`explode(sequence(0, nb-1))`), and the join key is (group,
-    * partner-bucket). Every unordered pair meets exactly once — x's
-    * copy tagged with y's bucket — so the RESULT is identical to the
-    * naive self-join (no oracle change), while per-task pair work is
-    * bounded by ~sz·pairTarget and the replication overhead is
-    * Σ sz²/pairTarget ≈ 2·pairs/pairTarget rows, a few × n at the
-    * documented leaf sizing. Groups at-or-under pairTarget keep nb = 1:
-    * no replication, the exact old plan.
+    * cluster width can absorb). Each group of size sz splits into
+    * `nb = ceil(sz / pairTarget)` MONOTONE id-range buckets and the
+    * join key becomes the ORDERED BUCKET PAIR (i ≤ j): the x side
+    * replicates each row of bucket i to every pair (i, j≥i), the y
+    * side replicates each row of bucket j to every pair (i≤j, j), and
+    * task (i, j) joins exactly bucket i against bucket j. Every
+    * unordered row pair meets exactly once (cross-bucket pairs satisfy
+    * vec_a < vec_b by bucket monotonicity; the diagonal i=j dedups on
+    * the id inequality), so the RESULT is identical to the naive
+    * self-join (no oracle change) — while per-task pair work is bounded
+    * at ~pairTarget² REGARDLESS of group size (the r11 partner-bucket
+    * form bounded it at sz·pairTarget, which left a 141M-cosine task
+    * in the 113k-row Zipf-tail leaf at the 10M-vector stress point —
+    * measured as semantic_dedup_hier's 16.8×/decade). Replication is
+    * Σ sz²/pairTarget ≈ 2·pairs/pairTarget rows split evenly across
+    * both sides. Groups at-or-under pairTarget keep nb = 1: single
+    * copies, the exact old plan.
     */
   private[graft] def cellPairs(cells: DataFrame, joinKeys: Seq[String],
                         outKey: String, threshold: Double,
@@ -407,12 +413,17 @@ object Ivf {
       floor((col("vec_id") - col("gmin")).cast("double")
         / (col("gmax") - col("gmin") + lit(1L)).cast("double")
         * col("nb")).cast("int")).as("bk")
+    // x carries (own bucket bk, partner pb ≥ bk); y carries (partner
+    // pa ≤ bk, own bucket bk). Task key = (group, i=x.bk=y.pa,
+    // j=x.pb=y.bk) — bucket i meets bucket j, nothing else.
     val x = g.withColumn("bk", bk)
       .withColumn("pb", explode(sequence(col("bk"), col("nb") - 1)))
-      .drop("bk")
-    val y = g.withColumn("pb", bk)
-    val cond = (joinKeys :+ "pb").map(k => col(s"x.$k") === col(s"y.$k"))
-      .reduce(_ && _) && col("x.vec_id") < col("y.vec_id")
+    val y = g.withColumn("bk", bk)
+      .withColumn("pa", explode(sequence(lit(0), col("bk"))))
+    val cond = joinKeys.map(k => col(s"x.$k") === col(s"y.$k"))
+      .reduce(_ && _) &&
+      col("x.bk") === col("y.pa") && col("x.pb") === col("y.bk") &&
+      col("x.vec_id") < col("y.vec_id")
     x.as("x").join(y.as("y").hint("shuffle_hash"), cond)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         col(s"x.$outKey").as(outKey),

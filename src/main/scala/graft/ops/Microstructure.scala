@@ -305,6 +305,109 @@ object Microstructure {
           col("di_plus") + col("di_minus"))).as("dx"))
   }
 
+  /** Ichimoku system over hourly OHLC bars, as CAUSAL per-bar features:
+    * tenkan (9-bar midline), kijun (26-bar midline), and the cloud AT
+    * the current bar — senkou A/B are the conventional forward-displaced
+    * spans read back at their display position (`lag` by the kijun
+    * horizon of the midline pair / 52-bar midline), so no feature ever
+    * reads the future (the lookahead bias a naive `lead` spelling bakes
+    * into training data). `above_cloud` compares the close to the upper
+    * cloud rail; warm-up bars (no spans yet) coalesce to false — the
+    * [[donchian]] breakout convention.
+    *
+    * Four trailing extrema + two lags over ONE per-symbol bar sort —
+    * Catalyst plans a single WindowExec pass; rows = bars.
+    */
+  def ichimoku(bars: DataFrame, tenkan: Int = 9, kijun: Int = 26,
+               senkou: Int = 52): DataFrame = {
+    val byTypeBucket = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    def mid(n: Int) =
+      (max(col("high")).over(byTypeBucket.rowsBetween(-(n - 1), 0)) +
+        min(col("low")).over(byTypeBucket.rowsBetween(-(n - 1), 0))) / 2.0
+    bars
+      .withColumn("tenkan", mid(tenkan))
+      .withColumn("kijun", mid(kijun))
+      .withColumn("senkou_a",
+        lag((col("tenkan") + col("kijun")) / 2.0, kijun).over(byTypeBucket))
+      .withColumn("senkou_b", lag(mid(senkou), kijun).over(byTypeBucket))
+      .select(col("bucket"), col("event_type"), col("close"),
+        col("tenkan"), col("kijun"), col("senkou_a"), col("senkou_b"),
+        coalesce(col("close") > greatest(col("senkou_a"), col("senkou_b")),
+          lit(false)).as("above_cloud"))
+  }
+
+  /** Binomial weights of (1−B)^d truncated at `window` terms —
+    * w₀ = 1, w_k = −w_{k−1}·(d−k+1)/k. Driver-side; shared verbatim by
+    * the operator and its generated oracle SQL (one edit changes both).
+    */
+  private[graft] def fracDiffWeights(d: Double, window: Int): Array[Double] = {
+    val w = Array.ofDim[Double](window)
+    w(0) = 1.0
+    for (k <- 1 until window) w(k) = -w(k - 1) * (d - k + 1) / k
+    w
+  }
+
+  /** Fixed-width fractional differencing of the close series (López de
+    * Prado's stationarity-with-memory transform): x̃_t = Σ w_k·close_{t−k}
+    * with the binomial weights of (1−B)^d truncated at `window` — d=1
+    * recovers plain differencing (all memory gone), d→0 the raw series;
+    * fractional d keeps long memory while making the series stationary
+    * enough to train on. The standard feature-engineering front end for
+    * price-based ML, missing from every fixed-lag indicator.
+    *
+    * One window pass: `window` lags over the per-symbol bar sort fold
+    * into a single projection (exact dot product with driver-side
+    * weights — no recursion, no approximation). Rows before the full
+    * window report NULL (strict min_periods, via natural NULL
+    * propagation through the lag sum).
+    */
+  def fracDiff(bars: DataFrame, d: Double = 0.4, window: Int = 20): DataFrame = {
+    require(window >= 2, s"window $window must be >= 2")
+    val byTypeBucket = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val fd = fracDiffWeights(d, window).zipWithIndex.map { case (wk, k) =>
+      lit(wk) * lag(col("close"), k).over(byTypeBucket)
+    }.reduce(_ + _)
+    bars.select(col("bucket"), col("event_type"), col("close"),
+      fd.as("frac_diff"))
+  }
+
+  /** Daily realized return MOMENTS per symbol from hourly bars: skewness
+    * and excess kurtosis of the day's bar-to-bar returns — the crash-
+    * asymmetry / fat-tail diagnostics a risk layer reads next to
+    * [[realizedVol]]. Computed from raw power sums (μ, Σr², Σr³, Σr⁴
+    * recombined with the textbook central-moment identities — the SAME
+    * algebra the oracle spells, so results hash-match), population form;
+    * a flat day (zero variance) is NULL via `try_divide`.
+    *
+    * One bar-level lag window + one (day, symbol) hash aggregate —
+    * map-side combined, rows out = symbols × days.
+    */
+  def returnMoments(bars: DataFrame): DataFrame = {
+    val byTypeBucket = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    bars
+      .withColumn("r", col("close") / lag(col("close"), 1).over(byTypeBucket) - 1.0)
+      .filter(col("r").isNotNull)
+      .groupBy(to_date(timestamp_seconds(col("bucket"))).as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_rets"),
+        avg(col("r")).as("mu"),
+        avg(col("r") * col("r")).as("p2"),
+        avg(col("r") * col("r") * col("r")).as("p3"),
+        avg(col("r") * col("r") * col("r") * col("r")).as("p4"))
+      .select(col("day"), col("event_type"), col("n_rets"),
+        col("mu"),
+        (col("p2") - col("mu") * col("mu")).as("m2"),
+        try_divide(
+          col("p3") - lit(3.0) * col("mu") * col("p2")
+            + lit(2.0) * col("mu") * col("mu") * col("mu"),
+          pow(col("p2") - col("mu") * col("mu"), 1.5)).as("skew"),
+        (try_divide(
+          col("p4") - lit(4.0) * col("mu") * col("p3")
+            + lit(6.0) * col("mu") * col("mu") * col("p2")
+            - lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"),
+          pow(col("p2") - col("mu") * col("mu"), 2.0)) - lit(3.0)).as("ex_kurt"))
+  }
+
   /** Hurst exponent per symbol by classic rescaled-range (R/S) analysis:
     * for each block size n in `sizes`, split the symbol's 1-step change
     * series into consecutive complete n-blocks, compute per block

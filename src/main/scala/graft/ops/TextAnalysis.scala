@@ -917,12 +917,19 @@ object TextAnalysis {
     * occurs in ≥ 2 distinct documents — the shared discovery stage of
     * [[substringDedup]] (profile) and [[substringDedupApply]] (rewrite).
     */
-  /** (doc_id, s, h) rows: every k-window start and its md5 fingerprint. */
+  /** (doc_id, s, h) rows: every k-window start and its md5 fingerprint —
+    * carried as the RAW 16 bytes (`unhex`), not the 32-char hex string:
+    * the exploded window frame is ~33 rows/doc and its shuffle bytes are
+    * the substring family's measured single-box ceiling at the 5M-doc
+    * stress point, so halving the key halves the spill. Equality
+    * structure is unchanged (unhex is a bijection on md5 output), so
+    * every downstream count — and every oracle — is byte-identical.
+    */
   private def windowRows(base: DataFrame, k: Int): DataFrame =
     base
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
-          s => md5(concat_ws(" ", slice(col("w"), s, lit(k))))))
+          s => unhex(md5(concat_ws(" ", slice(col("w"), s, lit(k)))))))
           .as(Seq("pos", "h")))
       .select(col("doc_id"), (col("pos") + 1).as("s"), col("h"))
 

@@ -179,6 +179,56 @@ class MicrostructureSpec extends SparkSpec {
     assert(approx(out(2L).getDouble(4), 100.0 / 3.0))
   }
 
+  test("ichimoku: causal spans — warm-up NULL, hand-computed midlines") {
+    val bars = Seq(
+      (0L, "a", 10.0, 8.0, 9.0), (1L, "a", 12.0, 9.0, 11.0),
+      (2L, "a", 11.0, 7.0, 8.0), (3L, "a", 13.0, 10.0, 12.0),
+      (4L, "a", 14.0, 11.0, 13.0), (5L, "a", 12.0, 9.0, 9.0)
+    ).toDF("bucket", "event_type", "high", "low", "close")
+    val out = Microstructure.ichimoku(bars, tenkan = 2, kijun = 3, senkou = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(approx(out(1L).getDouble(3), 10.0)) // tenkan = (12+8)/2
+    assert(approx(out(4L).getDouble(4), 10.5)) // kijun = (14+7)/2
+    assert(out(2L).isNullAt(5) && out(2L).isNullAt(6))
+    assert(!out(2L).getBoolean(7)) // warm-up coalesces to false
+    // spans at b3 = midlines of b0 (lag 3): both 9; close 12 above
+    assert(approx(out(3L).getDouble(5), 9.0))
+    assert(approx(out(3L).getDouble(6), 9.0))
+    assert(out(3L).getBoolean(7))
+    // b5: spans from b2 — (9.5+9.5)/2 and mid4 = 9.5; close 9 below
+    assert(approx(out(5L).getDouble(5), 9.5))
+    assert(approx(out(5L).getDouble(6), 9.5))
+    assert(!out(5L).getBoolean(7))
+  }
+
+  test("fracDiff: binomial weights; d=1 recovers plain differencing; strict warm-up NULL") {
+    val w = Microstructure.fracDiffWeights(0.5, 4)
+    assert(w.toSeq == Seq(1.0, -0.5, -0.125, -0.0625))
+    val bars = Seq((0L, "a", 5.0), (1L, "a", 8.0), (2L, "a", 6.0))
+      .toDF("bucket", "event_type", "close")
+    val out = Microstructure.fracDiff(bars, d = 1.0, window = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).isNullAt(3)) // lag missing → NULL (strict)
+    assert(approx(out(1L).getDouble(3), 3.0))  // 8 − 5
+    assert(approx(out(2L).getDouble(3), -2.0)) // 6 − 8
+  }
+
+  test("returnMoments: symmetric day has skew 0 / excess kurtosis −2; flat day NULL") {
+    val bars = Seq(
+      (0L, "a", 100.0), (3600L, "a", 110.0), (7200L, "a", 99.0),
+      (0L, "f", 50.0), (3600L, "f", 50.0), (7200L, "f", 50.0)
+    ).toDF("bucket", "event_type", "close")
+    val out = Microstructure.returnMoments(bars).collect()
+      .map(r => r.getString(1) -> r).toMap
+    // returns +0.1 / −0.1: mu 0, m2 0.01, skew 0, kurt m4/m2² − 3 = −2
+    assert(out("a").getLong(2) === 2L)
+    assert(approx(out("a").getDouble(3), 0.0))
+    assert(approx(out("a").getDouble(4), 0.01))
+    assert(approx(out("a").getDouble(5), 0.0))
+    assert(approx(out("a").getDouble(6), -2.0))
+    assert(out("f").isNullAt(5) && out("f").isNullAt(6)) // zero variance
+  }
+
   test("hurstRs: exact 0 for a deterministic ±1 sawtooth") {
     // dp alternates +1/-1: every block has mean 0, cumdev range 1 and
     // pop stddev 1 → R/S = 1 at every size → log2(rs) = 0 → slope 0.
