@@ -406,6 +406,10 @@ object SparkEntry {
     // +DI/−DI/DX: gated directional moves, three Wilder-style EWMs in
     // ONE window pass over bars.
     "dmi" -> ((s, d) => Microstructure.dmi(Resample.ohlcHourly(ev(s, d)))),
+    // Kaufman adaptive MA: efficiency-ratio-geared EMA — the varying-
+    // alpha recursion as an exact affine-composition Aggregator in one
+    // growing-frame window pass.
+    "kama" -> ((s, d) => Microstructure.kama(Resample.ohlcHourly(ev(s, d)))),
     // Ichimoku features over hourly bars — causal spans (lagged, never
     // forward-displaced), four extrema + two lags in one window pass.
     "ichimoku" -> ((s, d) =>
@@ -1914,6 +1918,70 @@ object SparkEntry {
         |  (tp - sma) / nullif(0.015 * mad, 0) AS cci
         |FROM m""".stripMargin),
     "dmi" -> dmiOracle,
+    // KAMA oracle: the rsi/atr chunk-carry template generalized to
+    // PER-ROW decay — within each 500-step block the affine prefix
+    // (a_pref, b_pref) is computed in log space (ln(1−sc) prefix sums;
+    // |sum| < 500·ln(1/0.556) ≈ 294, far under double range), the
+    // block-final maps carry recursively over blocks, and each row
+    // applies its block-local prefix to the previous block's value.
+    // Same constant composition (2.0/3.0, 2.0/31.0) as the Spark side.
+    "kama" -> (hourlyClose.replace("WITH hourly", "WITH RECURSIVE hourly") + ",\n" +
+      """b0 AS (
+        |  SELECT bucket, event_type, close,
+        |    row_number() OVER w - 1 AS rn,
+        |    close - lag(close) OVER w AS dp,
+        |    lag(close, 10) OVER w AS p_n
+        |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+        |b2 AS (
+        |  SELECT bucket, event_type, close, rn,
+        |    coalesce(abs(close - p_n)
+        |      / nullif(sum(abs(dp)) OVER (PARTITION BY event_type
+        |          ORDER BY bucket ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 0),
+        |      0.0) AS er
+        |  FROM b0),
+        |b3 AS (
+        |  SELECT bucket, event_type, close, rn, er,
+        |    pow(er * (2.0/3.0 - 2.0/31.0) + 2.0/31.0, 2.0) AS sc
+        |  FROM b2),
+        |seed AS (SELECT event_type, close AS x0 FROM b3 WHERE rn = 0),
+        |steps AS (
+        |  SELECT bucket, event_type, close, sc,
+        |    CAST(floor((rn - 1) / 500) AS INTEGER) AS blk, (rn - 1) % 500 AS o
+        |  FROM b3 WHERE rn >= 1),
+        |pre AS (
+        |  SELECT *, sum(ln(1.0 - sc)) OVER wb AS sl
+        |  FROM steps
+        |  WINDOW wb AS (PARTITION BY event_type, blk ORDER BY o
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pre2 AS (
+        |  SELECT *, exp(sl) AS a_pref,
+        |    exp(sl) * sum(sc * close * exp(-sl)) OVER wb2 AS b_pref
+        |  FROM pre
+        |  WINDOW wb2 AS (PARTITION BY event_type, blk ORDER BY o
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |blocks AS (
+        |  SELECT event_type, blk,
+        |    arg_max(a_pref, o) AS a_blk, arg_max(b_pref, o) AS b_blk
+        |  FROM pre2 GROUP BY 1, 2),
+        |carry AS (
+        |  SELECT b.event_type, b.blk, b.a_blk * s.x0 + b.b_blk AS x
+        |  FROM blocks b JOIN seed s ON b.event_type = s.event_type
+        |  WHERE b.blk = 0
+        |  UNION ALL
+        |  SELECT b.event_type, b.blk, b.a_blk * c.x + b.b_blk
+        |  FROM blocks b JOIN carry c
+        |    ON b.event_type = c.event_type AND b.blk = c.blk + 1),
+        |res AS (
+        |  SELECT p.bucket, p.event_type,
+        |    p.a_pref * coalesce(c.x, s.x0) + p.b_pref AS kama
+        |  FROM pre2 p
+        |  JOIN seed s ON p.event_type = s.event_type
+        |  LEFT JOIN carry c
+        |    ON p.event_type = c.event_type AND c.blk = p.blk - 1)
+        |SELECT b3.bucket, b3.event_type, b3.close, b3.er, b3.sc,
+        |  CASE WHEN b3.rn = 0 THEN b3.close ELSE r.kama END AS kama
+        |FROM b3 LEFT JOIN res r
+        |  ON b3.event_type = r.event_type AND b3.bucket = r.bucket""".stripMargin),
     // Ichimoku oracle: three midlines in one window clause, the two
     // cloud spans lagged by the kijun horizon — causal like the Spark
     // side; warm-up bars coalesce above_cloud to false (donchian

@@ -336,6 +336,43 @@ object Microstructure {
           lit(false)).as("above_cloud"))
   }
 
+  /** Kaufman Adaptive Moving Average over hourly bars — the EMA whose
+    * span GEARS ITSELF by the efficiency ratio ([[kaufmanEr]], here at
+    * bar level with warm-up/flat er coalesced to 0 so the recursion is
+    * total): sc_t = (er_t·(fastSc−slowSc) + slowSc)², KAMA_t =
+    * KAMA_{t−1} + sc_t·(KAMA-gap), seeded at the first close. Fast in
+    * trends, near-frozen in chop — the adaptive smoother the fixed-α
+    * [[Rolling]] EMAs can't express.
+    *
+    * The varying-α recursion rides [[graft.agg.KamaAgg]] (affine-map
+    * composition — exact, associative, one growing-frame window pass);
+    * er/sc are one lag + one trailing sum on the SAME per-symbol sort,
+    * so Catalyst plans a single WindowExec stage. The oracle replays
+    * the identical algebra through a block-local log-space prefix + a
+    * recursive carry over 500-row blocks (the rsi/atr chunk-carry
+    * template generalized to per-row decay).
+    */
+  def kama(bars: DataFrame, n: Int = 10, fast: Int = 2, slow: Int = 30): DataFrame = {
+    require(n >= 1 && fast >= 1 && slow > fast,
+      s"need n >= 1 and slow > fast >= 1, got n=$n fast=$fast slow=$slow")
+    val byTypeBucket = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wGrow = byTypeBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = byTypeBucket.rowsBetween(-(n - 1), 0)
+    val fastSc = 2.0 / (fast + 1.0)
+    val slowSc = 2.0 / (slow + 1.0)
+    bars
+      .withColumn("dp", col("close") - lag(col("close"), 1).over(byTypeBucket))
+      .withColumn("p_n", lag(col("close"), n).over(byTypeBucket))
+      .withColumn("er", coalesce(
+        try_divide(abs(col("close") - col("p_n")),
+          sum(abs(col("dp"))).over(wN)), lit(0.0)))
+      .withColumn("sc",
+        pow(col("er") * (lit(fastSc) - lit(slowSc)) + lit(slowSc), 2.0))
+      .select(col("bucket"), col("event_type"), col("close"),
+        col("er"), col("sc"),
+        graft.agg.Kama.kama(col("close"), col("sc")).over(wGrow).as("kama"))
+  }
+
   /** Binomial weights of (1−B)^d truncated at `window` terms —
     * w₀ = 1, w_k = −w_{k−1}·(d−k+1)/k. Driver-side; shared verbatim by
     * the operator and its generated oracle SQL (one edit changes both).

@@ -179,6 +179,51 @@ class MicrostructureSpec extends SparkSpec {
     assert(approx(out(2L).getDouble(4), 100.0 / 3.0))
   }
 
+  test("kama: matches the sequential recursion; seed is the first close; er gearing") {
+    // n=2, fast=2, slow=4: fastSc=2/3, slowSc=2/5.
+    val closes = Seq(10.0, 12.0, 11.0, 11.0)
+    val bars = closes.zipWithIndex.map { case (c, i) => (i.toLong, "a", c) }
+      .toDF("bucket", "event_type", "close")
+    val out = Microstructure.kama(bars, n = 2, fast = 2, slow = 4)
+      .orderBy("bucket").collect()
+    // independent sequential reimplementation (er exactly as specified)
+    val dp = closes.zip(closes.head +: closes).map { case (c, p) => c - p }
+    var expect = List.empty[Double]
+    for (t <- closes.indices) {
+      val er =
+        if (t < 2) 0.0
+        else {
+          val path = math.abs(dp(t)) + math.abs(dp(t - 1))
+          if (path == 0) 0.0 else math.abs(closes(t) - closes(t - 2)) / path
+        }
+      val sc = math.pow(er * (2.0 / 3.0 - 2.0 / 5.0) + 2.0 / 5.0, 2)
+      expect = (if (t == 0) closes(0)
+                else expect.head + sc * (closes(t) - expect.head)) :: expect
+    }
+    expect.reverse.zip(out.map(_.getDouble(5))).foreach { case (e, g) =>
+      assert(approx(g, e), s"expected $e got $g")
+    }
+    assert(approx(out(0).getDouble(5), 10.0)) // seed
+    assert(approx(out(3).getDouble(4), 4.0 / 9.0)) // er=1 → sc=(2/3)²
+  }
+
+  test("KamaAgg: merge composes partial segments exactly (any split point)") {
+    val agg = new graft.agg.KamaAgg
+    val rows = Seq((10.0, 0.3), (12.0, 0.5), (11.0, 0.2), (15.0, 0.44), (9.0, 0.1))
+      .map { case (p, sc) =>
+        (java.lang.Double.valueOf(p), java.lang.Double.valueOf(sc)) }
+    val full = rows.foldLeft(agg.zero)(agg.reduce)
+    for (cut <- 0 to rows.length) {
+      val l = rows.take(cut).foldLeft(agg.zero)(agg.reduce)
+      val r = rows.drop(cut).foldLeft(agg.zero)(agg.reduce)
+      assert(approx(agg.finish(agg.merge(l, r)), agg.finish(full)), s"cut $cut")
+    }
+    // sequential ground truth: seed 10, then x += sc·(p − x)
+    val seq = rows.drop(1).foldLeft(10.0) { case (x, (p, sc)) =>
+      x + sc * (p - x) }
+    assert(approx(agg.finish(full), seq))
+  }
+
   test("ichimoku: causal spans — warm-up NULL, hand-computed midlines") {
     val bars = Seq(
       (0L, "a", 10.0, 8.0, 9.0), (1L, "a", 12.0, 9.0, 11.0),
