@@ -424,7 +424,13 @@ object Ivf {
       .reduce(_ && _) &&
       col("x.bk") === col("y.pa") && col("x.pb") === col("y.bk") &&
       col("x.vec_id") < col("y.vec_id")
-    x.as("x").join(y.as("y").hint("shuffle_hash"), cond)
+    // SORT-MERGE, not shuffled-hash: both sides now explode (the y side
+    // replicates per partner bucket), so a per-partition hash build of
+    // the embedding-carrying y side is the OOM path at the 10M-vector
+    // stress point (measured: heap death in UnsafeHashedRelation.get at
+    // 28g). SMJ buffers one join-key group at a time — a single bucket,
+    // ~pairTarget embedding rows — and spills its sorts to disk.
+    x.as("x").join(y.as("y").hint("merge"), cond)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         col(s"x.$outKey").as(outKey),
         (dotF(col("x.embedding"), col("y.embedding")) /
