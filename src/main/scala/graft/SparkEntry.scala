@@ -406,6 +406,11 @@ object SparkEntry {
     // +DI/−DI/DX: gated directional moves, three Wilder-style EWMs in
     // ONE window pass over bars.
     "dmi" -> ((s, d) => Microstructure.dmi(Resample.ohlcHourly(ev(s, d)))),
+    // Tick-rule (Lee–Ready) signed order flow: per-tick buy/sell
+    // classification with zero-change carry, hourly OFI per symbol.
+    "tick_rule_flow" -> ((s, d) => Microstructure.tickRuleFlow(ev(s, d))),
+    // Sign run-length histogram per symbol — the runs-test view.
+    "run_lengths" -> ((s, d) => Microstructure.runLengths(ev(s, d))),
     // Kaufman adaptive MA: efficiency-ratio-geared EMA — the varying-
     // alpha recursion as an exact affine-composition Aggregator in one
     // growing-frame window pass.
@@ -1918,6 +1923,55 @@ object SparkEntry {
         |  (tp - sma) / nullif(0.015 * mad, 0) AS cci
         |FROM m""".stripMargin),
     "dmi" -> dmiOracle,
+    // Tick-rule oracle: same zero-change carry via IGNORE NULLS last.
+    "tick_rule_flow" ->
+      """WITH t AS (
+        |  SELECT ts, event_type,
+        |    CAST(json_extract_string(props, '$.k') AS DOUBLE) AS qty,
+        |    CASE WHEN dp > 0 THEN 1 WHEN dp < 0 THEN -1 END AS sgn_raw
+        |  FROM (SELECT ts, event_type, props,
+        |          value - lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS dp
+        |        FROM events)),
+        |s AS (
+        |  SELECT ts, event_type, qty,
+        |    last_value(sgn_raw IGNORE NULLS) OVER
+        |      (PARTITION BY event_type ORDER BY ts
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sgn
+        |  FROM t)
+        |SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+        |  event_type,
+        |  sum(CASE WHEN sgn = 1 THEN qty ELSE 0 END) AS buy_qty,
+        |  sum(CASE WHEN sgn = -1 THEN qty ELSE 0 END) AS sell_qty,
+        |  count(*) AS n_classified,
+        |  (sum(CASE WHEN sgn = 1 THEN qty ELSE 0 END)
+        |   - sum(CASE WHEN sgn = -1 THEN qty ELSE 0 END))
+        |  / nullif(sum(CASE WHEN sgn = 1 THEN qty ELSE 0 END)
+        |           + sum(CASE WHEN sgn = -1 THEN qty ELSE 0 END), 0) AS ofi
+        |FROM s WHERE sgn IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+    // Run-length oracle: identical two-stage window + double aggregate.
+    "run_lengths" ->
+      """WITH d1 AS (
+        |  SELECT ts, event_type, d FROM (
+        |    SELECT ts, event_type,
+        |      CASE WHEN dp > 0 THEN 1 WHEN dp < 0 THEN -1 END AS d
+        |    FROM (SELECT ts, event_type,
+        |            value - lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS dp
+        |          FROM events))
+        |  WHERE d IS NOT NULL),
+        |d2 AS (
+        |  SELECT ts, event_type, d,
+        |    CASE WHEN d = lag(d) OVER w THEN 0 ELSE 1 END AS chg
+        |  FROM d1 WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+        |d3 AS (
+        |  SELECT event_type, d,
+        |    sum(chg) OVER (PARTITION BY event_type ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+        |  FROM d2),
+        |r AS (SELECT event_type, rid, d, count(*) AS run_len
+        |      FROM d3 GROUP BY 1, 2, 3)
+        |SELECT event_type, d AS direction, run_len, count(*) AS n_runs
+        |FROM r GROUP BY 1, 2, 3""".stripMargin,
     // KAMA oracle: the rsi/atr chunk-carry template generalized to
     // PER-ROW decay — within each 500-step block the affine prefix
     // (a_pref, b_pref) is computed in log space (ln(1−sc) prefix sums;

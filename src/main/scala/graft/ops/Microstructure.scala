@@ -336,6 +336,65 @@ object Microstructure {
           lit(false)).as("above_cloud"))
   }
 
+  /** Tick-rule signed order flow (the Lee–Ready tick test): each trade
+    * is classified buyer- or seller-initiated by its price change, with
+    * zero-change ticks inheriting the LAST NON-ZERO sign (the standard
+    * carry — `last_value(…, ignoreNulls)` over the growing per-symbol
+    * frame); ticks before any price move stay unclassified and are
+    * excluded. Hourly per-symbol aggregate of signed size (props.$k):
+    * buy/sell volume and the order-flow imbalance
+    * `(buy−sell)/(buy+sell)` — THE microstructure feature short-horizon
+    * price models train on. One lag + one carry window on the same
+    * per-symbol sort, then the flagship-shaped hash aggregate.
+    */
+  def tickRuleFlow(events: DataFrame): DataFrame = {
+    val dp = col("value") - lag(col("value"), 1).over(byTypeTime)
+    val wGrow = byTypeTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("qty", get_json_object(col("props"), "$.k").cast("double"))
+      .withColumn("sgn_raw",
+        when(dp > 0, 1).when(dp < 0, -1).otherwise(lit(null).cast("int")))
+      .withColumn("sgn", last(col("sgn_raw"), ignoreNulls = true).over(wGrow))
+      .filter(col("sgn").isNotNull)
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("bucket"),
+        col("event_type"))
+      .agg(
+        sum(when(col("sgn") === 1, col("qty")).otherwise(0.0)).as("buy_qty"),
+        sum(when(col("sgn") === -1, col("qty")).otherwise(0.0)).as("sell_qty"),
+        count(lit(1)).as("n_classified"))
+      .select(col("bucket"), col("event_type"),
+        col("buy_qty"), col("sell_qty"), col("n_classified"),
+        try_divide(col("buy_qty") - col("sell_qty"),
+          col("buy_qty") + col("sell_qty")).as("ofi"))
+  }
+
+  /** Run-length distribution of price-change signs per symbol (the
+    * runs-test view): flats are excluded, consecutive same-sign changes
+    * form a run, and the output is the (symbol, direction, length)
+    * histogram — too many long runs = momentum, too many length-1 runs
+    * = mean reversion, and the table IS the empirical distribution a
+    * runs test (Wald–Wolfowitz) scores. One lag pass for signs, one
+    * change-flag prefix sum for run ids (both on the same per-symbol
+    * sort), two map-side-combined aggregates; rows out = distinct
+    * (symbol, direction, length) — bounded by the longest run.
+    */
+  def runLengths(events: DataFrame): DataFrame = {
+    val dp = col("value") - lag(col("value"), 1).over(byTypeTime)
+    val wGrow = byTypeTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("d",
+        when(dp > 0, 1).when(dp < 0, -1).otherwise(lit(null).cast("int")))
+      .filter(col("d").isNotNull)
+      .withColumn("chg",
+        when(col("d") === lag(col("d"), 1).over(byTypeTime), 0).otherwise(1))
+      .withColumn("rid", sum(col("chg")).over(wGrow))
+      .groupBy(col("event_type"), col("rid"), col("d"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("event_type"), col("d").as("direction"), col("run_len"))
+      .agg(count(lit(1)).as("n_runs"))
+  }
+
   /** Kaufman Adaptive Moving Average over hourly bars — the EMA whose
     * span GEARS ITSELF by the efficiency ratio ([[kaufmanEr]], here at
     * bar level with warm-up/flat er coalesced to 0 so the recursion is

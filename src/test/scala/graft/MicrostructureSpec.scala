@@ -179,6 +179,31 @@ class MicrostructureSpec extends SparkSpec {
     assert(approx(out(2L).getDouble(4), 100.0 / 3.0))
   }
 
+  test("tickRuleFlow: zero-change carry, pre-move ticks excluded, signed sums") {
+    val df = Seq(
+      tick(0, "a", 10.0, """{"k": 1}"""), // no dp → unclassified, excluded
+      tick(1, "a", 11.0, """{"k": 2}"""), // up → buy 2
+      tick(2, "a", 11.0, """{"k": 3}"""), // flat → carries + → buy 3
+      tick(3, "a", 10.0, """{"k": 4}"""), // down → sell 4
+      tick(4, "a", 10.0, """{"k": 5}""")  // flat → carries − → sell 5
+    ).toDF("event_id", "ts", "event_type", "value", "props")
+    val r = Microstructure.tickRuleFlow(df).collect().head
+    assert(approx(r.getDouble(2), 5.0))  // buy = 2 + 3
+    assert(approx(r.getDouble(3), 9.0))  // sell = 4 + 5
+    assert(r.getLong(4) === 4L)
+    assert(approx(r.getDouble(5), -4.0 / 14.0))
+  }
+
+  test("runLengths: flats excluded, planted run histogram") {
+    // prices 1,2,3,2,1,2 → signs +,+,−,−,+ → runs +2, −2, +1
+    val df = Seq(1.0, 2.0, 3.0, 2.0, 1.0, 2.0).zipWithIndex
+      .map { case (v, i) => tick(i, "a", v) }
+      .toDF("event_id", "ts", "event_type", "value", "props").drop("props")
+    val out = Microstructure.runLengths(df).collect()
+      .map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(out === Map((1, 2L) -> 1L, (-1, 2L) -> 1L, (1, 1L) -> 1L))
+  }
+
   test("kama: matches the sequential recursion; seed is the first close; er gearing") {
     // n=2, fast=2, slow=4: fastSc=2/3, slowSc=2/5.
     val closes = Seq(10.0, 12.0, 11.0, 11.0)

@@ -272,7 +272,8 @@ class PlanShapeSpec extends SparkSpec {
     for ((q, maxSh) <- Seq("mfi" -> 2, "cmf" -> 2, "cci" -> 2, "dmi" -> 2,
         "donchian" -> 2, "vwap_hourly" -> 1, "kaufman_er" -> 1,
         "roll_spread" -> 2, "realized_vol" -> 2, "ichimoku" -> 2,
-        "frac_diff" -> 2, "return_moments" -> 3, "kama" -> 2)) {
+        "frac_diff" -> 2, "return_moments" -> 3, "kama" -> 2,
+        "tick_rule_flow" -> 2, "run_lengths" -> 3)) {
       val p = plan(q)
       assert(shuffles(p) <= maxSh, s"$q shuffles=${shuffles(p)}\n$p")
       assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
