@@ -63,13 +63,20 @@ object Bench {
     // Sentinel: the flagship timed FIRST and LAST in every pass. A run
     // contaminated by box load convicts itself — last/first drift > ~20%
     // means the medians are not comparable round-over-round (BENCH_r12
-    // was exactly this; see bench/NOISE.md).
+    // was exactly this; see bench/NOISE.md). Median-of-3 back-to-back
+    // shots at each end: the flagship runs ~0.2-0.4 s, so a single-shot
+    // ratio is denominator-noise (r13 baseline measured 28% "drift"
+    // from a 0.06 s absolute wobble).
     val sentinel = SparkEntry.queries("ohlc_hourly")
+    def sentinelMed(tag: String): Double = {
+      val ts = (0 until 3).map(_ => timeOne(tag, sentinel))
+      if (ts.contains(-1.0)) -1.0 else ts.sorted.apply(1)
+    }
     val passes = (0 until runs).map { pass =>
       if (pass > 0) SparkEntry.resetScratch()
-      val first = timeOne("sentinel_first", sentinel)
+      val first = sentinelMed("sentinel_first")
       val timed = names.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
-      val last = timeOne("sentinel_last", sentinel)
+      val last = sentinelMed("sentinel_last")
       (timed, first, last)
     }
     def med(ts: Seq[Double]): Double =
