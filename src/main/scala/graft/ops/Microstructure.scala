@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   * analytics a trading-data platform layers on the reference's OHLC
   * pipeline (`/root/reference/components/process_data.py:44-59` produces
   * the bars; the notebook's indicator cells stop at moving averages).
-  * Everything here is EXACT window/aggregate algebra — no smoothing
-  * recursions — so each query is one or two codegen'd window passes plus
-  * a hash aggregate, and every one has a closed-form SQL oracle.
+  * Everything here is EXACT algebra — one or two codegen'd window
+  * passes plus a hash aggregate for most operators; the two smoothing
+  * recursions ([[dmi]]'s Wilder EWMs, [[kama]]'s varying-α line) ride
+  * exact associative Aggregators ([[graft.agg.EwmaAgg]] /
+  * [[graft.agg.KamaAgg]]) in the same window pass — and every operator
+  * has a SQL oracle (closed-form or chunk-carry).
   *
   * Scale shape shared by all of them: the only shuffle is the per-symbol
   * window repartition (event_type), identical to the partitioning every

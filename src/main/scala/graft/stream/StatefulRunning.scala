@@ -177,4 +177,65 @@ object StatefulRunning {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateEma(alpha))
       .toDF()
   }
+
+  case class FlowTick(event_type: String, ts_us: Long, value: Double, qty: Double)
+
+  /** Tick-rule state: the LAST price and last NON-ZERO sign are exactly
+    * what the Lee–Ready carry needs across micro-batch boundaries — a
+    * flat tick opening a batch inherits the sign of a move that arrived
+    * in an earlier batch. O(1) per key.
+    */
+  case class FlowState(lastValue: Double, lastSign: Int,
+                       buy: Double, sell: Double, n: Long, seeded: Boolean)
+
+  case class FlowOut(event_type: String, buy_qty: Double, sell_qty: Double,
+                     n_classified: Long, ofi: Double)
+
+  private def updateFlow(key: String, rows: Iterator[FlowTick],
+                         state: GroupState[FlowState]): FlowOut = {
+    var s = state.getOption.getOrElse(
+      FlowState(Double.NaN, 0, 0.0, 0.0, 0L, seeded = false))
+    rows.toSeq.sortBy(_.ts_us).foreach { t =>
+      if (!s.seeded) s = s.copy(lastValue = t.value, seeded = true)
+      else {
+        val sgn =
+          if (t.value > s.lastValue) 1
+          else if (t.value < s.lastValue) -1
+          else s.lastSign // zero-change carry (0 until the first move)
+        s = FlowState(
+          lastValue = t.value, lastSign = sgn,
+          buy = if (sgn == 1) s.buy + t.qty else s.buy,
+          sell = if (sgn == -1) s.sell + t.qty else s.sell,
+          n = if (sgn != 0) s.n + 1 else s.n, seeded = true)
+      }
+    }
+    state.update(s)
+    val tot = s.buy + s.sell
+    FlowOut(key, s.buy, s.sell, s.n,
+      if (tot == 0.0) Double.NaN else (s.buy - s.sell) / tot)
+  }
+
+  /** Streaming tick-rule signed order flow per symbol — the stateful
+    * twin of [[graft.ops.Microstructure.tickRuleFlow]] as running
+    * totals: per-tick buy/sell classification needs the PREVIOUS tick's
+    * price and the last non-zero sign, which live in mapGroupsWithState
+    * state and survive micro-batch (and restart) boundaries. Update
+    * output mode; running OFI is NaN until the first classified tick.
+    */
+  def runningFlow(spark: SparkSession, inputDir: String, schema: StructType,
+                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
+      .parquet(inputDir)
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        col("value"),
+        coalesce(get_json_object(col("props"), "$.k").cast("double"),
+          lit(0.0)).as("qty"))
+      .as[FlowTick]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateFlow)
+      .toDF()
+  }
 }

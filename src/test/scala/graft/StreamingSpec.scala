@@ -681,6 +681,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming tick-rule flow: sign carry crosses micro-batch boundaries to the batch totals") {
+    // 2 symbols interleaved; per symbol the move pattern plants FLAT
+    // ticks exactly where a chunk boundary will fall, so the zero-change
+    // carry must read a sign learned in a previous micro-batch.
+    val steps = Seq(1.0, 1.0, 0.0, -1.0, 0.0) // up, up, flat, down, flat
+    var px = Map("btc" -> 100.0, "eth" -> 50.0)
+    val all = (0 until 300).map { i =>
+      val sym = Seq("btc", "eth")(i % 2)
+      val k = i / 2
+      px += sym -> (px(sym) + (if (k == 0) 0.0 else steps(k % steps.length)))
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L), sym, px(sym),
+        s"""{"k": ${i % 5 + 1}}""")
+    }
+    val dir = Files.createTempDirectory("graft_sflow_").toString
+    // chunks of 104 rows: both symbols OPEN chunk 2 at k=52 (flat,
+    // inheriting chunk 1's up-sign) and chunk 3 at k=104 (flat,
+    // inheriting chunk 2's down-sign) — the carry must cross batches
+    all.grouped(104).foreach { chunk =>
+      chunk.toDF("event_id", "ts", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      Thread.sleep(1500)
+    }
+    val df = all.toDF("event_id", "ts", "event_type", "value", "props")
+    val q = graft.stream.StatefulRunning
+      .runningFlow(spark, s"$dir/in", df.schema, maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("sflow_t")
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("sflow_t").count() >= 6) // per-batch pacing happened
+    val streamed = spark.table("sflow_t")
+      .groupBy("event_type")
+      .agg(max("n_classified").as("n"),
+        max_by(col("buy_qty"), col("n_classified")).as("buy"),
+        max_by(col("sell_qty"), col("n_classified")).as("sell"),
+        max_by(col("ofi"), col("n_classified")).as("ofi"))
+      .orderBy("event_type").collect()
+    val batch = graft.ops.Microstructure.tickRuleFlow(df)
+      .groupBy("event_type")
+      .agg(sum("buy_qty").as("buy"), sum("sell_qty").as("sell"),
+        sum("n_classified").as("n"))
+      .orderBy("event_type").collect()
+    assert(streamed.length == 2 && batch.length == 2)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[String]("event_type") == b.getAs[String]("event_type"))
+      assert(s.getAs[Long]("n") == b.getAs[Long]("n"))
+      assert(approx(s.getAs[Double]("buy"), b.getAs[Double]("buy")))
+      assert(approx(s.getAs[Double]("sell"), b.getAs[Double]("sell")))
+      val expOfi = (b.getAs[Double]("buy") - b.getAs[Double]("sell")) /
+        (b.getAs[Double]("buy") + b.getAs[Double]("sell"))
+      assert(approx(s.getAs[Double]("ofi"), expOfi))
+    }
+  }
+
   test("streaming volume bars: completed bars match the batch op exactly across micro-batches") {
     val all = (0 until 300).map { i =>
       (i.toLong, new Timestamp(1704067200000L + i * 1000L),
