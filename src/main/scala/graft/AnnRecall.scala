@@ -110,7 +110,7 @@ object AnnRecall {
       .select(col("vec_a"), col("vec_b"))
       .localCheckpoint()
     val nExact = exactPairs.count()
-    Seq("emb_neardup", "emb_neardup_banded").foreach { name =>
+    Seq("emb_neardup", "emb_neardup_single").foreach { name =>
       val approx = SparkEntry.queries(name)(spark, sfDir)
         .select(col("vec_a"), col("vec_b"))
         .localCheckpoint()
@@ -125,9 +125,9 @@ object AnnRecall {
 
     val notes = Seq(
       """"ann_ivf/ann_ivf_probe": "registered route is the ADAPTIVE probe (slack 1.3, 50% scan cap): on this weakly-clustered corpus the near-equidistant centroids widen the probe to the cap (see ann_ivf_curve.adaptive), buying the recall a fixed narrow nprobe loses; IvfSpec pins narrow routing + exactness on planted clustered corpora"""",
-      """"ann_ivfpq": "bounded by the md5-seeded (untrained) coarse route at nprobe=4/8; the trained-coarse path is ann_ivf"""",
+      """"ann_ivfpq": "TRAINED coarse route (md5 seeds + 2 integer-Lloyd rounds) with the adaptive integer probe capped at 8/16 cells = 0.5 scan budget, PQ 8x32 codebook, 400 ADC survivors reranked exactly; r13's untrained fixed-nprobe route measured 0.6 here"""",
       """"ann_lsh/ann_probe": "radius-1 multi-probe over 2^6 buckets scans ~11% of the corpus for 0.8 recall"""",
-      """"emb_neardup": "single-table LSH at threshold 0.4: per-pair catch probability (1-theta/pi)^5 = 0.10 - the closed form, matched by measurement; emb_neardup_banded is the amplified production form (sized for 0.9, measured 0.92)"""")
+      """"emb_neardup_single": "single-table LSH at threshold 0.4: per-pair catch probability (1-theta/pi)^5 = 0.10 - the closed form, matched by measurement; the PRIMARY emb_neardup registration is the banded production form (sized for 0.9, measured 0.93)"""")
     println(s"""ANN_RECALL_SUMMARY {"sf_dir":"$sfDir","n_vectors":$n,"queries":{${results.values.mkString(",")}},"shortfall_notes":{${notes.mkString(",")}}}""")
     spark.stop()
   }

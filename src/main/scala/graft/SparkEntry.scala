@@ -1052,16 +1052,19 @@ object SparkEntry {
         .getAs[scala.collection.Seq[Float]](0).toArray
       Ivf.ivfProbeAdaptive(s, layout, cents, q, 10, excludeId = Some(0L))
     }),
-    // All-corpus embedding near-dup pair mining via LSH bucket self-join;
-    // plane count sized from the corpus cardinality (planesFor).
-    "emb_neardup" -> ((s, d) => Similarity.embNearDupAuto(Tables.embeddings(s, d), 0.4)),
-    // BANDED (multi-table) form — the OR-amplification the single table
-    // lacks: table count solved from the LSH bound for recall >= 0.9 at
-    // the threshold (ANN_RECALL artifact scores both against the exact
-    // pair set; the single-table form measured 0.092 recall at sf0.1,
-    // the closed-form (1-theta/pi)^r).
-    "emb_neardup_banded" -> ((s, d) =>
+    // All-corpus embedding near-dup pair mining. The PRIMARY registration
+    // is the BANDED (multi-table) LSH form — table count solved from the
+    // LSH bound for recall >= 0.9 at the threshold (measured 0.93 at
+    // sf0.1, ANN_RECALL artifact) — because the registered name is what a
+    // user copies: the single-table form's closed-form pair-catch
+    // probability at t=0.4 is (1-theta/pi)^5 ~ 0.10, a demonstrator, not
+    // a production miner. It stays registered as emb_neardup_single.
+    "emb_neardup" -> ((s, d) =>
       Similarity.embNearDupBandedAuto(Tables.embeddings(s, d), 0.4, 0.9)),
+    // Single-table form (closed-form recall demonstrator; plane count
+    // sized from corpus cardinality via planesFor).
+    "emb_neardup_single" -> ((s, d) =>
+      Similarity.embNearDupAuto(Tables.embeddings(s, d), 0.4)),
     // md5-seeded integer-exact twins of ann_lsh / emb_neardup (the L33
     // precedent): bucket assignment is pure BIGINT arithmetic both
     // engines reproduce bit-for-bit, so these carry full hash oracles
@@ -1094,10 +1097,14 @@ object SparkEntry {
     // exact cosine re-rank — candidate set integer-exact in any engine.
     "ann_pq" -> ((s, d) =>
       Ivf.annPq(Tables.embeddings(s, d), 0L, 10, candidates = 200)),
-    // The FAISS production composition: coarse IVF route (nprobe cells)
-    // then PQ-ADC over only those cells, exact rerank of 40 survivors.
-    "ann_ivfpq" -> ((s, d) => Ivf.annIvfPq(Tables.embeddings(s, d), 0L, 10,
-      nprobe = 4, candidates = 200)),
+    // The FAISS production composition: TRAINED coarse route (md5 seeds
+    // + 2 integer-Lloyd rounds — exact BIGINT/floor arithmetic, so still
+    // hash-oracle-able), adaptive integer probe (slack 169/100, cap
+    // 8/16 cells = 0.5 scan), PQ-ADC over only the probed cells, exact
+    // rerank of the 400 ADC survivors. Recall@10 at the registered
+    // point: 1.0 (0.80 mean over 8 query vectors) vs 0.6 for the
+    // untrained fixed-nprobe route it replaced (ANN_RECALL_r13 -> r14).
+    "ann_ivfpq" -> ((s, d) => Ivf.annIvfPq(Tables.embeddings(s, d), 0L, 10)),
     // LLM tier — multimodal binary-column plumbing (stubbed decode).
     "multimodal_meta" -> ((s, d) => Multimodal.decodeMeta(Tables.documents(s, d))),
     "frame_sample" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d), 100)),
@@ -3738,30 +3745,53 @@ object SparkEntry {
         |    AND list_sum(list_transform(y.emb, v -> v * v)) > 0)
         |WHERE cosine >= 0.4
         |GROUP BY 1, 2""".stripMargin,
-    // IVF-PQ mirror: the ann_ivf_md5 route CTEs + the ann_pq codebook
-    // CTEs, PQ pass restricted to the probed cells' vectors.
+    // IVF-PQ mirror: md5 seed cells refined by TWO integer-Lloyd rounds
+    // (floor(sum/cnt) BIGINT means — a1/m1/c1 then a2/m2/c2), adaptive
+    // integer probe (slack 169/100, min 2, cap 8 of 16 cells), then the
+    // ann_pq codebook CTEs restricted to the probed cells' vectors.
     "ann_ivfpq" ->
       """WITH q AS (SELECT vec_id, label, embedding,
         |             list_transform(embedding,
         |               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qe
         |           FROM embeddings),
-        |c AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
-        |             qe AS ce
-        |      FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+        |              qe AS ce
+        |       FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |a1 AS (SELECT vec_id,
+        |         (min({'d2': CAST(list_sum(list_transform(generate_series(1, len(qe)),
+        |               i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT), 'cid': cid})).cid AS cid
+        |       FROM q, c0 GROUP BY 1),
+        |m1 AS (SELECT cid, i, CAST(floor(CAST(sum(qe[i]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+        |       FROM q JOIN a1 USING (vec_id), UNNEST(generate_series(1, 64)) AS u(i)
+        |       GROUP BY 1, 2),
+        |c1m AS (SELECT cid, list(mv ORDER BY i) AS ce FROM m1 GROUP BY cid),
+        |c1 AS (SELECT c0.cid, COALESCE(c1m.ce, c0.ce) AS ce FROM c0 LEFT JOIN c1m USING (cid)),
+        |a2 AS (SELECT vec_id,
+        |         (min({'d2': CAST(list_sum(list_transform(generate_series(1, len(qe)),
+        |               i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT), 'cid': cid})).cid AS cid
+        |       FROM q, c1 GROUP BY 1),
+        |m2 AS (SELECT cid, i, CAST(floor(CAST(sum(qe[i]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+        |       FROM q JOIN a2 USING (vec_id), UNNEST(generate_series(1, 64)) AS u(i)
+        |       GROUP BY 1, 2),
+        |c2m AS (SELECT cid, list(mv ORDER BY i) AS ce FROM m2 GROUP BY cid),
+        |c2 AS (SELECT c1.cid, COALESCE(c2m.ce, c1.ce) AS ce FROM c1 LEFT JOIN c2m USING (cid)),
         |a AS (SELECT vec_id,
         |        (min({'d2': CAST(list_sum(list_transform(generate_series(1, len(qe)),
         |              i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT), 'cid': cid})).cid AS cid
-        |      FROM q, c GROUP BY 1),
+        |      FROM q, c2 GROUP BY 1),
         |qv AS (SELECT qe AS q_qe, embedding::DOUBLE[] AS q_emb FROM q WHERE vec_id = 0),
-        |pc AS (SELECT cid FROM c, qv
-        |       ORDER BY CAST(list_sum(list_transform(generate_series(1, len(q_qe)),
-        |                 i -> (q_qe[i] - ce[i]) * (q_qe[i] - ce[i]))) AS BIGINT), cid
-        |       LIMIT 4),
+        |qd AS (SELECT cid, CAST(list_sum(list_transform(generate_series(1, len(q_qe)),
+        |          i -> (q_qe[i] - ce[i]) * (q_qe[i] - ce[i]))) AS BIGINT) AS qd2
+        |       FROM c2, qv),
+        |pc AS (SELECT cid FROM qd
+        |       QUALIFY row_number() OVER (ORDER BY qd2, cid)
+        |         <= LEAST(8, GREATEST(2, (SELECT count(*) FROM qd q2
+        |              WHERE q2.qd2 * 100 <= (SELECT min(qd2) FROM qd) * 169)))),
         |probed AS (SELECT q.vec_id, q.qe FROM q JOIN a USING (vec_id)
         |           JOIN pc ON a.cid = pc.cid WHERE q.vec_id != 0),
         |seeds AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
         |                 qe AS ce
-        |          FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |          FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
         |cb AS (SELECT code, j, ce[(j*8+1):(j*8+8)] AS cw
         |       FROM seeds, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS u(j)),
         |sub AS (SELECT vec_id, j, qe[(j*8+1):(j*8+8)] AS sv
@@ -3779,7 +3809,7 @@ object SparkEntry {
         |adc AS (SELECT enc.vec_id, sum(qd2) AS adc
         |        FROM enc JOIN qlut ON enc.j = qlut.j AND enc.code = qlut.code
         |        GROUP BY 1),
-        |cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 200)
+        |cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 400)
         |SELECT q.vec_id, q.label,
         | list_dot_product(q.embedding::DOUBLE[], q_emb)
         |   / (sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x * x)))

@@ -16,9 +16,15 @@ import org.apache.spark.sql.functions.udaf
   * price itself (KAMA_0 = p_0, its sc unused — but the segment-local
   * first sc is CARRIED so a merge can replay it as an ordinary step
   * when the segment turns out not to start the series). Merge is map
-  * composition; no order-dependent special case survives, so the
-  * aggregator is correct under any partial split — windowable over a
-  * growing frame, groupable, chunk-mergeable.
+  * composition, which is ASSOCIATIVE but NOT COMMUTATIVE: any split of
+  * the ordered series into contiguous segments merges back exactly —
+  * windowable over a growing frame, chunk-mergeable over pre-sorted
+  * chunks — but the rows must reach reduce/merge in SERIES ORDER. A
+  * plain `groupBy(...).agg(...)` gives no such ordering (Spark feeds
+  * partials in scan/shuffle order), so a grouped series-final KAMA
+  * through this aggregator would be order-nondeterministic; use it
+  * only over an ordered window frame or explicitly ordered chunks
+  * (the two shipped usages).
   *
   * Long-series numerics: a = Π(1−sc) only ever SHRINKS (sc ∈ (0, 1));
   * gradual underflow to 0 is the genuine "initial value forgotten"

@@ -686,39 +686,87 @@ object Ivf {
       .limit(k)
   }
 
+  /** One INTEGER Lloyd round over the quantized coordinates — the trick
+    * that makes a TRAINED coarse quantizer hash-oracle-able: assignment
+    * is the BIGINT argmin of [[md5CellAssign]], and the new centroid is
+    * the per-dimension `floor(sum / count)` computed as
+    * `floor(CAST(sum AS DOUBLE) / count)` — exact and engine-identical
+    * while |per-cell coordinate sum| < 2^53 (coordinates are < 2^21
+    * after quantization, so that holds to ~4×10^9 vectors per cell;
+    * far beyond any sane nlist sizing). Empty cells keep their previous
+    * centroid, like [[trainCentroids]]. Output is [[Checkpoints.stable]]
+    * (nlist rows): each round's result feeds BOTH the next assignment
+    * and the empty-cell fallback join, and an uncut lineage would
+    * re-run the whole training prefix 2^rounds times.
+    */
+  private def intLloydRound(quant: DataFrame, cents: DataFrame): DataFrame = {
+    val assigned = md5CellAssign(quant, cents)
+    val means = quant.join(assigned, col("vec_id") === col("aid"))
+      .select(col("cid"), posexplode(col("qe")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("mv"))
+      .groupBy(col("cid"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("mv")))),
+        x => x.getField("mv")).as("ce2"))
+    Checkpoints.stable(
+      cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("ce2"), col("ce")).as("ce")))
+  }
+
   /** IVF-PQ — the composition FAISS ships as its production index
     * (coarse inverted file × product quantizer, Jégou et al. TPAMI'11
-    * §V): the query routes to its `nprobe` nearest coarse cells, the
-    * PQ-ADC pass scores ONLY those cells' vectors through the lookup
-    * table, and the exact-cosine re-rank touches the `candidates`
-    * survivors. At 100 TB this is the index shape that works: the
-    * coarse route prunes the scan to ~nprobe/nlist of the corpus
-    * (directory pruning in the layout form, [[ivfProbe]]), the PQ codes
-    * cut the scanned bytes 32×, and the raw vectors are read only for
-    * the top-`candidates` rows.
+    * §V): the query routes to its nearest coarse cells, the PQ-ADC pass
+    * scores ONLY those cells' vectors through the lookup table, and the
+    * exact-cosine re-rank touches the `candidates` survivors. At 100 TB
+    * this is the index shape that works: the coarse route prunes the
+    * scan (directory pruning in the layout form, [[ivfProbe]]), the PQ
+    * codes cut the scanned bytes 32×, and the raw vectors are read only
+    * for the top-`candidates` rows.
     *
-    * Deterministic end-to-end by composing the two md5-twin machines
-    * ([[annIvfMd5]] cells, [[annPq]] codebook) — every stage before the
-    * final cosine is BIGINT arithmetic, so the candidate set is
-    * hash-checkable in any engine.
+    * The coarse quantizer is TRAINED — md5 seeds refined by
+    * `lloydRounds` [[intLloydRound]]s — and the probe is the ADAPTIVE
+    * integer twin of [[adaptiveProbeCells]]: probe every cell whose
+    * integer d2 to the query is within 1.3² (encoded exactly as the
+    * rational 169/100) of the nearest cell's, floored at `minProbe`,
+    * capped at `maxScanFrac`·nlist. Untrained seeds at a fixed nprobe
+    * measured recall@10 = 0.6 on the weakly-clustered sf0.1 corpus
+    * (ANN_RECALL_r13); the trained cells + adaptive probe measured 1.0
+    * at the same ≤50% scan budget, 0.80 mean over 8 query points.
+    *
+    * Still deterministic end-to-end — integer Lloyd means, BIGINT
+    * distances, struct-min tie-breaks — so the candidate set stays
+    * hash-checkable in any engine (the property [[trainCentroids]]'s
+    * float means cannot give).
     */
   def annIvfPq(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
-               nlist: Int = 8, nprobe: Int = 2,
-               m: Int = 8, codes: Int = 16, candidates: Int = 40): DataFrame = {
+               nlist: Int = 16, lloydRounds: Int = 2,
+               m: Int = 8, codes: Int = 32, candidates: Int = 400,
+               minProbe: Int = 2, maxScanFrac: Double = 0.5): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     val dim = derivedDim(embeddings)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val quant = widthChecked(quantized(embeddings), dim, "annIvfPq")
     val ds = dim / m
     def subs(v: org.apache.spark.sql.Column) = pqSubs(v, m, ds)
-    // coarse route: assignment + the query's nprobe nearest cells
-    val cents = md5SeedCells(quant, nlist)
+    // coarse route: integer-Lloyd-trained cells + adaptive integer probe
+    val cents = (0 until lloydRounds)
+      .foldLeft(md5SeedCells(quant, nlist))((c, _) => intLloydRound(quant, c))
     val assigned = md5CellAssign(quant, cents)
     val qrowQ = quant.filter(col("vec_id") === queryId)
       .select(col("qe").as("q_qe"))
+    val cap = math.max(minProbe, math.round(nlist * maxScanFrac).toInt)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val wOrd = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      .orderBy(col("qd2"), col("cid"))
+    // nlist rows total: the windows are driver-trivial, never corpus-wide
     val qcells = cents.crossJoin(broadcast(qrowQ))
-      .orderBy(intD2(col("q_qe"), col("ce")), col("cid"))
-      .limit(nprobe)
+      .select(col("cid"), intD2(col("q_qe"), col("ce")).as("qd2"))
+      .withColumn("dmin", min(col("qd2")).over(wAll))
+      .withColumn("wide", sum(when(col("qd2") * lit(100L) <= col("dmin") * lit(169L),
+        1L).otherwise(0L)).over(wAll))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") <= least(lit(cap.toLong),
+        greatest(lit(minProbe.toLong), col("wide"))))
       .select(col("cid"))
     // the pruned scan: only probed cells' vectors reach the PQ pass
     val probed = quant.filter(col("vec_id") =!= queryId)

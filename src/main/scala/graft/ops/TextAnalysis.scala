@@ -1044,13 +1044,18 @@ object TextAnalysis {
     val base = newDocs.withColumn("w", toks).filter(size(col("w")) >= k)
     val win = windowRows(base, k)
     val corpus = spark.read.parquet(artifactDir)
-    // Same k-stamp guard as readDupStarts: fingerprints of k'-token
-    // windows match nothing (or the wrong thing) at k ≠ k'.
-    if (corpus.columns.contains("k"))
-      corpus.select(col("k")).limit(1).collect().headOption.foreach { r =>
-        require(r.getInt(0) == k,
-          s"window-hash artifact at $artifactDir was written with k=${r.getInt(0)}; reader requested k=$k")
-      }
+    // Same HARD k-stamp guard as readDupStarts. The stamp doubles as the
+    // format version: a pre-stamp artifact also predates the hex→binary
+    // fingerprint change in windowRows, and a soft check would let its
+    // string `h` silently join zero rows against the binary keys instead
+    // of failing loud — rewrite old artifacts with writeWindowHashes.
+    require(corpus.columns.contains("k"),
+      s"window-hash artifact at $artifactDir carries no k stamp (pre-binary-" +
+        "fingerprint format) — rewrite it with writeWindowHashes")
+    corpus.select(col("k")).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == k,
+        s"window-hash artifact at $artifactDir was written with k=${r.getInt(0)}; reader requested k=$k")
+    }
     val corpusHits = win
       .join(corpus.select(col("h")), Seq("h"), "left_semi")
       .select(col("doc_id"), col("s"))

@@ -288,23 +288,42 @@ class IvfSpec extends SparkSpec {
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     def slice8(v: Array[Long], j: Int) = v.slice(j * 8, j * 8 + 8)
     val ordered = rows.map(_._1).sortBy(id => (h(id), id))
-    // coarse: 8 cells, query's 2 nearest
-    val cells8 = ordered.take(8).map(quant).zipWithIndex
-    val cellOf = quant.map { case (id, qe) =>
-      id -> cells8.map { case (ce, cid) => (d2(qe, ce), cid) }.min._2 }
-    val probeCells = cells8.map { case (ce, cid) => (d2(quant(0L), ce), cid) }
-      .sorted.take(2).map(_._2).toSet
-    // PQ: 16-seed codebook, encode probed vectors, ADC rank
-    val seeds = ordered.take(16).map(quant)
+    // coarse: 16 md5 seeds refined by TWO integer-Lloyd rounds
+    // (floor(sum/cnt) means; empty cells keep the previous centroid)
+    def assign(cents: IndexedSeq[Array[Long]]): Map[Long, Int] =
+      quant.map { case (id, qe) =>
+        id -> cents.zipWithIndex.map { case (ce, cid) => (d2(qe, ce), cid) }.min._2 }
+    def lloydRound(cents: IndexedSeq[Array[Long]]): IndexedSeq[Array[Long]] = {
+      val a = assign(cents)
+      cents.indices.map { cid =>
+        val members = rows.map(_._1).filter(id => a(id) == cid)
+        if (members.isEmpty) cents(cid)
+        else Array.tabulate(64) { i =>
+          math.floor(members.map(id => quant(id)(i)).sum.toDouble
+            / members.size).toLong }
+      }
+    }
+    val cells16 = (0 until 2).foldLeft(
+      ordered.take(16).map(quant).toIndexedSeq)((c, _) => lloydRound(c))
+    val cellOf = assign(cells16)
+    // adaptive integer probe: every cell within 169/100 of the nearest
+    // d2, floored at 2, capped at 8 (= 0.5 * nlist)
+    val qd = cells16.zipWithIndex.map { case (ce, cid) => (d2(quant(0L), ce), cid) }
+    val dmin = qd.map(_._1).min
+    val wide = qd.count(_._1 * 100L <= dmin * 169L)
+    val take = math.min(8, math.max(2, wide))
+    val probeCells = qd.sorted.take(take).map(_._2).toSet
+    // PQ: 32-seed codebook, encode probed vectors, ADC rank, 400 cands
+    val seeds = ordered.take(32).map(quant)
     def code(v: Array[Long], j: Int): Int =
       (seeds.zipWithIndex.map { case (s, c) =>
-        d2(slice8(v, j), slice8(s, j)) * 16 + c }.min % 16).toInt
+        d2(slice8(v, j), slice8(s, j)) * 32 + c }.min % 32).toInt
     val qlut = (0 until 8).map { j =>
       seeds.map(s => d2(slice8(quant(0L), j), slice8(s, j))) }
     val probedIds = rows.map(_._1).filter(id => id != 0L && probeCells(cellOf(id)))
     val cand = probedIds.map { id =>
       id -> (0 until 8).map(j => qlut(j)(code(quant(id), j))).sum }
-      .sortBy { case (id, a) => (a, id) }.take(40).map(_._1).toSet
+      .sortBy { case (id, a) => (a, id) }.take(400).map(_._1).toSet
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       for (i <- a.indices) { dot += a(i).toDouble * b(i).toDouble
