@@ -105,6 +105,16 @@ object StressScaling {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE partition sizing, the production config for data 100-1000x
+      // past the bench scale: shuffles START at 8x the core count and
+      // AQE coalesces small stages back down, so bench-sized stages
+      // behave as before while the 165M-row stress shuffles sort
+      // ~40 MB per task instead of ~300 MB. Measured at the 5M-doc
+      // substring point: 219 s -> 128 s (the 32-partition per-task sort
+      // was spilling — the single-box analogue of an undersized
+      // spark.sql.shuffle.partitions on a real cluster).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

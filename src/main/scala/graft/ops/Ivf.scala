@@ -694,12 +694,18 @@ object Ivf {
     * while |per-cell coordinate sum| < 2^53 (coordinates are < 2^21
     * after quantization, so that holds to ~4×10^9 vectors per cell;
     * far beyond any sane nlist sizing). Empty cells keep their previous
-    * centroid, like [[trainCentroids]]. Output is [[Checkpoints.stable]]
-    * (nlist rows): each round's result feeds BOTH the next assignment
-    * and the empty-cell fallback join, and an uncut lineage would
-    * re-run the whole training prefix 2^rounds times.
+    * centroid, like [[trainCentroids]]. The round's result MATERIALIZES
+    * TO THE DRIVER and returns as a local table (nlist rows of exact
+    * BIGINTs — the [[readCentroids]] catalog-artifact pattern): each
+    * round feeds BOTH the next assignment and the empty-cell fallback
+    * join, so an uncut lineage would re-run the whole training prefix
+    * 2^rounds times, and a localCheckpoint cut would hide the bound
+    * from the plan (an RDD scan is not recognizably nlist-row; a
+    * LocalTableScan is).
     */
   private def intLloydRound(quant: DataFrame, cents: DataFrame): DataFrame = {
+    val spark = quant.sparkSession
+    import spark.implicits._
     val assigned = md5CellAssign(quant, cents)
     val means = quant.join(assigned, col("vec_id") === col("aid"))
       .select(col("cid"), posexplode(col("qe")).as(Seq("pos", "v")))
@@ -708,9 +714,12 @@ object Ivf {
       .groupBy(col("cid"))
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("mv")))),
         x => x.getField("mv")).as("ce2"))
-    Checkpoints.stable(
-      cents.join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("ce2"), col("ce")).as("ce")))
+    cents.join(means, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("ce2"), col("ce")).as("ce"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Long]]("ce").toArray))
+      .toSeq.toDF("cid", "ce")
   }
 
   /** IVF-PQ — the composition FAISS ships as its production index

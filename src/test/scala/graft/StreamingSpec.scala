@@ -783,6 +783,133 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming EMA restart: mapGroupsWithState state restores from checkpoint to batch parity") {
+    // The recovery contract the in-run pacing tests can't prove: the
+    // query is STOPPED after folding phase 1 (180 ticks), then a brand-
+    // new query resumes from the SAME checkpoint over phase 2 only. The
+    // run-2 memory sink captures run-2 emissions alone, so equality with
+    // the batch EMA over ALL 300 ticks is only possible if the (num,
+    // den, n) state was restored from the checkpointed state store —
+    // and the emission floor proves phase 1 was NOT re-read.
+    val all = (0 until 300).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L),
+        Seq("btc", "eth", "sol")(i % 3), 100.0 + (i * 41 % 23) - 11.0)
+    }
+    val (phase1, phase2) = all.splitAt(180) // 60 ticks/key, mid-series
+    val dir = Files.createTempDirectory("graft_semar_").toString
+    val schema = all.take(1).toDF("event_id", "ts", "event_type", "value").schema
+    // memory sink rejects checkpoint recovery; foreachBatch is the
+    // recoverable sink contract, landing each run's update rows in its
+    // own parquet dir so run-2 emissions are attributable
+    def runOnce(outDir: String): Unit = {
+      val q = graft.stream.StatefulRunning
+        .runningEma(spark, s"$dir/in", schema, 0.1)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(outDir): Unit }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    phase1.toDF("event_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    runOnce(s"$dir/out1")
+    assert(spark.read.parquet(s"$dir/out1")
+      .groupBy("event_type").agg(max("n").as("n"))
+      .collect().forall(_.getAs[Long]("n") == 60L))
+    phase2.toDF("event_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    runOnce(s"$dir/out2") // fresh query object, same checkpoint
+    val run2 = spark.read.parquet(s"$dir/out2")
+    // run 2 never saw counts <= 60: phase 1 files were not reprocessed
+    assert(run2.agg(min("n")).head().getLong(0) > 60L)
+    val streamed = run2
+      .groupBy("event_type").agg(max("n").as("n"),
+        max_by(col("ema"), col("n")).as("ema"))
+      .orderBy("event_type").collect()
+    val batch = graft.ops.Rolling
+      .ewma(all.toDF("event_id", "ts", "event_type", "value"), 0.1)
+      .groupBy("event_type").agg(max_by(col("ema"), col("event_id")).as("ema"))
+      .orderBy("event_type").collect()
+    assert(streamed.length == 3)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[String]("event_type") == b.getAs[String]("event_type"))
+      assert(s.getAs[Long]("n") == 100L)
+      val (x, y) = (s.getAs[Double]("ema"), b.getAs[Double]("ema"))
+      assert(math.abs(x - y) <= 1e-12 * math.abs(y), s"$x vs $y")
+    }
+  }
+
+  test("streaming volume bars restart: open-bar state survives the checkpoint boundary") {
+    // flatMapGroupsWithState recovery: the stop lands MID-BAR (each
+    // symbol's bar straddling tick 180 is still open in state), so run 2
+    // can only emit that bar correctly — open price and cumulative-unit
+    // offset from phase 1 — by restoring VbState from the checkpoint.
+    // run1-bars ∪ run2-bars must equal the batch op minus each symbol's
+    // final still-open bar, with no overlap and no gap.
+    val all = (0 until 300).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L),
+        Seq("btc", "eth")(i % 2), 100.0 + (i * 41 % 23) - 11.0)
+    }
+    val (phase1, phase2) = all.splitAt(180)
+    val dir = Files.createTempDirectory("graft_svbr_").toString
+    val schema = all.take(1).toDF("event_id", "ts", "event_type", "value").schema
+    val barUnits = 2000000L
+    // append mode + the (recoverable) parquet file sink. The sink's
+    // _spark_metadata log is keyed by batch id and must stay with ONE
+    // output path across restarts, so both runs land in the same dir
+    // and run-2 bars are attributed by diffing the run-1 snapshot.
+    def runOnce(): Unit = {
+      val q = graft.stream.StatefulRunning
+        .volumeBars(spark, s"$dir/in", schema, barUnits)
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    phase1.toDF("event_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    runOnce()
+    val run1 = spark.read.parquet(s"$dir/out").collect()
+    phase2.toDF("event_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    runOnce()
+    val run1Keys = run1.map(r => (r.getString(0), r.getLong(1))).toSet
+    val run2 = spark.read.parquet(s"$dir/out").collect()
+      .filterNot(r => run1Keys((r.getString(0), r.getLong(1))))
+    assert(run1.nonEmpty && run2.nonEmpty)
+    val batch = graft.ops.Resample.volumeBars(
+        all.toDF("event_id", "ts", "event_type", "value"), barUnits)
+      .collect()
+    val expected = batch.groupBy(_.getString(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).dropRight(1)).toMap
+    val got = (run1 ++ run2).groupBy(_.getString(0)).view
+      .mapValues(_.sortBy(_.getLong(1))).toMap
+    assert(got.keySet == Set("btc", "eth"))
+    for (sym <- got.keySet) {
+      val (e, g) = (expected(sym), got(sym))
+      // no bar emitted twice across the restart, none lost
+      assert(g.map(_.getLong(1)).distinct.length == g.length)
+      assert(e.length == g.length, s"$sym: ${e.length} vs ${g.length}")
+      // the boundary bar was completed by run 2 from restored state
+      val run2Min = run2.filter(_.getString(0) == sym).map(_.getLong(1)).min
+      val run1Max = run1.filter(_.getString(0) == sym).map(_.getLong(1)).max
+      assert(run2Min == run1Max + 1, s"$sym: bar gap/overlap at the restart")
+      e.zip(g).foreach { case (a, b) =>
+        assert(a.getLong(1) == b.getLong(1))
+        assert(a.getDouble(2) == b.getDouble(2) && a.getDouble(3) == b.getDouble(3) &&
+          a.getDouble(4) == b.getDouble(4) && a.getDouble(5) == b.getDouble(5) &&
+          a.getLong(7) == b.getLong(7), s"$sym bar ${a.getLong(1)}: $a vs $b")
+        assert(approx(a.getDouble(6), b.getDouble(6)))
+      }
+    }
+  }
+
   test("streaming dedup: replayed event ids emit exactly once") {
     // at-least-once upstream: every 5th event is delivered twice, some
     // three times, across separate files (≈ separate micro-batches)
