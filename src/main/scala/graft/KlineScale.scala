@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+import graft.schema.KlineSchema
+
+/** The reference's OWN operating regime, end-to-end (not part of the
+  * driver contract): two months of GAPLESS 1-second klines — 86 400
+  * rows/day × (31 + 30) days = 5 270 400 rows, the BASELINE.md envelope
+  * (`~2.6M rows/month ≈ 5.2M total`, months `configs/data_limit.yml`,
+  * schema `components/process_data.py:93-106`) — generated as
+  * header-less monthly CSV, ingested through the real S3 reader
+  * ([[Sources.readCsv]] with [[KlineSchema.schema]]), and pushed through
+  * the full [[Etl.run]] chain (crawl manifest → flagship hourly resample
+  * → month-partitioned silver zone → warehouse CTAS → CSV export) TWICE,
+  * asserting bar counts (744 bars for the 31-day month, 720 for the
+  * 30-day month — the reference's `track_each=3600` ratio,
+  * `process_data.py:44`) and idempotency of the re-run.
+  *
+  * The correctness gate (`EtlSpec`) proves the same chain at ~6k events;
+  * this main is the EVIDENCE RUN at the reference's actual data scale
+  * and heap: launch with `SPARK_DRIVER_MEM=4g` to match the reference's
+  * documented 4 g single-node envelope (BASELINE.md:37-38).
+  *
+  * Output: one `KLINE_SCALE {json}` line — redirect to
+  * `bench/r{N}_kline_scale.json` for the committed artifact.
+  *
+  * Usage: `SPARK_DRIVER_MEM=4g sbt 'runMain graft.KlineScale'`.
+  */
+object KlineScale {
+
+  /** Gapless 1 s klines for one month as the 12 positional columns of
+    * [[KlineSchema]]. Deterministic (hash-seeded) prices with the real
+    * kline invariants: open(t+1) = close(t) (gapless series), high ≥
+    * max(open, close), low ≤ min(open, close), epoch-ms open/close
+    * times. Built relationally from `spark.range` — no driver loops.
+    */
+  private def klineMonth(spark: SparkSession, startSec: Long,
+                         days: Int): org.apache.spark.sql.DataFrame = {
+    def px(s: org.apache.spark.sql.Column) =
+      lit(50000.0) + (pmod(xxhash64(s), lit(20001L)) - 10000L).cast("double") / 100.0
+    spark.range(days.toLong * 86400L)
+      .select((col("id") + startSec).as("sec"))
+      .select(
+        (col("sec") * 1000L).as("open_time"),
+        px(col("sec")).as("open"),
+        (greatest(px(col("sec")), px(col("sec") + 1L)) +
+          (pmod(xxhash64(col("sec") * 31L), lit(500L))).cast("double") / 100.0).as("high"),
+        (least(px(col("sec")), px(col("sec") + 1L)) -
+          (pmod(xxhash64(col("sec") * 37L), lit(500L))).cast("double") / 100.0).as("low"),
+        px(col("sec") + 1L).as("close"),
+        ((pmod(xxhash64(col("sec") * 41L), lit(10000L))).cast("double") / 100.0).as("volume"),
+        (col("sec") * 1000L + 999L).as("close_time"),
+        ((pmod(xxhash64(col("sec") * 43L), lit(10000L))).cast("double") * 500.0).as("quote_volume"),
+        pmod(xxhash64(col("sec") * 47L), lit(200L)).as("n_trades"),
+        ((pmod(xxhash64(col("sec") * 53L), lit(10000L))).cast("double") / 200.0).as("taker_base"),
+        ((pmod(xxhash64(col("sec") * 59L), lit(10000L))).cast("double") * 250.0).as("taker_quote"),
+        lit("0").as("ignore_col"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_kline_scale").toString
+
+    // land two months as header-less CSV (the reference's zip payload
+    // shape): 2025-08 (31 d) + 2025-09 (30 d), gapless across the seam.
+    val aug1 = java.time.Instant.parse("2025-08-01T00:00:00Z").getEpochSecond
+    val sep1 = java.time.Instant.parse("2025-09-01T00:00:00Z").getEpochSecond
+    val tGen0 = System.nanoTime()
+    klineMonth(spark, aug1, 31).write.mode("overwrite")
+      .csv(s"$base/landing/2025-08")
+    klineMonth(spark, sep1, 30).write.mode("overwrite")
+      .csv(s"$base/landing/2025-09")
+    val genSec = (System.nanoTime() - tGen0) / 1e9
+
+    // ingest through the real header-less typed CSV reader (S3) and map
+    // to the flagship's event shape: ts from epoch-ms open time, value =
+    // close, one symbol (the reference processes exactly one).
+    val klines = Sources.readCsv(spark, s"$base/landing/*",
+      KlineSchema.schema)
+    val events = klines.select(
+      timestamp_millis(col("Open time")).as("ts"),
+      col("Close").as("value"),
+      lit("BTCUSDT-1s").as("event_type"))
+    val nIn = events.count()
+    require(nIn == 5270400L, s"expected 5,270,400 gapless 1s rows, got $nIn")
+
+    val cfg = Etl.EtlConfig(
+      sources = Seq("BTCUSDT-1s"),
+      periods = Seq("2025-08", "2025-09"),
+      landingDir = s"$base/landing",
+      aggregatedDir = s"$base/agg",
+      warehouseTable = "kline_scale_table",
+      warehousePath = s"$base/wh",
+      exportDir = s"$base/export")
+    val t0 = System.nanoTime()
+    val first = Etl.run(spark, events, cfg).collect()
+    val runSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val second = Etl.run(spark, events, cfg).collect()
+    val rerunSec = (System.nanoTime() - t1) / 1e9
+
+    // the BASELINE envelope: track_each=3600 → 744 + 720 hourly bars
+    val warehouse = spark.table(cfg.warehouseTable)
+    val byMonth = warehouse
+      .groupBy(date_format(timestamp_seconds(col("bucket")), "yyyy-MM").as("m"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(byMonth == Map("2025-08" -> 744L, "2025-09" -> 720L),
+      s"bar counts off the 3600:1 envelope: $byMonth")
+    val nBars = warehouse.count()
+    val exported = spark.read.option("header", "true").csv(cfg.exportDir).count()
+    require(exported == nBars, s"export rows $exported != warehouse rows $nBars")
+    require(first.toSeq.toString == second.toSeq.toString,
+      "re-run is not idempotent")
+
+    val heap = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    println(f"""KLINE_SCALE {"input_rows":$nIn,"months":["2025-08","2025-09"],"bars":{"2025-08":744,"2025-09":720},"warehouse_rows":$nBars,"export_rows":$exported,"idempotent":true,"gen_sec":$genSec%.2f,"run_sec":$runSec%.2f,"rerun_sec":$rerunSec%.2f,"heap_mb":$heap,"cpus":$cpus}""")
+    spark.stop()
+  }
+}
