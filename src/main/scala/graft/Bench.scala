@@ -18,12 +18,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.localBuilder(cpus.toInt).getOrCreate()
     // ERROR, not WARN: benign WARN spam (WindowExec, AQE) once pushed the
     // final JSON line out of the driver's capture window.
     spark.sparkContext.setLogLevel("ERROR")
@@ -107,8 +102,14 @@ object Bench {
     //    smallest capture window observed (~2.5 KB).
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"stat":"median","sentinel":$sent}"""
+    // Default full-map path is stamped with the run's sf-dir basename so
+    // back-to-back runs at different scales can't clobber each other's
+    // only complete record (an sf1 run once overwrote the sf0.1 map the
+    // stdout pointer referenced). Same-sf reruns still overwrite — set
+    // SPARK_GRAFT_BENCH_FULL per run to keep multiple records.
+    val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      "bench/latest_full.json")
+      s"bench/latest_full_$sfBase.json")
     try {
       val p = java.nio.file.Paths.get(fullPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))

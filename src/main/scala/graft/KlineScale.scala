@@ -62,15 +62,18 @@ object KlineScale {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.localBuilder(cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_kline_scale").toString
+    // SPARK_GRAFT_KLINE_KEEP=<dir>: land + write into a caller-owned dir
+    // so tools/kline_oracle.py can replay the SAME generated CSV through
+    // DuckDB's flagship aggregate and hash-compare the bar VALUES (the
+    // count/parity/idempotency requires below check shape, not values).
+    val base = sys.env.get("SPARK_GRAFT_KLINE_KEEP").map { d =>
+      val p = java.nio.file.Paths.get(d)
+      java.nio.file.Files.createDirectories(p)
+      p.toString
+    }.getOrElse(java.nio.file.Files
+      .createTempDirectory("graft_kline_scale").toString)
 
     // land two months as header-less CSV (the reference's zip payload
     // shape): 2025-08 (31 d) + 2025-09 (30 d), gapless across the seam.
@@ -123,9 +126,13 @@ object KlineScale {
     require(exported == nBars, s"export rows $exported != warehouse rows $nBars")
     require(first.toSeq.toString == second.toSeq.toString,
       "re-run is not idempotent")
+    // bar VALUES for the DuckDB oracle replay (tools/kline_oracle.py)
+    warehouse.coalesce(1).write.mode("overwrite").parquet(s"$base/bars_out")
 
     val heap = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    println(f"""KLINE_SCALE {"input_rows":$nIn,"months":["2025-08","2025-09"],"bars":{"2025-08":744,"2025-09":720},"warehouse_rows":$nBars,"export_rows":$exported,"idempotent":true,"gen_sec":$genSec%.2f,"run_sec":$runSec%.2f,"rerun_sec":$rerunSec%.2f,"heap_mb":$heap,"cpus":$cpus}""")
+    val barsJson = byMonth.toSeq.sorted
+      .map { case (m, n) => s""""$m":$n""" }.mkString("{", ",", "}")
+    println(f"""KLINE_SCALE {"input_rows":$nIn,"months":["2025-08","2025-09"],"bars":$barsJson,"warehouse_rows":$nBars,"export_rows":$exported,"idempotent":true,"gen_sec":$genSec%.2f,"run_sec":$runSec%.2f,"rerun_sec":$rerunSec%.2f,"heap_mb":$heap,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -1011,15 +1011,21 @@ object SparkEntry {
     // the steady-state probe latency — the figure that matters once the
     // layout is a standing lake artifact. Bench runs alphabetically, so
     // ann_lsh has always built the layout before ann_probe is timed.
+    // The registered route is the PRODUCTION operating point: a 2^6
+    // bucket layout probed query-directed (margin-ordered buckets,
+    // Lv et al. multi-probe) under a 25% scan budget — measured
+    // recall@10 >= 0.9 on the weakly-clustered sf0.1 corpus where the
+    // r14 fixed radius-1 route measured 0.8 (ANN_RECALL_r15
+    // ann_lsh_curve documents the recall-vs-budget trade).
     "ann_lsh" -> ((s, d) => {
       val layout = scratch("ann_layout", d)(p =>
-        Similarity.writeAnnLayout(Tables.embeddings(s, d), p))
-      Similarity.annLshBucketed(s, layout, 0L, 10)
+        Similarity.writeAnnLayout(Tables.embeddings(s, d), p, nPlanes = 6))
+      Similarity.annLshBucketedAdaptive(s, layout, 0L, 10)
     }),
     "ann_probe" -> ((s, d) => {
       val layout = scratch("ann_layout", d)(p =>
-        Similarity.writeAnnLayout(Tables.embeddings(s, d), p))
-      Similarity.annLshBucketed(s, layout, 0L, 10)
+        Similarity.writeAnnLayout(Tables.embeddings(s, d), p, nPlanes = 6))
+      Similarity.annLshBucketedAdaptive(s, layout, 0L, 10)
     }),
     // IVF (coarse-quantizer) ANN — the data-ADAPTIVE counterpart to the
     // hyperplane layout: deterministic k-means cells, cell-partitioned
@@ -3762,7 +3768,7 @@ object SparkEntry {
         |               i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT), 'cid': cid})).cid AS cid
         |       FROM q, c0 GROUP BY 1),
         |m1 AS (SELECT cid, i, CAST(floor(CAST(sum(qe[i]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
-        |       FROM q JOIN a1 USING (vec_id), UNNEST(generate_series(1, 64)) AS u(i)
+        |       FROM q JOIN a1 USING (vec_id), UNNEST(generate_series(1, len(qe))) AS u(i)
         |       GROUP BY 1, 2),
         |c1m AS (SELECT cid, list(mv ORDER BY i) AS ce FROM m1 GROUP BY cid),
         |c1 AS (SELECT c0.cid, COALESCE(c1m.ce, c0.ce) AS ce FROM c0 LEFT JOIN c1m USING (cid)),
@@ -3771,7 +3777,7 @@ object SparkEntry {
         |               i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT), 'cid': cid})).cid AS cid
         |       FROM q, c1 GROUP BY 1),
         |m2 AS (SELECT cid, i, CAST(floor(CAST(sum(qe[i]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
-        |       FROM q JOIN a2 USING (vec_id), UNNEST(generate_series(1, 64)) AS u(i)
+        |       FROM q JOIN a2 USING (vec_id), UNNEST(generate_series(1, len(qe))) AS u(i)
         |       GROUP BY 1, 2),
         |c2m AS (SELECT cid, list(mv ORDER BY i) AS ce FROM m2 GROUP BY cid),
         |c2 AS (SELECT c1.cid, COALESCE(c2m.ce, c1.ce) AS ce FROM c1 LEFT JOIN c2m USING (cid)),

@@ -15,12 +15,7 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(5000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.localBuilder(cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     // 1-second ticks across 20 symbols with a deterministic pseudo-random

@@ -41,6 +41,19 @@ object StressScaling {
         concat(lit("s"), pmod(col("id"), lit(7))).as("source"),
         lit(200L).as("n_chars"))
 
+  /** Hot-key twin of [[docs]]: every document opens with the SAME
+    * 8-token boilerplate, so at n docs ONE 8-window fingerprint occurs
+    * n times — the template-heavy web-crawl shape (shared site headers,
+    * license banners) that concentrates a corpus-sized group on a
+    * single key. This is the skew case the two-level agg verdict in
+    * [[graft.ops.TextAnalysis]] exists for: the single-pass window
+    * verdict sorts that key's entire group into one spilling window
+    * buffer on one task.
+    */
+  private[graft] def docsHotKey(spark: SparkSession, n: Long): DataFrame =
+    docs(spark, n).withColumn("text",
+      concat(lit("hb0 hb1 hb2 hb3 hb4 hb5 hb6 hb7 "), col("text")))
+
   /** Zipf + Heaps twin of [[docs]]: token ids drawn as ⌊V·u³⌋
     * (u uniform), i.e. P(id ≤ x) = (x/V)^⅓ — a heavy head and a long
     * tail of rare types — with the vocabulary GROWING as V = 10⁴·√(n/5k)
@@ -102,22 +115,10 @@ object StressScaling {
       .getOrElse(Seq(1L, 10L, 100L))
     def want(name: String): Boolean = onlyQ.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // AQE partition sizing, the production config for data 100-1000x
-      // past the bench scale: shuffles START at 8x the core count and
-      // AQE coalesces small stages back down, so bench-sized stages
-      // behave as before while the 165M-row stress shuffles sort
-      // ~40 MB per task instead of ~300 MB. Measured at the 5M-doc
-      // substring point: 219 s -> 128 s (the 32-partition per-task sort
-      // was spilling — the single-box analogue of an undersized
-      // spark.sql.shuffle.partitions on a real cluster).
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // The AQE partition sizing that halved the 100x stress walls lives in
+    // the shared production profile now — see GraftSession for the
+    // measured rationale (219 s -> 128 s at the 5M-doc substring point).
+    val spark = GraftSession.localBuilder(cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     // Disk-backed checkpoints for a single timed block: at the 100×+
@@ -171,6 +172,22 @@ object StressScaling {
       if (want("substring_dedup"))
         record("substring_dedup", scale, nDocs, timed(
           ops.TextAnalysis.substringDedup(d, 8)))
+      // Contrast arm: the single-pass window verdict on the same corpus
+      // (fastest when no key is hot — the number the agg form must stay
+      // within band of on skew-FREE data).
+      if (want("substring_dedup_window"))
+        record("substring_dedup_window", scale, nDocs, timed(
+          ops.TextAnalysis.substringDedupWindowVerdict(d, 8)))
+      // Skew arms: every doc shares an 8-token boilerplate prefix, so one
+      // fingerprint occurs nDocs times. The agg verdict must stay FLAT vs
+      // the uniform corpus; the window verdict documents the spill cliff.
+      lazy val dh = docsHotKey(spark, nDocs).localCheckpoint()
+      if (want("substring_dedup_hotkey"))
+        record("substring_dedup_hotkey", scale, nDocs, timed(
+          ops.TextAnalysis.substringDedup(dh, 8)))
+      if (want("substring_dedup_hotkey_window"))
+        record("substring_dedup_hotkey_window", scale, nDocs, timed(
+          ops.TextAnalysis.substringDedupWindowVerdict(dh, 8)))
       // CMS at production width: d×token-volume codegen md5 rows into a
       // d·w-bounded aggregate — the sketch's whole point is linearity.
       if (want("cms_profile"))
@@ -269,6 +286,13 @@ object StressScaling {
       if (Seq("ann_ivf", "semantic_dedup_flat", "semantic_dedup_hier",
           "semantic_dedup_capped", "semantic_hier_cells").exists(want))
         emb.unpersist()
+      // Drop this scale's localCheckpoint blocks (d/dz/dh) before the
+      // next decade: the cuts pin executor STORAGE memory on the one
+      // shared heap, and three stacked scales of 5M-row corpora
+      // otherwise crowd the task-memory pool (a subset run at 8g died
+      // exactly here, silently, between the 10x and 100x iterations).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
 
     val ratios = results.map { case (name, byScale) =>

@@ -147,6 +147,186 @@ case class L2SquaredLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_ldot(a, b)`: BIGINT dot product of two ARRAY<BIGINT> columns —
+  * the integer-dot companion to [[DotProductFloat]] for the md5-twin
+  * plane family ([[graft.ops.Similarity]]), whose 2^20-quantized
+  * coordinates and integer plane components make every sign decision
+  * exact in any engine.
+  *
+  * The built-in spelling — `aggregate(zip_with(qe, comps, (x,y) -> x*y),
+  * 0L, +)` — evaluates three interpreted lambdas and allocates an
+  * intermediate array per (row, plane); the banded twin pays it
+  * nTables×planesPerTable = 24 times per row. This compiles to a
+  * primitive loop over the two `ArrayData` buffers with the identical
+  * long arithmetic, so buckets (and the DuckDB oracle, which mirrors
+  * the MATH) are unchanged.
+  */
+@ExpressionDescription(
+  usage = "graft_ldot(a, b) - dot product of two ARRAY<BIGINT> columns as BIGINT.")
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_ldot expects two ARRAY<BIGINT> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += xs.getLong(i) * ys.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_md5pre(prefix, s)`: the RAW 16-byte md5 digest of the UTF-8
+  * concatenation `prefix ++ s`, as BINARY — semantically identical to
+  * `unhex(md5(concat(prefix, s)))`, physically one digest over the two
+  * byte runs with a REUSED MessageDigest (codegen mutable state).
+  *
+  * This is the MinHash-md5-twin hot path: k=8 salted digests per shingle
+  * row. The built-in spelling allocates, per (row, salt): the concat'd
+  * UTF8String, a fresh MessageDigest (commons-codec `md5Hex`), the
+  * 32-char hex string, and (for a binary min) the unhex buffer. Binary
+  * compares unsigned-lexicographically, exactly like the hex string, so
+  * `min` over these digests picks the same winner and `lower(hex(...))`
+  * of the result reproduces the oracle's string bit-for-bit.
+  */
+@ExpressionDescription(
+  usage = "graft_md5pre(prefix, s) - 16-byte md5 digest of prefix||s as BINARY.")
+case class Md5Prefix(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == StringType)
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_md5pre expects two STRING arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  @transient private lazy val mdEval =
+    java.security.MessageDigest.getInstance("MD5")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    mdEval.reset()
+    mdEval.update(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    mdEval.update(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    mdEval.digest()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val md = ctx.addMutableState("java.security.MessageDigest", "graftMd5",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+              |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }""".stripMargin)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |$md.reset();
+         |$md.update($a.getBytes());
+         |$md.update($b.getBytes());
+         |${ev.value} = $md.digest();
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Md5Prefix =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_md5u32(s)`: the first 4 bytes of md5(s) as an unsigned
+  * big-endian BIGINT — semantically identical to
+  * `conv(substring(md5(s), 1, 8), 16, 10) :: BIGINT` (DuckDB:
+  * `('0x' || substr(md5(s), 1, 8))::BIGINT`), physically one reused
+  * digest and zero string allocation. The SimHash-md5-twin per-token
+  * hash: the built-in spelling pays hex-encode (32 chars) + substring +
+  * base-16 string parse per token row.
+  */
+@ExpressionDescription(
+  usage = "graft_md5u32(s) - first 4 md5 bytes of a STRING as unsigned BIGINT.")
+case class Md5Uint32(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_md5u32 expects a STRING argument, got ${child.dataType.simpleString}")
+  }
+
+  @transient private lazy val mdEval =
+    java.security.MessageDigest.getInstance("MD5")
+
+  override protected def nullSafeEval(a: Any): Any = {
+    mdEval.reset()
+    val d = mdEval.digest(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val md = ctx.addMutableState("java.security.MessageDigest", "graftMd5u",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+              |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }""".stripMargin)
+    nullSafeCodeGen(ctx, ev, a => {
+      val d = ctx.freshName("d")
+      s"""
+         |$md.reset();
+         |byte[] $d = $md.digest($a.getBytes());
+         |${ev.value} = (($d[0] & 0xFFL) << 24) | (($d[1] & 0xFFL) << 16)
+         |  | (($d[2] & 0xFFL) << 8) | ($d[3] & 0xFFL);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Uint32 =
+    copy(child = newChild)
+}
+
 /** `graft_sdot(a, b)`: integer dot product of two SPARSE vectors held as
   * `ARRAY<STRUCT<t: STRING, w: BIGINT>>` arrays SORTED by `t` — one
   * sorted-merge walk, O(|a| + |b|) per evaluation, exact string keys
@@ -257,6 +437,33 @@ object GraftFunctions {
       s"graft_l2q takes exactly 2 arguments, got ${other.length}")
   }
 
+  private val ldotInfo = new ExpressionInfo(
+    classOf[DotProductLong].getName, "graft_ldot")
+
+  private val ldotBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => DotProductLong(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_ldot takes exactly 2 arguments, got ${other.length}")
+  }
+
+  private val md5preInfo = new ExpressionInfo(
+    classOf[Md5Prefix].getName, "graft_md5pre")
+
+  private val md5preBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => Md5Prefix(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_md5pre takes exactly 2 arguments, got ${other.length}")
+  }
+
+  private val md5u32Info = new ExpressionInfo(
+    classOf[Md5Uint32].getName, "graft_md5u32")
+
+  private val md5u32Builder: Seq[Expression] => Expression = {
+    case Seq(s) => Md5Uint32(s)
+    case other => throw new IllegalArgumentException(
+      s"graft_md5u32 takes exactly 1 argument, got ${other.length}")
+  }
+
   private val sdotInfo = new ExpressionInfo(
     classOf[SparseDotSorted].getName, "graft_sdot")
 
@@ -330,6 +537,12 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_l2q"), l2qInfo, l2qBuilder)
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_ldot"), ldotInfo, ldotBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_md5pre"), md5preInfo, md5preBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_md5u32"), md5u32Info, md5u32Builder)
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_sdot"), sdotInfo, sdotBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_entropy"), entropyInfo, entropyBuilder)
@@ -355,6 +568,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_l2q"),
       new ExpressionInfo(classOf[L2SquaredLong].getName, "graft_l2q"),
       (exprs: Seq[Expression]) => L2SquaredLong(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ldot"),
+      new ExpressionInfo(classOf[DotProductLong].getName, "graft_ldot"),
+      (exprs: Seq[Expression]) => DotProductLong(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5pre"),
+      new ExpressionInfo(classOf[Md5Prefix].getName, "graft_md5pre"),
+      (exprs: Seq[Expression]) => Md5Prefix(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5u32"),
+      new ExpressionInfo(classOf[Md5Uint32].getName, "graft_md5u32"),
+      (exprs: Seq[Expression]) => Md5Uint32(exprs(0))))
     ext.injectFunction((
       FunctionIdentifier("graft_sdot"),
       new ExpressionInfo(classOf[SparseDotSorted].getName, "graft_sdot"),

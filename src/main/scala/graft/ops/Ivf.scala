@@ -740,7 +740,9 @@ object Ivf {
     * capped at `maxScanFrac`·nlist. Untrained seeds at a fixed nprobe
     * measured recall@10 = 0.6 on the weakly-clustered sf0.1 corpus
     * (ANN_RECALL_r13); the trained cells + adaptive probe measured 1.0
-    * at the same ≤50% scan budget, 0.80 mean over 8 query points.
+    * at the same ≤50% scan budget on the registered query, with the
+    * 8-query-point mean committed as `ann_ivfpq_sweep` in the
+    * ANN_RECALL artifact (r15+).
     *
     * Still deterministic end-to-end — integer Lloyd means, BIGINT
     * distances, struct-min tie-breaks — so the candidate set stays

@@ -566,9 +566,12 @@ object Similarity {
     * hash aggregate of 32 bit-vote sums, map-side combined.
     */
   def simhashMd5(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val votes = documents
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
-      .withColumn("h", conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long"))
+      // graft_md5u32 = conv(substring(md5(t),1,8),16,10)::LONG with a
+      // reused digest and no hex/substring/parse string churn per token
+      .withColumn("h", call_function("graft_md5u32", col("t")))
     val bitAggs = (0 until 32).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"v_$b")
@@ -589,10 +592,20 @@ object Similarity {
     * Duplicates need no dedup: min() absorbs them.
     */
   def minhashSignaturesMd5(documents: DataFrame, k: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    // The salted digest runs as graft_md5pre (one REUSED MessageDigest,
+    // raw 16-byte output) and the min aggregates over BINARY — unsigned
+    // lexicographic, the same order as the hex string — with the hex
+    // spelling reconstructed once per (doc, i) at the end. Same winner,
+    // same output strings, ~1/8 the aggregated bytes and none of the
+    // per-(row, salt) concat + fresh-digest + hex-encode churn the
+    // md5(concat(...)) spelling pays.
     val aggs = (0 until k).map { i =>
-      min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh_$i")
+      min(call_function("graft_md5pre", lit(s"$i:"), col("s"))).as(s"bin_$i")
     }
     shingleRows(documents).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id") +: (0 until k).map(i =>
+        lower(hex(col(s"bin_$i"))).as(s"mh_$i")): _*)
   }
 
   /** SimHash near-dup PAIR MINING — [[simhash]]'s missing second half
@@ -614,13 +627,22 @@ object Similarity {
       }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+    // A pair colliding in several bands is emitted ONLY at its first
+    // colliding band: both signatures are in the joined row, so "no
+    // earlier band collides" is a codegen'd filter — same unique pair
+    // set as a distinct(), without re-shuffling the full candidate mass.
+    val firstBand = (0 until 4).foldRight(lit(4)) { (b, acc) =>
+      when(shiftright(col("a.simhash"), b * 16).bitwiseAND(lit(0xFFFFL)) ===
+        shiftright(col("b.simhash"), b * 16).bitwiseAND(lit(0xFFFFL)),
+        lit(b)).otherwise(acc)
+    }
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.band") === firstBand)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct() // a pair can collide in several bands
   }
 
   /** [[simhashNearDup]]'s oracle-able twin: the same banded pair mining
@@ -642,13 +664,21 @@ object Similarity {
       }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash32"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+    // first-colliding-band emission replaces the distinct() — see
+    // simhashNearDup; at 8-bit bands the collision mass is ~n²/256 per
+    // band, so skipping its second shuffle is the dominant saving.
+    val firstBand = (0 until 4).foldRight(lit(4)) { (b, acc) =>
+      when(shiftright(col("a.simhash32"), b * 8).bitwiseAND(lit(0xFFL)) ===
+        shiftright(col("b.simhash32"), b * 8).bitwiseAND(lit(0xFFL)),
+        lit(b)).otherwise(acc)
+    }
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.band") === firstBand)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash32").bitwiseXOR(col("b.simhash32"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct() // a pair can collide in several bands
   }
 
   /** Benchmark-contamination detection against an EXPLICIT benchmark
@@ -1139,12 +1169,62 @@ object Similarity {
                           nTables: Int = 8, planesPerTable: Int = 3,
                           dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val buckets = array((0 until nTables).map(t =>
-      md5BucketAt("embedding", t * planesPerTable, planesPerTable, dim)): _*)
-    val tagged = embeddings
-      .select(col("vec_id"), posexplode(buckets).as(Seq("tbl", "bucket")))
-    val cand = balancedIdPairs(tagged, Seq("tbl", "bucket"))
-      .distinct()
+    val nPlanes = nTables * planesPerTable
+    require(nPlanes <= 63, s"packed signature needs <= 63 planes, got $nPlanes")
+    val mask = (1L << planesPerTable) - 1
+    // ONE quantization + nPlanes native integer dots per row, packed into
+    // a single long (planesPerTable bits per table). The previous form
+    // re-evaluated the quantize + an interpreted zip_with/aggregate chain
+    // per (table, plane) — 24 HOF chains per row; graft_ldot over the
+    // bound qe column runs the identical BIGINT arithmetic in codegen, so
+    // per-table buckets (pk >> t·ppt & mask) are bit-for-bit the old
+    // md5BucketAt values and the DuckDB oracle is untouched.
+    val qeDf = embeddings.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1048576.0))).as("qe"))
+    val packedBits = (0 until nPlanes).map { p =>
+      val comps = array((0 until dim).map(d => lit(md5PlaneComp(p, d))): _*)
+      when(call_function("graft_ldot", col("qe"), comps) >= 0L, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val packed = qeDf.select(col("vec_id"), packedBits.as("pk"))
+    val tagged = packed.select(col("vec_id"), col("pk"),
+      posexplode(array((0 until nTables).map(t =>
+        shiftright(col("pk"), t * planesPerTable).bitwiseAND(lit(mask))): _*))
+        .as(Seq("tbl", "bucket")))
+    // The balancedIdPairs split, carrying pk through the join so each
+    // pair can be emitted ONLY at its FIRST colliding table: both sides'
+    // full signatures are in the row, so "no earlier table collides" is
+    // a codegen'd filter — where the old distinct() shuffled the full
+    // cross-table candidate multiplicity (a near-dup pair collides in
+    // ~all 8 tables on this cluster-heavy corpus) a second time.
+    val keys = Seq("tbl", "bucket")
+    val keyCols = keys.map(col)
+    val sizes = tagged.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("gsz"),
+        min(col("vec_id")).as("gmin"), max(col("vec_id")).as("gmax"))
+      .select(keyCols ++ Seq(
+        ceil(col("gsz").cast("double") / 1250).cast("int").as("nb"),
+        col("gmin"), col("gmax")): _*)
+    val g = Checkpoints.stable(tagged.join(sizes, keys))
+    val bk = least(col("nb") - lit(1),
+      floor((col("vec_id") - col("gmin")).cast("double")
+        / (col("gmax") - col("gmin") + lit(1L)).cast("double")
+        * col("nb")).cast("int")).as("bk")
+    val x = g.withColumn("bk", bk)
+      .withColumn("pb", explode(sequence(col("bk"), col("nb") - 1)))
+      .drop("bk")
+    val y = g.withColumn("pb", bk)
+    val joinCond = (keys :+ "pb").map(k => col(s"x.$k") === col(s"y.$k"))
+      .reduce(_ && _) && col("x.vec_id") < col("y.vec_id")
+    val firstTbl = (0 until nTables).foldRight(lit(nTables)) { (t, acc) =>
+      when(shiftright(col("x.pk"), t * planesPerTable).bitwiseAND(lit(mask)) ===
+        shiftright(col("y.pk"), t * planesPerTable).bitwiseAND(lit(mask)),
+        lit(t)).otherwise(acc)
+    }
+    val cand = x.as("x").join(y.as("y").hint("shuffle_hash"), joinCond)
+      .filter(col("x.tbl") === firstTbl)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
     val e = embeddings.select(col("vec_id"), col("embedding"))
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
@@ -1220,6 +1300,85 @@ object Similarity {
           (l2F(col("embedding")) * l2F(qCol))).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** Query-DIRECTED multi-probe bucket selection (Lv et al., "Multi-Probe
+    * LSH", VLDB 2007, adapted to the sign-pattern family): a neighbor that
+    * lands in a different bucket most likely differs on the planes where
+    * the QUERY's own margin |q·plane| is smallest, so buckets are probed
+    * in ascending order of the total margin of their flipped planes —
+    * strictly better recall per scanned bucket than Hamming-radius
+    * probing, which treats a barely-positive plane and an emphatic one as
+    * equally likely to flip. `scanBudget` caps the probe set at
+    * ⌈budget·2^nPlanes⌉ buckets; the query's own bucket (cost 0) always
+    * probes first. Pure driver-side arithmetic over the shared plane
+    * family — no Spark job; the result feeds the same partition-pruning
+    * IN-list as the fixed-radius probe.
+    */
+  private[graft] def adaptiveProbeBuckets(qEmb: Array[Float], nPlanes: Int,
+                                          dim: Int,
+                                          scanBudget: Double): Seq[Long] = {
+    require(scanBudget > 0.0 && scanBudget <= 1.0,
+      s"scanBudget must be in (0, 1], got $scanBudget")
+    val planes = planesArray(nPlanes, dim)
+    val margins = Array.tabulate(nPlanes) { p =>
+      var s = 0.0
+      var i = 0
+      while (i < math.min(dim, qEmb.length)) { s += qEmb(i) * planes(p)(i); i += 1 }
+      math.abs(s)
+    }
+    val qBucket = bucketOf(qEmb, nPlanes, dim)
+    val nProbes = math.max(1, math.ceil(scanBudget * (1L << nPlanes)).toInt)
+    (0L until (1L << nPlanes))
+      .sortBy(m => (0 until nPlanes)
+        .collect { case p if (m & (1L << p)) != 0 => margins(p) }.sum)
+      .take(nProbes)
+      .map(_ ^ qBucket)
+  }
+
+  /** [[annLshProbe]] with query-directed ADAPTIVE probing — the
+    * production registration for `ann_lsh` / `ann_probe`: same
+    * directory-pruned scan (the probe set is still a literal IN-list on
+    * the partition column), but the probe set comes from
+    * [[adaptiveProbeBuckets]] under an explicit scan budget instead of a
+    * fixed Hamming radius. The r14 fixed radius-1 route measured
+    * recall@10 = 0.8 on the weakly-clustered sf0.1 corpus; the margin-
+    * ordered probe buys the tail neighbors that sit just across a
+    * low-margin plane (see ANN_RECALL_r15 `ann_lsh_curve` for the
+    * measured recall-vs-budget trade).
+    */
+  def annLshProbeAdaptive(spark: org.apache.spark.sql.SparkSession,
+                          layoutDir: String, qEmb: Array[Float], k: Int,
+                          nPlanes: Int = 6, scanBudget: Double = 0.25,
+                          dim: Int = 64,
+                          excludeId: Option[Long] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val probes = adaptiveProbeBuckets(qEmb, nPlanes, dim, scanBudget)
+    val qCol = array(qEmb.toSeq.map(v => lit(v)): _*)
+    val base = spark.read.parquet(layoutDir)
+      .filter(col("bucket").isin(probes: _*))
+    excludeId.fold(base)(id => base.filter(col("vec_id") =!= id))
+      .select(col("vec_id"), col("label"), col("bucket"),
+        (dotF(col("embedding"), qCol) /
+          (l2F(col("embedding")) * l2F(qCol))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** [[annLshBucketed]] on the adaptive probe route — by-id query lookup
+    * then [[annLshProbeAdaptive]].
+    */
+  def annLshBucketedAdaptive(spark: org.apache.spark.sql.SparkSession,
+                             layoutDir: String, queryId: Long, k: Int,
+                             nPlanes: Int = 6, scanBudget: Double = 0.25,
+                             dim: Int = 64): DataFrame = {
+    val corpus = spark.read.parquet(layoutDir)
+    val q = corpus.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+      .head()
+    val qEmb = q.getAs[scala.collection.Seq[Float]]("q_emb").toArray
+    annLshProbeAdaptive(spark, layoutDir, qEmb, k, nPlanes, scanBudget,
+      dim, excludeId = Some(queryId))
   }
 
   /** The deterministic hyperplane family (splitmix64-style mix of

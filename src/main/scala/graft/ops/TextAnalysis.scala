@@ -934,18 +934,98 @@ object TextAnalysis {
       .select(col("doc_id"), (col("pos") + 1).as("s"), col("h"))
 
   /** (doc_id, s) starts of windows whose key occurs in ≥ 2 distinct docs
-    * of the SAME frame — the `min(doc_id) != max(doc_id)` verdict
-    * computed as two unbounded-frame WINDOW aggregates over h on the
-    * exploded frame itself, NOT as an aggregate + self-join: the
-    * agg+join shape explodes the 165M-row window frame TWICE and
-    * shuffles it twice (once as agg partials, once as the join probe) —
-    * measured 642 s at the 5M-doc stress point where this single-
-    * explode / single-shuffle form runs the same decade at ~5 s/M docs.
-    * One WindowExec pass per h-group; groups are key-multiplicity-sized
-    * (a pathologically hot boilerplate window spills the group buffer,
-    * the documented skew limit — the verdict stays correct).
+    * of the SAME frame — the `min(doc_id) != max(doc_id)` verdict.
+    *
+    * Three interchangeable physical forms (same rows out, so every
+    * downstream hash is identical); `SPARK_GRAFT_SUBSTRING_VERDICT`
+    * picks one, default `routed`:
+    *
+    *  - `routed` (the production default — [[crossDocDupStartsRouted]]):
+    *    the single-pass window verdict, made skew-immune by a fixed-seed
+    *    1% document-sample pre-pass that detects hot fingerprints and
+    *    SALTS only their window groups. Measured at the 5M-doc stress
+    *    point (bench/r15_substring_hotkey.json): +12% over the plain
+    *    window form on the skew-free corpus (the pre-pass re-scans the
+    *    doc table once — scan-bound, not explode-bound), and FLAT on the
+    *    planted 5M-occurrence boilerplate key (1.39× vs its own uniform
+    *    wall, of which 1.24× is the corpus's extra window rows). At this
+    *    scale the unsalted window survives the 5M-row group too (160 MB
+    *    buffer, a visible-but-modest straggler); the salt is priced for
+    *    the regime the single box cannot reach — a 100×-corpus template
+    *    key whose one group is tens of GB on one task, the Lee et al.
+    *    web-crawl shape where an unsalted verdict turns into an
+    *    hours-long straggler or an executor OOM.
+    *
+    *  - `window` ([[crossDocDupStartsWindow]], single-pass): two
+    *    unbounded-frame WINDOW aggregates over h on the exploded frame
+    *    itself — one explode, one shuffle, one WindowExec pass. Fastest
+    *    on skew-free corpora, but groups are key-multiplicity-sized: ONE
+    *    hot boilerplate fingerprint (the template-heavy web-crawl shape
+    *    Lee et al. dedup hits) buffers its whole group in the window
+    *    buffer (ExternalAppendOnlyUnsafeRowArray rotation + spill) on a
+    *    single task — the classic straggler cliff.
+    *
+    *  - `agg` ([[crossDocDupStartsAgg]]): min/max hash aggregate per key
+    *    (partial+final = the map-side-combined two-level form) followed
+    *    by a SHUFFLE_HASH left-semi join of the exploded frame against
+    *    the cross-doc key set. Never buffers a group anywhere, but pays
+    *    the explode + md5 twice and the frame shuffle twice — measured
+    *    2.0× the window form on the skew-free 500k-doc corpus (32.5 s vs
+    *    16.0 s), which is why `routed` is the default instead.
     */
-  private def crossDocDupStarts(win: DataFrame): DataFrame = {
+  /** Sample-routed skew-immune verdict — see the form inventory above.
+    *
+    * The pre-pass explodes a fixed-seed 1% document sample with the same
+    * fingerprints and keeps keys that are BOTH (a) hot — sampled count ≥
+    * 512, i.e. ≳50k corpus occurrences w.h.p., far below the ~1M-row
+    * point where a window group's buffer starts to hurt but high enough
+    * that a miss leaves only benign group sizes — and (b) PROVEN
+    * cross-document: sampled rows are real corpus rows, so min(doc_id)
+    * != max(doc_id) within the sample is an exact lower-bound witness,
+    * never an estimate. Hot keys' window groups are then salted 256 ways
+    * (bounded buffers; the per-group min/max is meaningless across salt
+    * shards, but unnecessary — the verdict for those keys is already
+    * proven), while every cold key keeps the exact single-pass verdict.
+    * The driver-side key list is capped at the 1024 hottest (a key
+    * missing the cap falls back to the cold path, correct but grouped);
+    * with no hot keys the plan IS the plain window plan.
+    *
+    * Routing is sampling-based but correctness is not: a missed hot key
+    * degrades only the group size, a false-positive salt degrades only
+    * the shard count — the emitted (doc_id, s) set is identical in every
+    * case, so the DuckDB oracles and the persisted-artifact consumers
+    * never see the difference.
+    */
+  private[graft] def crossDocDupStartsRouted(base: DataFrame, k: Int,
+                                             sampleFrac: Double = 0.01,
+                                             hotMin: Long = 512L): DataFrame = {
+    val win = windowRows(base, k)
+    val hot = windowRows(base.sample(withReplacement = false, sampleFrac, seed = 42L), k)
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("n") >= hotMin && col("mn") =!= col("mx"))
+      .orderBy(col("n").desc, col("h").asc)
+      .limit(1024)
+      .select(col("h"))
+      .collect().map(_.getAs[Array[Byte]]("h")).toIndexedSeq
+    if (hot.isEmpty) crossDocDupStartsWindow(win)
+    else {
+      val isHot = col("h").isInCollection(hot)
+      val byKey = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h"), col("hsalt"))
+      win
+        .withColumn("hsalt",
+          when(isHot, pmod(hash(col("doc_id"), col("s")), lit(256)))
+            .otherwise(lit(0)))
+        .withColumn("mn", min(col("doc_id")).over(byKey))
+        .withColumn("mx", max(col("doc_id")).over(byKey))
+        .filter(col("mn") =!= col("mx") || isHot)
+        .select(col("doc_id"), col("s"))
+    }
+  }
+
+  private def crossDocDupStartsWindow(win: DataFrame): DataFrame = {
     val byKey = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     win
       .withColumn("mn", min(col("doc_id")).over(byKey))
@@ -954,8 +1034,37 @@ object TextAnalysis {
       .select(col("doc_id"), col("s"))
   }
 
+  /** The skew-immune two-level verdict — see [[crossDocDupStarts]].
+    *
+    * The two levels are Spark's own partial + final hash aggregate: the
+    * partial level collapses a hot key to ONE (mn, mx) partial per map
+    * task before the shuffle (exactly the salted first level a manual
+    * (h, salt) pre-aggregate would add — an explicit salt layer on top
+    * measured only a second pass over the same 165M rows for no extra
+    * bound, so it was dropped). The semi-join back is hinted
+    * SHUFFLE_HASH: sort-merge would re-SORT the exploded probe side —
+    * the very corpus-sized sort this form exists to avoid — while the
+    * hash build side is only the cross-doc KEY set (≈ dup mass / k,
+    * 16-byte keys), which AQE splits across reducers; no driver-side
+    * broadcast, so the shape survives a 1B-doc corpus where the key set
+    * outgrows any broadcast threshold.
+    */
+  private def crossDocDupStartsAgg(win: DataFrame): DataFrame = {
+    val crossDocKeys = win
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("h"))
+    win.join(crossDocKeys.hint("SHUFFLE_HASH"), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("s"))
+  }
+
   private def dupWindowStarts(base: DataFrame, k: Int): DataFrame =
-    crossDocDupStarts(windowRows(base, k))
+    sys.env.getOrElse("SPARK_GRAFT_SUBSTRING_VERDICT", "routed") match {
+      case "window" => crossDocDupStartsWindow(windowRows(base, k))
+      case "agg"    => crossDocDupStartsAgg(windowRows(base, k))
+      case _        => crossDocDupStartsRouted(base, k)
+    }
 
   /** The per-document coverage profile over a (doc_id, s) dup-start
     * frame — the shared tail of the substring-dedup family.
@@ -987,6 +1096,19 @@ object TextAnalysis {
       .withColumn("w", toks)
       .filter(size(col("w")) >= k)
     coverageProfile(base, dupWindowStarts(base, k), k)
+  }
+
+  /** [[substringDedup]] pinned to the single-pass WINDOW verdict
+    * regardless of the env switch — the stress harness's contrast arm
+    * (see [[crossDocDupStarts]] for the trade).
+    */
+  private[graft] def substringDedupWindowVerdict(documents: DataFrame,
+                                                 k: Int = 8): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    val base = documents
+      .withColumn("w", toks)
+      .filter(size(col("w")) >= k)
+    coverageProfile(base, crossDocDupStartsWindow(windowRows(base, k)), k)
   }
 
   /** Persist the discovery stage shared by [[substringDedup]] and
@@ -1071,7 +1193,7 @@ object TextAnalysis {
     val corpusHits = win
       .join(corpus.select(col("h")), Seq("h"), "left_semi")
       .select(col("doc_id"), col("s"))
-    val batchHits = crossDocDupStarts(win)
+    val batchHits = dupWindowStarts(base, k)
     coverageProfile(base,
       corpusHits.unionByName(batchHits).dropDuplicates("doc_id", "s"), k)
   }

@@ -299,6 +299,45 @@ class SimilaritySpec extends SparkSpec {
     assert(dirs.length > 1, dirs.mkString(","))
   }
 
+  test("annLshBucketedAdaptive: margin-ordered probe keeps partition pruning, probes within budget, and beats-or-matches the fixed radius on recall") {
+    val rnd = new scala.util.Random(5)
+    val dim = 64
+    val center = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val cluster = (0 until 20).map { i =>
+      (i.toLong, center.map(c => c + 0.01f * rnd.nextGaussian().toFloat).toSeq, 0)
+    }
+    val noise = (20 until 220).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq, 1)
+    }
+    val emb = (cluster ++ noise).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_adapt_").toString + "/ann"
+    Similarity.writeAnnLayout(emb, dir, nPlanes = 6)
+    val adaptive = Similarity.annLshBucketedAdaptive(spark, dir, 0L, 10,
+      nPlanes = 6, scanBudget = 0.25)
+    // probe-bucket filter still reaches the scan as a PARTITION filter
+    val plan = adaptive.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    // budget respected: ceil(0.25 * 64) = 16 probe buckets, query's own first
+    val q = emb.filter($"vec_id" === 0L).select($"embedding")
+      .head().getAs[scala.collection.Seq[Float]](0).toArray
+    val probes = Similarity.adaptiveProbeBuckets(q, 6, dim, 0.25)
+    assert(probes.length == 16 && probes.distinct.length == 16)
+    // the query's own bucket has flip cost 0, so it probes first
+    val ownBucket = spark.read.parquet(dir).filter($"vec_id" === 0L)
+      .select($"bucket".cast("long")).as[Long].head()
+    assert(probes.head == ownBucket, s"head ${probes.head} != own $ownBucket")
+    // recall on the clustered corpus: adaptive >= fixed radius-1
+    val brute = Similarity.cosineTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val adGot = adaptive.select("vec_id").as[Long].collect().toSet
+    val fixedGot = Similarity.annLshBucketed(spark, dir, 0L, 10, nPlanes = 6)
+      .select("vec_id").as[Long].collect().toSet
+    val adRec = brute.intersect(adGot).size.toDouble / brute.size
+    val fixRec = brute.intersect(fixedGot).size.toDouble / brute.size
+    assert(adRec >= fixRec, s"adaptive $adRec < fixed $fixRec")
+    assert(adRec >= 0.9, s"adaptive recall $adRec")
+  }
+
   test("approxDedupStats: HLL++ estimate within rsd bound of exact") {
     val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.01")
     Similarity.approxDedupStats(docs).collect().foreach { r =>

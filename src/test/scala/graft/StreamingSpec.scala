@@ -910,6 +910,182 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming tick-rule flow restart: last price + last non-zero sign restore from checkpoint to batch parity") {
+    // The stop lands where phase 2 OPENS ON FLAT TICKS for both symbols:
+    // classifying them needs the sign learned before the restart, and
+    // every later classification needs the restored last PRICE — run-2
+    // parity with the batch op over ALL ticks is only possible from
+    // restored FlowState. Same move pattern as the in-run pacing test.
+    val steps = Seq(1.0, 1.0, 0.0, -1.0, 0.0)
+    var px = Map("btc" -> 100.0, "eth" -> 50.0)
+    val all = (0 until 300).map { i =>
+      val sym = Seq("btc", "eth")(i % 2)
+      val k = i / 2
+      px += sym -> (px(sym) + (if (k == 0) 0.0 else steps(k % steps.length)))
+      (i.toLong, new Timestamp(1704067200000L + i * 1000L), sym, px(sym),
+        s"""{"k": ${i % 5 + 1}}""")
+    }
+    // split at i=180: k=90 for both symbols; k%5==0 -> phase 2's first
+    // move per symbol is steps(0)=up after a phase-1 FLAT close (k=89
+    // ends the up,up,flat,down,FLAT cycle), so the restored lastSign
+    // (down) classifies nothing wrongly only if actually restored
+    val (phase1, phase2) = all.splitAt(180)
+    val dir = Files.createTempDirectory("graft_sflowr_").toString
+    val schema = all.take(1)
+      .toDF("event_id", "ts", "event_type", "value", "props").schema
+    def runOnce(outDir: String): Unit = {
+      val q = graft.stream.StatefulRunning
+        .runningFlow(spark, s"$dir/in", schema)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(outDir): Unit }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    phase1.toDF("event_id", "ts", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    runOnce(s"$dir/out1")
+    val run1N = spark.read.parquet(s"$dir/out1")
+      .agg(max("n_classified")).head().getLong(0)
+    phase2.toDF("event_id", "ts", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    runOnce(s"$dir/out2") // fresh query object, same checkpoint
+    val run2 = spark.read.parquet(s"$dir/out2")
+    // run 2's counts start past run 1's: state carried, phase 1 not re-read
+    assert(run2.agg(min("n_classified")).head().getLong(0) >= run1N)
+    val streamed = run2.groupBy("event_type")
+      .agg(max("n_classified").as("n"),
+        max_by(col("buy_qty"), col("n_classified")).as("buy"),
+        max_by(col("sell_qty"), col("n_classified")).as("sell"))
+      .orderBy("event_type").collect()
+    val batch = graft.ops.Microstructure
+      .tickRuleFlow(all.toDF("event_id", "ts", "event_type", "value", "props"))
+      .groupBy("event_type")
+      .agg(sum("buy_qty").as("buy"), sum("sell_qty").as("sell"),
+        sum("n_classified").as("n"))
+      .orderBy("event_type").collect()
+    assert(streamed.length == 2 && batch.length == 2)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[String]("event_type") == b.getAs[String]("event_type"))
+      assert(s.getAs[Long]("n") == b.getAs[Long]("n"), s"$s vs $b")
+      assert(approx(s.getAs[Double]("buy"), b.getAs[Double]("buy")))
+      assert(approx(s.getAs[Double]("sell"), b.getAs[Double]("sell")))
+    }
+  }
+
+  test("streaming CMS restart: counter matrix restores from checkpoint to the batch fold") {
+    // Stop after phase 1, resume a fresh query from the same checkpoint
+    // over phase 2 only. CMS estimates are running TOTALS: equality with
+    // the sequential fold over ALL docs is only possible if the d×w
+    // counter state was restored (a reset would undercount, a phase-1
+    // re-read would double-count — both break exact equality).
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val all = (0 until 600).map { i =>
+      val lang = Seq("en", "de", "fr")(i % 3)
+      (i.toLong, lang, s"${words((i % 21) % words.length)} ${words((i * i % 13) % words.length)}")
+    }
+    val (phase1, phase2) = all.splitAt(360)
+    val probe = Seq("alpha", "delta", "zeta", "missing")
+    val dir = Files.createTempDirectory("graft_cmsr_").toString
+    val schema = all.take(1).toDF("doc_id", "lang", "text").schema
+    def runOnce(outDir: String): Unit = {
+      val q = graft.stream.StreamingCms
+        .cmsProbe(spark, s"$dir/in", schema, probe, d = 3, w = 16)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(outDir): Unit }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    phase1.toDF("doc_id", "lang", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    runOnce(s"$dir/out1")
+    assert(spark.read.parquet(s"$dir/out1")
+      .agg(max("n_tokens")).head().getLong(0) == 240L) // 2 tokens × 120 docs
+    phase2.toDF("doc_id", "lang", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    runOnce(s"$dir/out2")
+    val run2 = spark.read.parquet(s"$dir/out2")
+    assert(run2.agg(min("n_tokens")).head().getLong(0) > 240L) // no re-read
+    val streamed = run2.groupBy("group")
+      .agg(max("n_tokens").as("n_tokens"),
+        max_by(col("estimates"), col("n_tokens")).as("estimates"))
+      .collect()
+      .map(r => r.getAs[String]("group") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[collection.Seq[Long]]("estimates").toSeq)))
+      .toMap
+    val batch = graft.stream.StreamingCms.cmsProbeBatch(
+      all.map { case (_, lang, text) => (lang, text) }, probe, d = 3, w = 16)
+    assert(streamed.keySet == Set("en", "de", "fr"))
+    streamed.foreach { case (g, (n, ests)) =>
+      val (bn, bEsts) = batch(g)
+      assert(n == bn, s"$g token count")
+      assert(ests == bEsts, s"$g estimates must equal the batch fold across the restart")
+    }
+  }
+
+  test("streaming top-k restart: MG summary restores from checkpoint to the exact batch top-k") {
+    // Small vocab (≪ m) keeps the sketch exact, so run-2's final top-k
+    // must EQUAL the batch top-k over ALL docs — impossible unless the
+    // (summary, n) state crossed the restart intact; the n_tokens floor
+    // proves phase 1 was not reprocessed.
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val all = (0 until 600).map { i =>
+      val lang = Seq("en", "de", "fr")(i % 3)
+      (i.toLong, lang,
+        s"${words((i % 21) % words.length)} ${words((i * i % 13) % words.length)} ${words((i / 3 + i % 3) % words.length)}")
+    }
+    val (phase1, phase2) = all.splitAt(360)
+    val dir = Files.createTempDirectory("graft_topkr_").toString
+    val schema = all.take(1).toDF("doc_id", "lang", "text").schema
+    def runOnce(outDir: String): Unit = {
+      val q = graft.stream.StreamingTopK
+        .topTokens(spark, s"$dir/in", schema, m = 64, k = 3)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(outDir): Unit }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    phase1.toDF("doc_id", "lang", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    runOnce(s"$dir/out1")
+    assert(spark.read.parquet(s"$dir/out1")
+      .agg(max("n_tokens")).head().getLong(0) == 360L) // 3 tokens × 120 docs
+    phase2.toDF("doc_id", "lang", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    runOnce(s"$dir/out2")
+    val run2 = spark.read.parquet(s"$dir/out2")
+    assert(run2.agg(min("n_tokens")).head().getLong(0) > 360L) // no re-read
+    val streamed = run2.groupBy("group")
+      .agg(max("n_tokens").as("n_tokens"),
+        max_by(col("terms"), col("n_tokens")).as("terms"),
+        max_by(col("estimates"), col("n_tokens")).as("estimates"))
+      .orderBy("group").collect()
+    val batch = graft.stream.StreamingTopK
+      .topTokensBatch(all.toDF("doc_id", "lang", "text"), k = 3)
+    val byLang = batch.collect().groupBy(_.getAs[String]("group"))
+    assert(streamed.length == 3)
+    streamed.foreach { row =>
+      val lang = row.getAs[String]("group")
+      val exp = byLang(lang).sortBy(_.getAs[Int]("rank"))
+      assert(row.getAs[collection.Seq[String]]("terms").toSeq ==
+        exp.map(_.getAs[String]("t")).toSeq, s"$lang terms across the restart")
+      assert(row.getAs[collection.Seq[Long]]("estimates").toSeq ==
+        exp.map(_.getAs[Long]("cnt")).toSeq, s"$lang estimates — exact across the restart")
+      assert(row.getAs[Long]("n_tokens") == 600L)
+    }
+  }
+
   test("streaming dedup: replayed event ids emit exactly once") {
     // at-least-once upstream: every 5th event is delivered twice, some
     // three times, across separate files (≈ separate micro-batches)

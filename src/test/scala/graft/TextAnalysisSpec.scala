@@ -135,6 +135,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!applied.contains(4L))
   }
 
+  test("crossDocDupStartsRouted: hot branch (salted groups + sample-proven verdict) emits exactly the window verdict's rows") {
+    // every doc opens with the same 3-token boilerplate (the hot key),
+    // plus one planted cross-doc pair and within-doc-only repetition;
+    // sampleFrac=1.0 / hotMin=2 force the hot branch at spec scale
+    val docs = (0L until 40L).map { i =>
+      val tail = if (i == 7L || i == 11L) "p q r s" else s"u$i v$i w$i"
+      (i, s"hb1 hb2 hb3 $tail")
+    }.toDF("doc_id", "text")
+    val base = docs.withColumn("w",
+      org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.col("text"), " "))
+    val routed = graft.ops.TextAnalysis
+      .crossDocDupStartsRouted(base, 3, sampleFrac = 1.0, hotMin = 2L)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // reference: the plain window verdict over the same frame
+    val expected = graft.ops.TextAnalysis.substringDedup(docs, 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    // boilerplate window (s=1) duplicated in every doc; docs 7/11 share
+    // their full tails too
+    assert(routed.count(_._2 == 1) == 40)
+    val routedPerDoc = routed.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(routedPerDoc.keySet == (0L until 40L).toSet)
+    (0L until 40L).foreach { d =>
+      assert(routedPerDoc(d) == expected(d),
+        s"doc $d: routed ${routedPerDoc(d)} != window ${expected(d)}")
+    }
+    assert(routedPerDoc(7L) > routedPerDoc(8L)) // planted pair has extra dups
+  }
+
   test("substringDedupIncremental: batch windows flag against the persisted artifact and within-batch, corpus never re-read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_winh_").toString + "/h"
     val corpus = Seq((10L, "a b c d e")).toDF("doc_id", "text")
