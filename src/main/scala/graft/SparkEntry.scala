@@ -1013,7 +1013,7 @@ object SparkEntry {
     // ann_lsh has always built the layout before ann_probe is timed.
     // The registered route is the PRODUCTION operating point: a 2^6
     // bucket layout probed query-directed (margin-ordered buckets,
-    // Lv et al. multi-probe) under a 25% scan budget — measured
+    // Lv et al. multi-probe) under a 37.5% scan budget — measured
     // recall@10 >= 0.9 on the weakly-clustered sf0.1 corpus where the
     // r14 fixed radius-1 route measured 0.8 (ANN_RECALL_r15
     // ann_lsh_curve documents the recall-vs-budget trade).

@@ -1349,7 +1349,7 @@ object Similarity {
     */
   def annLshProbeAdaptive(spark: org.apache.spark.sql.SparkSession,
                           layoutDir: String, qEmb: Array[Float], k: Int,
-                          nPlanes: Int = 6, scanBudget: Double = 0.25,
+                          nPlanes: Int = 6, scanBudget: Double = 0.375,
                           dim: Int = 64,
                           excludeId: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -1370,7 +1370,7 @@ object Similarity {
     */
   def annLshBucketedAdaptive(spark: org.apache.spark.sql.SparkSession,
                              layoutDir: String, queryId: Long, k: Int,
-                             nPlanes: Int = 6, scanBudget: Double = 0.25,
+                             nPlanes: Int = 6, scanBudget: Double = 0.375,
                              dim: Int = 64): DataFrame = {
     val corpus = spark.read.parquet(layoutDir)
     val q = corpus.filter(col("vec_id") === queryId)
