@@ -39,8 +39,10 @@ object GraftSession {
     */
   def tuned(b: SparkSession.Builder, cores: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", cores.toString)
+      // SPARK_GRAFT_INIT_PARTS overrides the 8x default (diagnostics /
+      // unusual topologies); the profile itself stays one source of truth.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cores * 8).toString)
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", (cores * 8).toString))
       .config("spark.sql.session.timeZone", "UTC")
 
   /** The local[n] form every graft main uses (UI off — these are
