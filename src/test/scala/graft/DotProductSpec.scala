@@ -140,4 +140,61 @@ class DotProductSpec extends SparkSpec {
       assert(got == want, s"random case $i")
     }
   }
+
+  test("graft_ldot equals the aggregate/zip_with spelling and the hand value") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq(3L, -2L, 7L), Seq(10L, 100L, -1L)),
+      (Seq(0L, 0L, 0L), Seq(1L, 2L, 3L))
+    ).toDF("a", "b")
+    val hof = aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val rows = df.select(call_function("graft_ldot", $"a", $"b").as("native"),
+      hof.as("reference")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    assert(rows(0).getLong(0) == 3L * 10 + -2L * 100 + 7L * -1)
+    // null contract + codegen participation
+    val withNull = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+    assert(withNull.select(call_function("graft_ldot", $"a", $"b"))
+      .collect()(0).isNullAt(0))
+    // codegen participation: a range-based frame (a local Seq constant-
+    // folds to LocalTableScan before any codegen stage exists)
+    val ranged = spark.range(5).select(
+      call_function("graft_ldot",
+        array($"id", $"id" * 2), array(lit(3L), lit(5L))).as("d"))
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+    assert(ranged.as[Long].collect().toSeq ==
+      (0 until 5).map(i => 3L * i + 5L * 2 * i))
+  }
+
+  test("graft_md5pre equals unhex(md5(concat)) and min-orders identically") {
+    GraftFunctions.register(spark)
+    val df = Seq("alpha beta", "x", "", "ünïcode test").toDF("s")
+    val rows = df.select(
+      call_function("graft_md5pre", lit("3:"), $"s").as("native"),
+      unhex(md5(concat(lit("3:"), $"s"))).as("reference")).collect()
+    rows.foreach { r =>
+      assert(java.util.Arrays.equals(
+        r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1)))
+    }
+    // the minhash contract: min over the BINARY digests + hex rebuild
+    // equals min over the hex-string spelling
+    val agg = df.agg(
+      lower(hex(min(call_function("graft_md5pre", lit("3:"), $"s")))).as("n"),
+      min(md5(concat(lit("3:"), $"s"))).as("r")).head()
+    assert(agg.getString(0) == agg.getString(1))
+  }
+
+  test("graft_md5u32 equals the conv(substring(md5)) spelling over random strings") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(13)
+    val df = ((0 until 100).map(_ => rnd.nextString(rnd.nextInt(12))) ++
+      Seq("", "token", "ünïcode")).toDF("t")
+    val rows = df.select(
+      call_function("graft_md5u32", $"t").as("native"),
+      conv(substring(md5($"t"), 1, 8), 16, 10).cast("long").as("reference"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+  }
 }

@@ -306,4 +306,21 @@ class PlanShapeSpec extends SparkSpec {
     // candidate-pair dedup is a hash aggregate, never a global funnel
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("emb_neardup_banded_md5: first-colliding-table filter in the join, no candidate distinct, shuffled-hash pair join") {
+    val p = plan("emb_neardup_banded_md5")
+    // the r15 shape: each pair is emitted ONLY at its first colliding
+    // table — the CASE chain over the packed signatures lives in the
+    // ShuffledHashJoin condition, so there must be NO aggregate keyed on
+    // the candidate pair (the old distinct() re-shuffled the ~8x
+    // cross-table multiplicity; bench/r15_md5_twins.json: 192.5→17.9 s)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("shiftright(pk"), p) // packed-signature CASE filter
+    assert(!p.contains("keys=[vec_a"), p)  // no (vec_a, vec_b) distinct
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // (the graft_ldot bucket assignment sits BELOW the Checkpoints.stable
+    // cut — Scan ExistingRDD here — so it is pinned by the codegen parity
+    // specs in DotProductSpec, not by this plan string)
+  }
 }
