@@ -46,12 +46,43 @@ object Bench {
     }
     val names = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }.sortBy(_._1)
+    // Exception attribution (r15 verdict #5): a retried ShuffleMapTask
+    // stack once surfaced mid-run with its class cut off by the driver's
+    // byte-bounded tail capture — rc=0, all queries reported, but the
+    // trace was unattributable. Task-level failures that Spark RETRIES
+    // never reach the driver as exceptions, so a listener records each
+    // failed-task reason (class + first graft frame + the query in
+    // flight) into the full-map JSON, where truncation can't eat it.
+    val exceptions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var inFlight: String = "warmup"
+    def recordExc(kind: String, cls: String, frame: String): Unit =
+      if (exceptions.size < 20) {
+        def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+        exceptions.add(s"""{"query":"${esc(inFlight)}","kind":"$kind","class":"${esc(cls)}","frame":"${esc(frame)}"}""")
+      }
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        e.reason match {
+          case org.apache.spark.Success => ()
+          case ef: org.apache.spark.ExceptionFailure =>
+            val frame = ef.stackTrace.find(_.getClassName.startsWith("graft"))
+              .orElse(ef.stackTrace.headOption).map(_.toString).getOrElse("")
+            recordExc("task_failure", ef.className, frame)
+          case other =>
+            recordExc("task_end", other.getClass.getSimpleName,
+              other.toErrorString.linesIterator.take(1).mkString)
+        }
+    })
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      inFlight = name
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        val frame = e.getStackTrace.find(_.getClassName.startsWith("graft"))
+          .orElse(e.getStackTrace.headOption).map(_.toString).getOrElse("")
+        recordExc("query_failure", e.getClass.getName, frame)
         -1.0
       }
     }
@@ -100,8 +131,14 @@ object Bench {
     //  - stdout carries ONE SHORT line — total, sentinel, a curated
     //    headline subset, and a pointer to the file — sized well under the
     //    smallest capture window observed (~2.5 KB).
+    // capped at 20 entries: attribution evidence, not a full log — a
+    // pathological all-tasks-failing run would otherwise bloat the map
+    val excJson = {
+      import scala.jdk.CollectionConverters._
+      exceptions.asScala.mkString("[", ",", "]")
+    }
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"stat":"median","sentinel":$sent}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"stat":"median","sentinel":$sent,"exceptions":$excJson}"""
     // Default full-map path is stamped with the run's sf-dir basename so
     // back-to-back runs at different scales can't clobber each other's
     // only complete record (an sf1 run once overwrote the sf0.1 map the

@@ -1022,10 +1022,19 @@ object SparkEntry {
         Similarity.writeAnnLayout(Tables.embeddings(s, d), p, nPlanes = 6))
       Similarity.annLshBucketedAdaptive(s, layout, 0L, 10)
     }),
+    // The BUDGET-CONSTRAINED contrast point on the committed
+    // recall-vs-budget curve (ANN_RECALL ann_lsh_curve): same layout,
+    // same query-directed probe, at a 0.25 scan budget — documented
+    // recall@10 0.8 where the 0.375 production point above reads 0.9.
+    // Registering a distinct operating point (not a byte-identical twin
+    // of ann_lsh, as in r15) makes the bench row measure what a
+    // latency-bound caller actually trades away; it still reuses the
+    // session-cached layout ann_lsh built, so its wall time is the
+    // steady-state probe latency at the tighter budget.
     "ann_probe" -> ((s, d) => {
       val layout = scratch("ann_layout", d)(p =>
         Similarity.writeAnnLayout(Tables.embeddings(s, d), p, nPlanes = 6))
-      Similarity.annLshBucketedAdaptive(s, layout, 0L, 10)
+      Similarity.annLshBucketedAdaptive(s, layout, 0L, 10, scanBudget = 0.25)
     }),
     // IVF (coarse-quantizer) ANN — the data-ADAPTIVE counterpart to the
     // hyperplane layout: deterministic k-means cells, cell-partitioned

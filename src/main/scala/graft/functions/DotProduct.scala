@@ -31,6 +31,13 @@ case class DotProductFloat(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  // ragged arrays yield NULL, not a truncated partial dot: the HOF
+  // spelling this expression documents equivalence with null-pads via
+  // zip_with and the null propagates through the sum — a malformed
+  // short embedding must fall into the same NULL (→ when() otherwise-
+  // branch) path in both spellings, never into a different bucket
+  override def nullable: Boolean = true
+
   override def dataType: DataType = DoubleType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -47,7 +54,8 @@ case class DotProductFloat(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    if (xs.numElements() != ys.numElements()) return null
+    val n = xs.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -63,12 +71,16 @@ case class DotProductFloat(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -98,6 +110,10 @@ case class L2SquaredLong(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  // ragged → NULL, same contract as graft_dot (see there); the IVF
+  // callers additionally raise on width mismatch before this runs
+  override def nullable: Boolean = true
+
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -114,7 +130,8 @@ case class L2SquaredLong(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    if (xs.numElements() != ys.numElements()) return null
+    val n = xs.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -132,13 +149,17 @@ case class L2SquaredLong(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $d = $a.getLong($i) - $b.getLong($i);
-         |  $acc += $d * $d;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -168,6 +189,11 @@ case class DotProductLong(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  // ragged → NULL, same contract as graft_dot (see there): in
+  // md5BucketAt parity terms a malformed short embedding falls into the
+  // NULL → otherwise-0 bucket bit in BOTH spellings, never a partial dot
+  override def nullable: Boolean = true
+
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -184,7 +210,8 @@ case class DotProductLong(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    if (xs.numElements() != ys.numElements()) return null
+    val n = xs.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -200,12 +227,16 @@ case class DotProductLong(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -314,11 +345,15 @@ case class Md5Uint32(child: Expression)
               |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }""".stripMargin)
     nullSafeCodeGen(ctx, ev, a => {
       val d = ctx.freshName("d")
+      // NOTE: no generated line may BEGIN with '|': ExprCode blocks are
+      // stripMargin'd AGAIN by the codegen Block formatter, which ate a
+      // leading OR-continuation here and silently dropped every Md5Uint32
+      // stage to interpreted fallback (janino: "... is not a type")
       s"""
          |$md.reset();
          |byte[] $d = $md.digest($a.getBytes());
-         |${ev.value} = (($d[0] & 0xFFL) << 24) | (($d[1] & 0xFFL) << 16)
-         |  | (($d[2] & 0xFFL) << 8) | ($d[3] & 0xFFL);
+         |${ev.value} = (($d[0] & 0xFFL) << 24) | (($d[1] & 0xFFL) << 16) |
+         |  (($d[2] & 0xFFL) << 8) | ($d[3] & 0xFFL);
        """.stripMargin
     })
   }
@@ -417,6 +452,190 @@ case class SparseDotSorted(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_fddot(a, b)`: dot product of an ARRAY<FLOAT> column against an
+  * ARRAY<DOUBLE> column (each float widened to double before the
+  * multiply, in index order) — bit-identical to the interpreted
+  * `aggregate(zip_with(transform(a, CAST AS DOUBLE), b, (x,y) -> x*y),
+  * 0d, +)` spelling, compiled to a primitive loop.
+  *
+  * This is the float-plane hyperplane-LSH hot path
+  * ([[graft.ops.Similarity.hyperplaneBucketAt]]): the plane family is a
+  * DOUBLE constant array (the splitmix64-mix components are 1e-6-grained
+  * — not float-representable, and a float round could flip a sign at
+  * the bucket boundary), so [[DotProductFloat]] can't serve without
+  * changing bucket assignment. Widening inside the codegen loop keeps
+  * every historical bucket (and the driver-side `bucketOf` twin) exact
+  * while removing the 3-lambda interpreted chain the banded miner paid
+  * per (row, plane) — nTables×planesPerTable times per row.
+  */
+@ExpressionDescription(
+  usage = "graft_fddot(a, b) - dot of ARRAY<FLOAT> a against ARRAY<DOUBLE> b as DOUBLE.")
+case class DotProductFloatDouble(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  // ragged → NULL, same contract as graft_dot (see there)
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_fddot"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) => true
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_fddot expects (ARRAY<FLOAT>, ARRAY<DOUBLE>) arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    if (xs.numElements() != ys.numElements()) return null
+    val n = xs.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += xs.getFloat(i).toDouble * ys.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.getFloat($i)) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductFloatDouble =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_firstmatch(xs, ys, groupBits, nGroups)`: index of the FIRST
+  * bit-group where two packed signatures agree, or -1.
+  *
+  * Both arguments are ARRAY<BIGINT> words packing `nGroups` groups of
+  * `groupBits` bits each, floor(63/groupBits) groups per word (bit 63
+  * never used, so shifts stay in non-negative territory); `groupBits`
+  * and `nGroups` must be foldable INT literals — they are baked into the
+  * generated loop as constants.
+  *
+  * This is the banded-LSH "first colliding table" verdict
+  * ([[graft.ops.Similarity.embNearDupBanded]]): a near-dup pair collides
+  * in ~all L tables on a cluster-heavy corpus, and emitting it only
+  * where `graft_firstmatch(x.sig, y.sig) = tbl` holds cuts the ~L×
+  * cross-table candidate multiplicity WITHOUT the `distinct()` shuffle
+  * the old plan paid (bench/r15_md5_twins.json: the mass cut dominates
+  * the 192.5→17.9 s twin rewrite). The md5 twin's 8-table × 3-bit CASE
+  * chain unrolled this by hand; this expression is the same arithmetic
+  * for any (groupBits, nGroups), evaluated per JOIN-OUTPUT row inside
+  * whole-stage codegen. Returns NULL if either array has the wrong word
+  * count (ragged contract, like graft_dot).
+  */
+@ExpressionDescription(
+  usage = "graft_firstmatch(xs, ys, groupBits, nGroups) - first index where the packed bit-groups of two ARRAY<BIGINT> signatures agree, or -1.")
+case class FirstMatchedGroup(left: Expression, right: Expression,
+                             groupBits: Int, nGroups: Int)
+    extends BinaryExpression {
+
+  require(groupBits >= 1 && groupBits <= 63,
+    s"graft_firstmatch: groupBits must be in [1,63], got $groupBits")
+  require(nGroups >= 1, s"graft_firstmatch: nGroups must be >= 1, got $nGroups")
+
+  private def groupsPerWord: Int = 63 / groupBits
+  private def nWords: Int = (nGroups + groupsPerWord - 1) / groupsPerWord
+  private def mask: Long = (1L << groupBits) - 1L
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_firstmatch"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_firstmatch expects two ARRAY<BIGINT> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    if (xs.numElements() != nWords || ys.numElements() != nWords) return null
+    val gpw = groupsPerWord
+    var w = 0
+    while (w < nWords) {
+      val d = xs.getLong(w) ^ ys.getLong(w)
+      val gmax = math.min(gpw, nGroups - w * gpw)
+      var j = 0
+      while (j < gmax) {
+        if (((d >>> (j * groupBits)) & mask) == 0L) return w * gpw + j
+        j += 1
+      }
+      w += 1
+    }
+    -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val w = ctx.freshName("w")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val gmax = ctx.freshName("gmax")
+      val res = ctx.freshName("res")
+      s"""
+         |if ($a.numElements() != $nWords || $b.numElements() != $nWords) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $res = -1;
+         |  for (int $w = 0; $w < $nWords && $res < 0; $w++) {
+         |    long $d = $a.getLong($w) ^ $b.getLong($w);
+         |    int $gmax = java.lang.Math.min($groupsPerWord, $nGroups - $w * $groupsPerWord);
+         |    for (int $j = 0; $j < $gmax; $j++) {
+         |      if ((($d >>> ($j * $groupBits)) & ${mask}L) == 0L) {
+         |        $res = $w * $groupsPerWord + $j;
+         |        break;
+         |      }
+         |    }
+         |  }
+         |  ${ev.value} = $res;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FirstMatchedGroup =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
 
   private val dotInfo = new ExpressionInfo(
@@ -444,6 +663,33 @@ object GraftFunctions {
     case Seq(a, b) => DotProductLong(a, b)
     case other => throw new IllegalArgumentException(
       s"graft_ldot takes exactly 2 arguments, got ${other.length}")
+  }
+
+  private val fddotInfo = new ExpressionInfo(
+    classOf[DotProductFloatDouble].getName, "graft_fddot")
+
+  private val fddotBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => DotProductFloatDouble(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_fddot takes exactly 2 arguments, got ${other.length}")
+  }
+
+  private val firstmatchInfo = new ExpressionInfo(
+    classOf[FirstMatchedGroup].getName, "graft_firstmatch")
+
+  // groupBits / nGroups must be INT literals: they are baked into the
+  // generated loop (constant word count, shift widths) at plan time
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"graft_firstmatch: $what must be an INT literal, got $other")
+  }
+
+  private val firstmatchBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b, bits, n) =>
+      FirstMatchedGroup(a, b, litInt(bits, "groupBits"), litInt(n, "nGroups"))
+    case other => throw new IllegalArgumentException(
+      s"graft_firstmatch takes exactly 4 arguments, got ${other.length}")
   }
 
   private val md5preInfo = new ExpressionInfo(
@@ -539,6 +785,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_ldot"), ldotInfo, ldotBuilder)
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_fddot"), fddotInfo, fddotBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_firstmatch"), firstmatchInfo, firstmatchBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_md5pre"), md5preInfo, md5preBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_md5u32"), md5u32Info, md5u32Builder)
@@ -572,6 +822,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_ldot"),
       new ExpressionInfo(classOf[DotProductLong].getName, "graft_ldot"),
       (exprs: Seq[Expression]) => DotProductLong(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fddot"),
+      new ExpressionInfo(classOf[DotProductFloatDouble].getName, "graft_fddot"),
+      (exprs: Seq[Expression]) => DotProductFloatDouble(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_firstmatch"),
+      new ExpressionInfo(classOf[FirstMatchedGroup].getName, "graft_firstmatch"),
+      (exprs: Seq[Expression]) => FirstMatchedGroup(exprs(0), exprs(1),
+        exprs(2).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int],
+        exprs(3).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int])))
     ext.injectFunction((
       FunctionIdentifier("graft_md5pre"),
       new ExpressionInfo(classOf[Md5Prefix].getName, "graft_md5pre"),

@@ -974,7 +974,8 @@ object Similarity {
     * without it the (expensive) bucket computation runs twice.
     */
   private def balancedIdPairs(tagged: DataFrame, keys: Seq[String],
-                              pairTarget: Int = 1250): DataFrame = {
+                              pairTarget: Int = 1250,
+                              pairFilter: Option[Column] = None): DataFrame = {
     val keyCols = keys.map(col)
     val sizes = tagged.groupBy(keyCols: _*)
       .agg(count(lit(1)).as("gsz"),
@@ -993,20 +994,97 @@ object Similarity {
     val y = g.withColumn("pb", bk)
     val cond = (keys :+ "pb").map(k => col(s"x.$k") === col(s"y.$k"))
       .reduce(_ && _) && col("x.vec_id") < col("y.vec_id")
-    x.as("x").join(y.as("y").hint("shuffle_hash"), cond)
+    // pairFilter (referencing x.* / y.* — any non-key column of `tagged`
+    // rides both sides) is applied BEFORE the pair projection, so
+    // Catalyst folds it into the join condition: the banded miners'
+    // first-colliding-table verdict kills the ~L× cross-table candidate
+    // multiplicity inside the join instead of shuffling it into a
+    // distinct() (bench/r15_md5_twins.json: that cut dominates the
+    // 192.5→17.9 s twin rewrite).
+    val joined = x.as("x").join(y.as("y").hint("shuffle_hash"), cond)
+    pairFilter.fold(joined)(joined.filter)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+  }
+
+  /** Packed per-table signature words for a banded family: word w packs
+    * tables [w·tpw, (w+1)·tpw), tpw = ⌊63/r⌋ tables per word (bit 63
+    * unused), table t's bucket at bit offset (t − w·tpw)·r — the layout
+    * [[graft.functions.FirstMatchedGroup]] walks. One projection computes
+    * ALL nTables·r plane sign bits per row (each a codegen'd dot over
+    * `signBit`), so the signature rides the candidate join in
+    * ⌈L/tpw⌉ longs instead of L separate bucket rows' worth of state.
+    */
+  private def packedSignature(signBit: Int => Column, nTables: Int,
+                              planesPerTable: Int): Column = {
+    require(planesPerTable >= 1 && planesPerTable <= 63,
+      s"packedSignature: planesPerTable must be in [1,63], got $planesPerTable")
+    val tpw = 63 / planesPerTable
+    val nWords = (nTables + tpw - 1) / tpw
+    array((0 until nWords).map { w =>
+      val tmax = math.min((w + 1) * tpw, nTables)
+      (w * tpw until tmax).flatMap { t =>
+        (0 until planesPerTable).map { j =>
+          when(signBit(t * planesPerTable + j),
+            lit(1L << ((t - w * tpw) * planesPerTable + j))).otherwise(lit(0L))
+        }
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Per-table bucket columns extracted from a packed `sig` word array
+    * (the [[packedSignature]] layout): bucket(t) = the r-bit group t.
+    */
+  private def sigBuckets(sig: Column, nTables: Int,
+                         planesPerTable: Int): Seq[Column] = {
+    val tpw = 63 / planesPerTable
+    val mask = (1L << planesPerTable) - 1
+    (0 until nTables).map { t =>
+      shiftright(element_at(sig, t / tpw + 1), (t % tpw) * planesPerTable)
+        .bitwiseAND(lit(mask))
+    }
+  }
+
+  /** The shared banded candidate miner: tag each vector into its L
+    * per-table buckets, enumerate within-bucket id pairs with the skew-
+    * balanced split, and emit each pair ONLY at its FIRST colliding
+    * table — `graft_firstmatch` over the packed signatures both sides
+    * carry, evaluated inside the join, so the cross-table multiplicity
+    * (a true near-dup collides in ~all L tables on a cluster-heavy
+    * corpus) never shuffles. Used by both the production float-plane
+    * form and the md5 oracle twin — one copy of the pairing scaffold,
+    * one place to retune pairTarget.
+    */
+  private def bandedFirstCollidePairs(packed: DataFrame, nTables: Int,
+                                      planesPerTable: Int): DataFrame = {
+    val tagged = packed.select(col("vec_id"), col("sig"),
+      posexplode(array(sigBuckets(col("sig"), nTables, planesPerTable): _*))
+        .as(Seq("tbl", "bucket")))
+    balancedIdPairs(tagged, Seq("tbl", "bucket"),
+      pairFilter = Some(call_function("graft_firstmatch",
+        col("x.sig"), col("y.sig"),
+        lit(planesPerTable), lit(nTables)) === col("x.tbl")))
   }
 
   def embNearDupBanded(embeddings: DataFrame, threshold: Double,
                        nTables: Int, planesPerTable: Int,
                        dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val buckets = array((0 until nTables).map(t =>
-      hyperplaneBucketAt("embedding", t * planesPerTable, planesPerTable, dim)): _*)
-    val tagged = embeddings
-      .select(col("vec_id"), posexplode(buckets).as(Seq("tbl", "bucket")))
-    val cand = balancedIdPairs(tagged, Seq("tbl", "bucket"))
-      .distinct() // a pair colliding in several tables verifies once
+    // ONE projection computes all L·r plane dots per row as codegen'd
+    // graft_fddot sign bits packed into ⌈L·r/63⌉ signature words — the
+    // r15 md5-twin rewrite (192.5→17.9 s same-box at sf1) ported to the
+    // production float-plane family. Bucket assignment is bit-identical
+    // to the old per-(table, plane) interpreted HOF chain (same widened-
+    // double in-order accumulation), so recall is unchanged; the twin's
+    // single-long pk generalizes to a word ARRAY because the Auto sizing
+    // picks up to L=64 tables × r planes (e.g. 57×7 = 399 sign bits at
+    // sf1 — no single long holds them).
+    val nPlanes = nTables * planesPerTable
+    val planes = planesArrayAt(0, nPlanes, dim)
+    val packed = embeddings.select(col("vec_id"),
+      packedSignature(p => call_function("graft_fddot", col("embedding"),
+        array(planes(p).map(lit(_)): _*)) >= 0, nTables, planesPerTable)
+        .as("sig"))
+    val cand = bandedFirstCollidePairs(packed, nTables, planesPerTable)
     val e = embeddings.select(col("vec_id"), col("embedding"))
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
@@ -1169,62 +1247,23 @@ object Similarity {
                           nTables: Int = 8, planesPerTable: Int = 3,
                           dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    // ONE quantization + nPlanes native integer dots per row, packed via
+    // the SHARED [[packedSignature]] layout (8 tables × 3 bits fit one
+    // word — the same bit positions the r15 single-long pk used, so
+    // per-table buckets are bit-for-bit the old md5BucketAt values and
+    // the DuckDB oracle is untouched), then the shared
+    // [[bandedFirstCollidePairs]] scaffold: the production float-plane
+    // form and this twin now differ ONLY in their sign-bit arithmetic.
     val nPlanes = nTables * planesPerTable
-    require(nPlanes <= 63, s"packed signature needs <= 63 planes, got $nPlanes")
-    val mask = (1L << planesPerTable) - 1
-    // ONE quantization + nPlanes native integer dots per row, packed into
-    // a single long (planesPerTable bits per table). The previous form
-    // re-evaluated the quantize + an interpreted zip_with/aggregate chain
-    // per (table, plane) — 24 HOF chains per row; graft_ldot over the
-    // bound qe column runs the identical BIGINT arithmetic in codegen, so
-    // per-table buckets (pk >> t·ppt & mask) are bit-for-bit the old
-    // md5BucketAt values and the DuckDB oracle is untouched.
+    require(nPlanes <= 63, s"md5 twin packs one word: <= 63 planes, got $nPlanes")
     val qeDf = embeddings.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * lit(1048576.0))).as("qe"))
-    val packedBits = (0 until nPlanes).map { p =>
-      val comps = array((0 until dim).map(d => lit(md5PlaneComp(p, d))): _*)
-      when(call_function("graft_ldot", col("qe"), comps) >= 0L, lit(1L << p))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
-    val packed = qeDf.select(col("vec_id"), packedBits.as("pk"))
-    val tagged = packed.select(col("vec_id"), col("pk"),
-      posexplode(array((0 until nTables).map(t =>
-        shiftright(col("pk"), t * planesPerTable).bitwiseAND(lit(mask))): _*))
-        .as(Seq("tbl", "bucket")))
-    // The balancedIdPairs split, carrying pk through the join so each
-    // pair can be emitted ONLY at its FIRST colliding table: both sides'
-    // full signatures are in the row, so "no earlier table collides" is
-    // a codegen'd filter — where the old distinct() shuffled the full
-    // cross-table candidate multiplicity (a near-dup pair collides in
-    // ~all 8 tables on this cluster-heavy corpus) a second time.
-    val keys = Seq("tbl", "bucket")
-    val keyCols = keys.map(col)
-    val sizes = tagged.groupBy(keyCols: _*)
-      .agg(count(lit(1)).as("gsz"),
-        min(col("vec_id")).as("gmin"), max(col("vec_id")).as("gmax"))
-      .select(keyCols ++ Seq(
-        ceil(col("gsz").cast("double") / 1250).cast("int").as("nb"),
-        col("gmin"), col("gmax")): _*)
-    val g = Checkpoints.stable(tagged.join(sizes, keys))
-    val bk = least(col("nb") - lit(1),
-      floor((col("vec_id") - col("gmin")).cast("double")
-        / (col("gmax") - col("gmin") + lit(1L)).cast("double")
-        * col("nb")).cast("int")).as("bk")
-    val x = g.withColumn("bk", bk)
-      .withColumn("pb", explode(sequence(col("bk"), col("nb") - 1)))
-      .drop("bk")
-    val y = g.withColumn("pb", bk)
-    val joinCond = (keys :+ "pb").map(k => col(s"x.$k") === col(s"y.$k"))
-      .reduce(_ && _) && col("x.vec_id") < col("y.vec_id")
-    val firstTbl = (0 until nTables).foldRight(lit(nTables)) { (t, acc) =>
-      when(shiftright(col("x.pk"), t * planesPerTable).bitwiseAND(lit(mask)) ===
-        shiftright(col("y.pk"), t * planesPerTable).bitwiseAND(lit(mask)),
-        lit(t)).otherwise(acc)
-    }
-    val cand = x.as("x").join(y.as("y").hint("shuffle_hash"), joinCond)
-      .filter(col("x.tbl") === firstTbl)
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    val packed = qeDf.select(col("vec_id"),
+      packedSignature(p => call_function("graft_ldot", col("qe"),
+        array((0 until dim).map(d => lit(md5PlaneComp(p, d))): _*)) >= 0L,
+        nTables, planesPerTable).as("sig"))
+    val cand = bandedFirstCollidePairs(packed, nTables, planesPerTable)
     val e = embeddings.select(col("vec_id"), col("embedding"))
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
@@ -1243,7 +1282,8 @@ object Similarity {
     * of filtering every row after reading it.
     */
   def writeAnnLayout(embeddings: DataFrame, layoutDir: String,
-                     nPlanes: Int = 4, dim: Int = 64): Unit =
+                     nPlanes: Int = 4, dim: Int = 64): Unit = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     embeddings.withColumn("bucket", hyperplaneBucket("embedding", nPlanes, dim))
       // cluster by the partition key before the partitioned write: one
       // task owns one bucket, so the layout is one file per bucket
@@ -1252,6 +1292,7 @@ object Similarity {
       // at 2048 buckets in graft.Stress)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(layoutDir)
+  }
 
   /** [[annLsh]] against a [[writeAnnLayout]] directory: the probe-bucket
     * filter is a partition predicate, so Catalyst prunes non-probe bucket
@@ -1416,9 +1457,15 @@ object Similarity {
     */
   private[ops] def hyperplaneBucketAt(embCol: String, startPlane: Int,
                                       nPlanes: Int, dim: Int): Column = {
+    // codegen'd widened float×double dot (graft_fddot) — bit-identical
+    // to the old cast-then-multiply HOF chain (same in-order double
+    // accumulation), so every historical bucket and the driver-side
+    // bucketOf twin are unchanged, at ~10x less per (row, plane); the
+    // banded miner pays this nTables×planesPerTable times per row.
+    // Callers must have run GraftFunctions.register on the session.
     val planes = planesArrayAt(startPlane, nPlanes, dim)
     (0 until nPlanes).map { p =>
-      when(dot(asDouble(col(embCol)),
+      when(call_function("graft_fddot", col(embCol),
         array(planes(p).map(lit(_)): _*)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }

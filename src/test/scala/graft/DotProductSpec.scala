@@ -197,4 +197,154 @@ class DotProductSpec extends SparkSpec {
       .collect()
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
   }
+
+  /** Runs `body` with codegen fallback DISABLED, so a janino compile
+    * failure throws instead of silently dropping the stage to the
+    * interpreted path. The r16 Md5Uint32 fix exists because the plan
+    * string alone can't catch this: "*(1)" markers are printed BEFORE
+    * compilation, so every stage that janino later rejects still looks
+    * codegen'd in the plan (the leading-'|' stripMargin bug shipped two
+    * rounds behind exactly that blind spot).
+    */
+  private def noFallback[T](body: => T): T = {
+    val old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body finally spark.conf.set("spark.sql.codegen.fallback", old)
+  }
+
+  test("graft_md5u32 actually COMPILES in whole-stage codegen (no silent interpreted fallback)") {
+    GraftFunctions.register(spark)
+    noFallback {
+      val df = spark.range(20)
+        .select(call_function("graft_md5u32",
+          concat(lit("w"), $"id".cast("string"))).as("h"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*(1)"), plan)
+      val got = df.as[Long].collect()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val want = (0 until 20).map { i =>
+        val d = md.digest(s"w$i".getBytes("UTF-8"))
+        ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      }
+      assert(got.toSeq == want)
+    }
+  }
+
+  test("graft_fddot equals the cast-then-multiply HOF spelling bit-for-bit; null + codegen contracts") {
+    GraftFunctions.register(spark)
+    // the hyperplane components: 1e-6-grained doubles, NOT float-exact —
+    // the reason this expression exists instead of casting planes to float
+    val planes = Seq(0.000001, -0.333333, 0.999999)
+    val df = Seq(
+      Seq(1.5f, -2.25f, 3.125f),
+      Seq(0.1f, 0.2f, 0.3f) // float-inexact values
+    ).toDF("a").withColumn("b", array(planes.map(lit(_)): _*))
+    val hof = aggregate(
+      zip_with(transform($"a", x => x.cast("double")), $"b", (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = df.select(call_function("graft_fddot", $"a", $"b").as("native"),
+      hof.as("reference")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r))
+    // null input → null
+    val withNull = Seq((Some(Seq(1.0f)), Option.empty[Seq[Double]]))
+      .toDF("a", "b")
+    assert(withNull.select(call_function("graft_fddot", $"a", $"b"))
+      .collect()(0).isNullAt(0))
+    // wrong types rejected at analysis (two float arrays = graft_dot's job)
+    intercept[Exception] {
+      Seq((Seq(1.0f), Seq(2.0f))).toDF("a", "b")
+        .select(call_function("graft_fddot", $"a", $"b")).collect()
+    }
+    // codegen participation, with fallback disabled so it must compile
+    noFallback {
+      val ranged = spark.range(10)
+        .select(call_function("graft_fddot",
+          array(($"id" + 1).cast("float"), ($"id" + 2).cast("float")),
+          array(lit(0.5), lit(-0.25))).as("d"))
+      val plan = ranged.queryExecution.executedPlan.toString
+      assert(plan.contains("*(1) Project [graft_fddot"), plan)
+      assert(ranged.as[Double].collect().toSeq ==
+        (0 until 10).map(i => (i + 1.0) * 0.5 + (i + 2.0) * -0.25))
+    }
+  }
+
+  test("ragged arrays yield NULL — graft_dot / graft_ldot / graft_l2q / graft_fddot, eval AND codegen") {
+    GraftFunctions.register(spark)
+    // the documented HOF equivalence: zip_with null-pads the short side
+    // and the null propagates through the sum — a truncated partial dot
+    // would put a malformed embedding in a DIFFERENT md5/hyperplane
+    // bucket than the otherwise-0 branch both spellings agree on
+    val f = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val l = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+    val fd = Seq((Seq(1.0f, 2.0f), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    // interpreted path (LocalTableScan)
+    assert(f.select(call_function("graft_dot", $"a", $"b")).collect()(0).isNullAt(0))
+    assert(l.select(call_function("graft_ldot", $"a", $"b")).collect()(0).isNullAt(0))
+    assert(l.select(call_function("graft_l2q", $"a", $"b")).collect()(0).isNullAt(0))
+    assert(fd.select(call_function("graft_fddot", $"a", $"b")).collect()(0).isNullAt(0))
+    // codegen path (range source), and the HOF twin agrees row-for-row
+    noFallback {
+      val ranged = spark.range(4).select(
+        array($"id".cast("float")).as("a"),
+        array(lit(1.0f), lit(2.0f)).as("b"),
+        array($"id").as("al"), array(lit(1L), lit(2L)).as("bl"))
+      val got = ranged.select(
+        call_function("graft_dot", $"a", $"b").as("d"),
+        call_function("graft_ldot", $"al", $"bl").as("ld"),
+        call_function("graft_l2q", $"al", $"bl").as("q"),
+        aggregate(zip_with($"al", $"bl", (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).as("hof")).collect()
+      got.foreach { r =>
+        assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3), r)
+      }
+    }
+  }
+
+  test("graft_firstmatch: first agreeing bit-group across packed words — hand cases, ragged null, codegen") {
+    GraftFunctions.register(spark)
+    def words(ws: Long*) = array(ws.map(lit(_)): _*)
+    // r=3 bits per group, 21 groups/word: groups at offsets 3g
+    // x: groups (g0..g3) = 5, 2, 7, 4 ; y: 1, 2, 7, 4 → first match g1
+    def pack3(gs: Seq[Long]) =
+      gs.zipWithIndex.map { case (g, i) => g << (3 * i) }.sum
+    val cases = Seq(
+      (words(pack3(Seq(5, 2, 7, 4))), words(pack3(Seq(1, 2, 7, 4))), 3, 4, Some(1)),
+      (words(pack3(Seq(5, 2, 7, 4))), words(pack3(Seq(1, 3, 6, 0))), 3, 4, None),
+      // equal beyond nGroups must NOT count: only group 0 is in range
+      (words(pack3(Seq(1, 7, 7, 7))), words(pack3(Seq(2, 7, 7, 7))), 3, 1, None),
+      // r=7 → 9 groups/word: group 10 lives in word 2 at offset 7.
+      // Word 1 must disagree in EVERY group (a bit set per 7-bit group on
+      // one side, zero on the other) or group 0 = (0,0) matches first.
+      (words(0L, (3L << 7) | 1L),
+        words((0 until 9).map(g => 1L << (7 * g)).sum, (3L << 7) | 2L),
+        7, 12, Some(10))
+    )
+    cases.zipWithIndex.foreach { case ((a, b, bits, n, want), i) =>
+      val got = spark.range(1).select(
+        call_function("graft_firstmatch", a, b, lit(bits), lit(n))).collect()(0)
+      assert(got.getInt(0) == want.getOrElse(-1), s"case $i: $got want $want")
+    }
+    // ragged (wrong word count for nGroups) → null
+    val ragged = spark.range(1).select(
+      call_function("graft_firstmatch", words(1L), words(1L, 2L),
+        lit(3), lit(25))).collect()(0) // 25 groups at r=3 needs 2 words
+    assert(ragged.isNullAt(0))
+    // non-literal groupBits rejected at plan time
+    intercept[Exception] {
+      spark.range(1).select(call_function("graft_firstmatch",
+        words(1L), words(1L), $"id".cast("int"), lit(1))).collect()
+    }
+    // codegen participation with fallback disabled
+    noFallback {
+      val ranged = spark.range(8).select(
+        call_function("graft_firstmatch",
+          array(pmod($"id", lit(8L))), array(lit(3L)),
+          lit(3), lit(1)).as("m"))
+      val plan = ranged.queryExecution.executedPlan.toString
+      assert(plan.contains("*(1) Project [graft_firstmatch"), plan)
+      assert(ranged.as[Int].collect().toSeq ==
+        (0 until 8).map(i => if (i % 8 == 3) 0 else -1))
+    }
+  }
 }

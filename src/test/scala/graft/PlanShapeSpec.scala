@@ -307,20 +307,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
-  test("emb_neardup_banded_md5: first-colliding-table filter in the join, no candidate distinct, shuffled-hash pair join") {
-    val p = plan("emb_neardup_banded_md5")
-    // the r15 shape: each pair is emitted ONLY at its first colliding
-    // table — the CASE chain over the packed signatures lives in the
-    // ShuffledHashJoin condition, so there must be NO aggregate keyed on
-    // the candidate pair (the old distinct() re-shuffled the ~8x
-    // cross-table multiplicity; bench/r15_md5_twins.json: 192.5→17.9 s)
-    assert(p.contains("ShuffledHashJoin"), p)
-    assert(p.contains("shiftright(pk"), p) // packed-signature CASE filter
-    assert(!p.contains("keys=[vec_a"), p)  // no (vec_a, vec_b) distinct
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p)
-    // (the graft_ldot bucket assignment sits BELOW the Checkpoints.stable
-    // cut — Scan ExistingRDD here — so it is pinned by the codegen parity
-    // specs in DotProductSpec, not by this plan string)
+  test("banded near-dup (production + md5 twin): first-colliding-table filter in the join, no candidate distinct, shuffled-hash pair join") {
+    // the r15 twin shape, r16-ported to the production float-plane form
+    // (both now share bandedFirstCollidePairs): each pair is emitted ONLY
+    // at its first colliding table — graft_firstmatch over the packed
+    // signatures lives in the ShuffledHashJoin condition, so there must
+    // be NO aggregate keyed on the candidate pair (the old distinct()
+    // re-shuffled the ~L× cross-table multiplicity;
+    // bench/r15_md5_twins.json: 192.5→17.9 s — the mass cut dominated)
+    for (q <- Seq("emb_neardup", "emb_neardup_banded_md5")) {
+      val p = plan(q)
+      assert(p.contains("ShuffledHashJoin"), s"$q\n$p")
+      assert(p.contains("graft_firstmatch(sig"), s"$q\n$p")
+      assert(!p.contains("keys=[vec_a"), s"$q\n$p") // no (vec_a, vec_b) distinct
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q\n$p")
+      // (the graft_ldot / graft_fddot sign-bit packing sits BELOW the
+      // Checkpoints.stable cut — Scan ExistingRDD here — so it is pinned
+      // by the codegen parity specs in DotProductSpec, not this string)
+    }
   }
 }
