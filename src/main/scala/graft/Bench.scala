@@ -68,9 +68,10 @@ object Bench {
             val frame = ef.stackTrace.find(_.getClassName.startsWith("graft"))
               .orElse(ef.stackTrace.headOption).map(_.toString).getOrElse("")
             recordExc("task_failure", ef.className, frame)
-          case other =>
+          case other: org.apache.spark.TaskFailedReason =>
             recordExc("task_end", other.getClass.getSimpleName,
               other.toErrorString.linesIterator.take(1).mkString)
+          case _ => ()
         }
     })
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

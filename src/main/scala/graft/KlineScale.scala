@@ -28,6 +28,10 @@ import graft.schema.KlineSchema
   * `bench/r{N}_kline_scale.json` for the committed artifact.
   *
   * Usage: `SPARK_DRIVER_MEM=4g sbt 'runMain graft.KlineScale'`.
+  * `SPARK_GRAFT_KLINE_MONTHS=N` (default 2) scales the generated run to
+  * N contiguous months from 2025-08 — N=20 (~52.7M rows) is the
+  * decade-up evidence point; every count/idempotency/oracle check
+  * derives from the month list, so the run stays fully checked at any N.
   */
 object KlineScale {
 
@@ -75,15 +79,24 @@ object KlineScale {
     }.getOrElse(java.nio.file.Files
       .createTempDirectory("graft_kline_scale").toString)
 
-    // land two months as header-less CSV (the reference's zip payload
-    // shape): 2025-08 (31 d) + 2025-09 (30 d), gapless across the seam.
-    val aug1 = java.time.Instant.parse("2025-08-01T00:00:00Z").getEpochSecond
-    val sep1 = java.time.Instant.parse("2025-09-01T00:00:00Z").getEpochSecond
+    // land N months as header-less CSV (the reference's zip payload
+    // shape), gapless across every seam. Default N=2 IS the reference's
+    // envelope (2025-08, 31 d + 2025-09, 30 d = 5,270,400 rows);
+    // SPARK_GRAFT_KLINE_MONTHS=20 is the decade-up evidence point
+    // (~52.7M rows) the r15 verdict asked for — same chain, same 4 g
+    // heap, same DuckDB value oracle (tools/kline_oracle.py globs
+    // landing/*, so it scales with N unchanged).
+    val nMonths = sys.env.getOrElse("SPARK_GRAFT_KLINE_MONTHS", "2").toInt
+    require(nMonths >= 1 && nMonths <= 120, s"months out of range: $nMonths")
+    val start = java.time.YearMonth.of(2025, 8)
+    val monthList = (0 until nMonths).map(start.plusMonths(_))
     val tGen0 = System.nanoTime()
-    klineMonth(spark, aug1, 31).write.mode("overwrite")
-      .csv(s"$base/landing/2025-08")
-    klineMonth(spark, sep1, 30).write.mode("overwrite")
-      .csv(s"$base/landing/2025-09")
+    monthList.foreach { ym =>
+      val startSec = ym.atDay(1).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toEpochSecond
+      klineMonth(spark, startSec, ym.lengthOfMonth).write.mode("overwrite")
+        .csv(s"$base/landing/$ym")
+    }
     val genSec = (System.nanoTime() - tGen0) / 1e9
 
     // ingest through the real header-less typed CSV reader (S3) and map
@@ -96,11 +109,12 @@ object KlineScale {
       col("Close").as("value"),
       lit("BTCUSDT-1s").as("event_type"))
     val nIn = events.count()
-    require(nIn == 5270400L, s"expected 5,270,400 gapless 1s rows, got $nIn")
+    val nExpect = monthList.map(_.lengthOfMonth.toLong * 86400L).sum
+    require(nIn == nExpect, s"expected $nExpect gapless 1s rows, got $nIn")
 
     val cfg = Etl.EtlConfig(
       sources = Seq("BTCUSDT-1s"),
-      periods = Seq("2025-08", "2025-09"),
+      periods = monthList.map(_.toString),
       landingDir = s"$base/landing",
       aggregatedDir = s"$base/agg",
       warehouseTable = "kline_scale_table",
@@ -113,14 +127,16 @@ object KlineScale {
     val second = Etl.run(spark, events, cfg).collect()
     val rerunSec = (System.nanoTime() - t1) / 1e9
 
-    // the BASELINE envelope: track_each=3600 → 744 + 720 hourly bars
+    // the BASELINE envelope: track_each=3600 → days×24 hourly bars/month
     val warehouse = spark.table(cfg.warehouseTable)
     val byMonth = warehouse
       .groupBy(date_format(timestamp_seconds(col("bucket")), "yyyy-MM").as("m"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    require(byMonth == Map("2025-08" -> 744L, "2025-09" -> 720L),
-      s"bar counts off the 3600:1 envelope: $byMonth")
+    val wantByMonth = monthList
+      .map(ym => ym.toString -> ym.lengthOfMonth.toLong * 24L).toMap
+    require(byMonth == wantByMonth,
+      s"bar counts off the 3600:1 envelope: $byMonth (want $wantByMonth)")
     val nBars = warehouse.count()
     val exported = spark.read.option("header", "true").csv(cfg.exportDir).count()
     require(exported == nBars, s"export rows $exported != warehouse rows $nBars")
@@ -132,7 +148,8 @@ object KlineScale {
     val heap = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val barsJson = byMonth.toSeq.sorted
       .map { case (m, n) => s""""$m":$n""" }.mkString("{", ",", "}")
-    println(f"""KLINE_SCALE {"input_rows":$nIn,"months":["2025-08","2025-09"],"bars":$barsJson,"warehouse_rows":$nBars,"export_rows":$exported,"idempotent":true,"gen_sec":$genSec%.2f,"run_sec":$runSec%.2f,"rerun_sec":$rerunSec%.2f,"heap_mb":$heap,"cpus":$cpus}""")
+    val monthsJson = monthList.map(m => s""""$m"""").mkString("[", ",", "]")
+    println(f"""KLINE_SCALE {"input_rows":$nIn,"months":$monthsJson,"bars":$barsJson,"warehouse_rows":$nBars,"export_rows":$exported,"idempotent":true,"gen_sec":$genSec%.2f,"run_sec":$runSec%.2f,"rerun_sec":$rerunSec%.2f,"heap_mb":$heap,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -3762,8 +3762,10 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
     // IVF-PQ mirror: md5 seed cells refined by TWO integer-Lloyd rounds
     // (floor(sum/cnt) BIGINT means — a1/m1/c1 then a2/m2/c2), adaptive
-    // integer probe (slack 169/100, min 2, cap 8 of 16 cells), then the
-    // ann_pq codebook CTEs restricted to the probed cells' vectors.
+    // integer probe (slack 169/100, min 2, cap 12 of 16 cells), then the
+    // ann_pq codebook CTEs restricted to the probed cells' vectors; 800
+    // ADC survivors re-ranked exactly (the r16 sweep-sized operating
+    // point — see Ivf.annIvfPq scaladoc for the measured frontier).
     "ann_ivfpq" ->
       """WITH q AS (SELECT vec_id, label, embedding,
         |             list_transform(embedding,
@@ -3800,7 +3802,7 @@ object SparkEntry {
         |       FROM c2, qv),
         |pc AS (SELECT cid FROM qd
         |       QUALIFY row_number() OVER (ORDER BY qd2, cid)
-        |         <= LEAST(8, GREATEST(2, (SELECT count(*) FROM qd q2
+        |         <= LEAST(12, GREATEST(2, (SELECT count(*) FROM qd q2
         |              WHERE q2.qd2 * 100 <= (SELECT min(qd2) FROM qd) * 169)))),
         |probed AS (SELECT q.vec_id, q.qe FROM q JOIN a USING (vec_id)
         |           JOIN pc ON a.cid = pc.cid WHERE q.vec_id != 0),
@@ -3824,7 +3826,7 @@ object SparkEntry {
         |adc AS (SELECT enc.vec_id, sum(qd2) AS adc
         |        FROM enc JOIN qlut ON enc.j = qlut.j AND enc.code = qlut.code
         |        GROUP BY 1),
-        |cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 400)
+        |cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 800)
         |SELECT q.vec_id, q.label,
         | list_dot_product(q.embedding::DOUBLE[], q_emb)
         |   / (sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x * x)))

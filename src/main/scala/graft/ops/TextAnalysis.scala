@@ -716,11 +716,17 @@ object TextAnalysis {
     * weight-biased exact-k sampler ([[Sampling.sampleWeighted]]) for the
     * resampling step.
     *
-    * Scale shape: token volume is exploded ONCE ([[hashFeatures]]);
-    * both distributions aggregate from those (doc, bucket, tf) rows —
-    * the target side via a doc_id-keyed source tag join, never a second
-    * corpus pass. The bucket table is `dim` rows: the log-ratio join is
-    * an explicit broadcast, and the per-doc reduce is one map-side
+    * Scale shape: token volume is exploded ONCE per consuming pass, and
+    * `source` rides the explode as a groupBy key (it is functionally
+    * dependent on doc_id, so the (doc, bucket) cardinality is
+    * unchanged) — NO corpus-sized join anywhere. The r15 form attached
+    * the source tag with a merge-hinted doc_id join instead, which
+    * SORTED the exploded feature side (~40M rows at 500k docs); once
+    * that sort outgrew memory the spill turned the second stress decade
+    * super-linear (16.4×, bench/r15_stress_scaling.json — the one
+    * un-annotated >10× resident; the r16 artifact records the
+    * before/after). The bucket table is `dim` rows: the log-ratio join
+    * is an explicit broadcast, and the per-doc reduce is one map-side
     * combinable aggregate. Per-BUCKET log ratios are correctly-rounded
     * doubles of exact integers (log2(pc+1) − log2(qc+1)); the add-1
     * normalizers (log2(q_n+dim) − log2(p_n+dim)) multiply n_feats once
@@ -732,15 +738,19 @@ object TextAnalysis {
   def dsirWeights(documents: DataFrame, targetSource: String,
       dim: Int = 64): DataFrame = {
     val feats = hashFeatures(documents, dim)
-    // merge-hinted: both sides are corpus-sized; a mis-estimated
-    // broadcast of the post-aggregate side OOMed the 8g stress driver
-    // at 500k docs (the jaccard_allpairs precedent)
-    val buckets = feats
-      .join(documents.select(col("doc_id"), col("source")).hint("merge"),
-        "doc_id")
+    // the q/p distributions don't need per-doc rows at all: aggregate
+    // the explode straight to `dim` buckets (map-side combined), with
+    // the target indicator computed from the source column that rode
+    // the explode — the doc_id join the r15 form paid here sorted the
+    // whole exploded side (see scaladoc)
+    val buckets = documents
+      .select(col("source"), explode(concat(toks, bigrams)).as("g"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
+          lit(dim.toLong)))
       .groupBy(col("bucket"))
-      .agg(sum(col("tf")).as("qc"),
-        sum(when(col("source") === targetSource, col("tf"))
+      .agg(count(lit(1)).as("qc"),
+        sum(when(col("source") === targetSource, 1L)
           .otherwise(lit(0L))).as("pc"))
     val totals = buckets.agg(sum(col("qc")).as("q_n"), sum(col("pc")).as("p_n"))
     feats
@@ -995,6 +1005,18 @@ object TextAnalysis {
     * the shard count — the emitted (doc_id, s) set is identical in every
     * case, so the DuckDB oracles and the persisted-artifact consumers
     * never see the difference.
+    *
+    * NOT LAZY: the pre-pass is an EAGER Spark job (sample → aggregate →
+    * 1024-row collect) that runs at DataFrame-CONSTRUCTION time — a
+    * caller that only builds the plan (plan-shape inspection, .explain,
+    * deferred pipelines) still triggers the sampling job. The routing
+    * decision is also environment-sensitive (Bernoulli sampling seeds
+    * per PARTITION, so a different input split can flip a near-threshold
+    * key between the hot and cold routes) even though the emitted row
+    * set is provably invariant — callers that need a construction-pure
+    * transformation should call [[crossDocDupStartsWindow]] /
+    * [[crossDocDupStartsAgg]] via the explicit `form` parameter of the
+    * public entry points instead.
     */
   private[graft] def crossDocDupStartsRouted(base: DataFrame, k: Int,
                                              sampleFrac: Double = 0.01,

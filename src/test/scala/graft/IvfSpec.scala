@@ -307,13 +307,14 @@ class IvfSpec extends SparkSpec {
       ordered.take(16).map(quant).toIndexedSeq)((c, _) => lloydRound(c))
     val cellOf = assign(cells16)
     // adaptive integer probe: every cell within 169/100 of the nearest
-    // d2, floored at 2, capped at 8 (= 0.5 * nlist)
+    // d2, floored at 2, capped at 12 (= 0.75 * nlist, the r16
+    // sweep-sized operating point)
     val qd = cells16.zipWithIndex.map { case (ce, cid) => (d2(quant(0L), ce), cid) }
     val dmin = qd.map(_._1).min
     val wide = qd.count(_._1 * 100L <= dmin * 169L)
-    val take = math.min(8, math.max(2, wide))
+    val take = math.min(12, math.max(2, wide))
     val probeCells = qd.sorted.take(take).map(_._2).toSet
-    // PQ: 32-seed codebook, encode probed vectors, ADC rank, 400 cands
+    // PQ: 32-seed codebook, encode probed vectors, ADC rank, 800 cands
     val seeds = ordered.take(32).map(quant)
     def code(v: Array[Long], j: Int): Int =
       (seeds.zipWithIndex.map { case (s, c) =>
@@ -323,7 +324,7 @@ class IvfSpec extends SparkSpec {
     val probedIds = rows.map(_._1).filter(id => id != 0L && probeCells(cellOf(id)))
     val cand = probedIds.map { id =>
       id -> (0 until 8).map(j => qlut(j)(code(quant(id), j))).sum }
-      .sortBy { case (id, a) => (a, id) }.take(400).map(_._1).toSet
+      .sortBy { case (id, a) => (a, id) }.take(800).map(_._1).toSet
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       for (i <- a.indices) { dot += a(i).toDouble * b(i).toDouble
