@@ -227,7 +227,20 @@ object StressScaling {
       // the prefix filter's measured worst case (flat df ⇒ postings
       // ~n/10k everywhere, prefixes can't shrink, candidates ~Σ|posting|²)
       // — kept at 1×/10× as the anti-baseline, like semantic_dedup_flat.
-      if (scale <= 10L && want("cosine_allpairs"))
+      // Capped at 10x by default: candidate volume on the flat-df corpus
+      // is CLOSED-FORM quadratic (~10k postings of n*40/10k rows each ->
+      // ~10k * (n/250)^2 / 2 pairs), and the cap is MEASURED, not
+      // estimated — the r16 30x attempt (~1.8G candidate pairs) died at
+      // 767 s spilling >69 GB of shuffle to disk (SPILL_OUT_OF_MEMORY /
+      // no space left; bench/r16_stress_scaling.json records the
+      // attempt), so the ~20G-pair 100x point is un-runnable on this
+      // box by an order of magnitude. This arm exists as the
+      // anti-baseline the Zipf arm is measured against: realistic
+      // (Zipf+Heaps) vocabularies keep rarest-first prefixes on short
+      // postings and DO run at 100x (candidates track near-dup mass).
+      // SPARK_GRAFT_STRESS_COSINE_CAP raises the cap for a bigger box.
+      if (scale <= sys.env.getOrElse("SPARK_GRAFT_STRESS_COSINE_CAP", "10").toLong
+          && want("cosine_allpairs"))
         record("cosine_allpairs", scale, nDocs, withReliableCuts(timed(
           ops.Similarity.allPairsCosine(d, 0.85))))
       // The Zipf-vocabulary corpus is the realistic case: rarest-first
