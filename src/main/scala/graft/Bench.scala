@@ -51,31 +51,67 @@ object Bench {
     // byte-bounded tail capture — rc=0, all queries reported, but the
     // trace was unattributable. Task-level failures that Spark RETRIES
     // never reach the driver as exceptions, so a listener records each
-    // failed-task reason (class + first graft frame + the query in
-    // flight) into the full-map JSON, where truncation can't eat it.
-    val exceptions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // failed-task reason (class + first graft frame + the owning query)
+    // into the full-map JSON, where truncation can't eat it.
+    // The query is attributed via a per-query JOB GROUP read back from
+    // the job-start properties, not a mutable in-flight marker: the
+    // listener bus is async, so a failed-task event from query N can be
+    // delivered after the driver thread has moved to query N+1 — the
+    // stage→group map pins each event to the job group its stage was
+    // SUBMITTED under, which cannot race. The in-flight marker survives
+    // only as the fallback for events whose stage never reported a job
+    // start (dropped under bus backpressure — then it IS best-effort).
+    val exceptions = new scala.collection.mutable.ArrayBuffer[String]()
     @volatile var inFlight: String = "warmup"
-    def recordExc(kind: String, cls: String, frame: String): Unit =
-      if (exceptions.size < 20) {
-        def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-        exceptions.add(s"""{"query":"${esc(inFlight)}","kind":"$kind","class":"${esc(cls)}","frame":"${esc(frame)}"}""")
+    val stageQuery = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    def esc(s: String): String = {
+      val sb = new StringBuilder
+      s.foreach {
+        case '\\' => sb.append("\\\\")
+        case '"' => sb.append("\\\"")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        // remaining control chars (a pathological exception message can
+        // carry any byte) must not reach the one-line JSON raw
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+    // synchronized bounded add: concurrent task-end events once raced the
+    // check-then-act on size and could push past the 20-entry cap
+    def recordExc(query: String, kind: String, cls: String, frame: String): Unit =
+      exceptions.synchronized {
+        if (exceptions.size < 20)
+          exceptions += s"""{"query":"${esc(query)}","kind":"$kind","class":"${esc(cls)}","frame":"${esc(frame)}"}"""
       }
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val grp = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        grp.foreach(g => e.stageIds.foreach(sid => stageQuery.put(sid, g)))
+      }
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val query = stageQuery.getOrDefault(e.stageId, inFlight)
         e.reason match {
           case org.apache.spark.Success => ()
           case ef: org.apache.spark.ExceptionFailure =>
             val frame = ef.stackTrace.find(_.getClassName.startsWith("graft"))
               .orElse(ef.stackTrace.headOption).map(_.toString).getOrElse("")
-            recordExc("task_failure", ef.className, frame)
+            recordExc(query, "task_failure", ef.className, frame)
           case other: org.apache.spark.TaskFailedReason =>
-            recordExc("task_end", other.getClass.getSimpleName,
+            recordExc(query, "task_end", other.getClass.getSimpleName,
               other.toErrorString.linesIterator.take(1).mkString)
           case _ => ()
         }
+      }
     })
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       inFlight = name
+      // every job this query submits carries `name` as its job group —
+      // the attribution key the listener reads back per stage
+      spark.sparkContext.setJobGroup(name, s"bench:$name", interruptOnCancel = false)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
@@ -83,9 +119,9 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         val frame = e.getStackTrace.find(_.getClassName.startsWith("graft"))
           .orElse(e.getStackTrace.headOption).map(_.toString).getOrElse("")
-        recordExc("query_failure", e.getClass.getName, frame)
+        recordExc(name, "query_failure", e.getClass.getName, frame)
         -1.0
-      }
+      } finally spark.sparkContext.clearJobGroup()
     }
     // Sentinel: the flagship timed FIRST and LAST in every pass. A run
     // contaminated by box load convicts itself — last/first drift > ~20%
@@ -134,12 +170,24 @@ object Bench {
     //    smallest capture window observed (~2.5 KB).
     // capped at 20 entries: attribution evidence, not a full log — a
     // pathological all-tasks-failing run would otherwise bloat the map
-    val excJson = {
-      import scala.jdk.CollectionConverters._
-      exceptions.asScala.mkString("[", ",", "]")
-    }
+    val excJson = exceptions.synchronized { exceptions.mkString("[", ",", "]") }
+    // Sentinel-NORMALIZED figures (r16 verdict #3): cross-round raw
+    // totals drift with box speed (r16's driver total read 1.38× r15's
+    // purely because the session ran ~1.5× slow — sentinel 0.233 vs
+    // 0.150), so each run also reports total and per-query walls divided
+    // by ITS OWN sentinel median (all 2·runs per-pass flagship medians,
+    // first+last pooled). The normals are dimensionless flagship
+    // multiples: comparing normalized_total across rounds cancels the
+    // box, no archaeology needed. Statistic documented in bench/NOISE.md.
+    val sentShots = (passes.map(_._2) ++ passes.map(_._3)).filter(_ > 0)
+    val sentNorm = if (sentShots.isEmpty) -1.0
+      else sentShots.sorted.apply(sentShots.size / 2)
+    def norm(v: Double): Double =
+      if (v >= 0 && sentNorm > 0) v / sentNorm else -1.0
+    val qsNorm = results.map { case (k, v) => "\"" + k + "\":" + fmt(norm(v)) }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"stat":"median","sentinel":$sent,"exceptions":$excJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"stat":"median","sentinel":$sent,"sentinel_norm":${fmt(sentNorm)},"normalized_total":${fmt(norm(total))},"queries_normalized":$qsNorm,"exceptions":$excJson}"""
     // Default full-map path is stamped with the run's sf-dir basename so
     // back-to-back runs at different scales can't clobber each other's
     // only complete record (an sf1 run once overwrote the sf0.1 map the
@@ -168,7 +216,7 @@ object Bench {
     val resMap = results.toMap
     val hqs = headline.flatMap(n => resMap.get(n).map(v => "\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hqs,"nqueries":${results.size},"full":"$fullPath","sf":"$sfDir","runs":$runs,"stat":"median","sentinel":$sent}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hqs,"nqueries":${results.size},"full":"$fullPath","sf":"$sfDir","runs":$runs,"stat":"median","sentinel":$sent,"sentinel_norm":${fmt(sentNorm)},"normalized_total":${fmt(norm(total))}}""")
     spark.stop()
   }
 }

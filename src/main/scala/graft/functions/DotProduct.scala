@@ -685,7 +685,12 @@ object GraftFunctions {
       s"graft_firstmatch: $what must be an INT literal, got $other")
   }
 
-  private val firstmatchBuilder: Seq[Expression] => Expression = {
+  // private[functions]: the GraftExtensions injection path reuses this
+  // builder so both registration routes validate the groupBits/nGroups
+  // literals identically (a BIGINT literal like 3L once raised an opaque
+  // ClassCastException from the extensions path where the registry path
+  // gave litInt's descriptive error)
+  private[functions] val firstmatchBuilder: Seq[Expression] => Expression = {
     case Seq(a, b, bits, n) =>
       FirstMatchedGroup(a, b, litInt(bits, "groupBits"), litInt(n, "nGroups"))
     case other => throw new IllegalArgumentException(
@@ -829,11 +834,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_firstmatch"),
       new ExpressionInfo(classOf[FirstMatchedGroup].getName, "graft_firstmatch"),
-      (exprs: Seq[Expression]) => FirstMatchedGroup(exprs(0), exprs(1),
-        exprs(2).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
-          .value.asInstanceOf[Int],
-        exprs(3).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
-          .value.asInstanceOf[Int])))
+      GraftFunctions.firstmatchBuilder))
     ext.injectFunction((
       FunctionIdentifier("graft_md5pre"),
       new ExpressionInfo(classOf[Md5Prefix].getName, "graft_md5pre"),

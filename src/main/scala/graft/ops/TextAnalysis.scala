@@ -659,12 +659,22 @@ object TextAnalysis {
     require(dim >= 2, s"need dim >= 2 buckets, got $dim")
     documents
       .select(col("doc_id"), explode(concat(toks, bigrams)).as("g"))
-      .withColumn("bucket",
-        pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
-          lit(dim.toLong)))
+      .withColumn("bucket", featureBucket(col("g"), dim))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("tf"))
   }
+
+  /** The hashed-feature bucket of one gram — engine-portable md5→BIGINT
+    * arithmetic (15 hex digits < 2^60, Long-exact; the CMS discipline).
+    * ONE definition shared by [[hashFeatures]] and [[dsirWeights]]: the
+    * DSIR q/p bucket distributions are joined against the per-doc tf
+    * buckets, so a hash change applied to one site but not the other
+    * would silently corrupt every weight without any small-corpus test
+    * tripping — sharing the Column makes that divergence unrepresentable.
+    */
+  private def featureBucket(g: org.apache.spark.sql.Column,
+      dim: Int): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(dim.toLong))
 
   /** Integer doc embeddings by signed random projection of the hashed
     * feature map (Achlioptas 2003 / the SimHash projection family, kept
@@ -745,9 +755,7 @@ object TextAnalysis {
     // whole exploded side (see scaladoc)
     val buckets = documents
       .select(col("source"), explode(concat(toks, bigrams)).as("g"))
-      .withColumn("bucket",
-        pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
-          lit(dim.toLong)))
+      .withColumn("bucket", featureBucket(col("g"), dim))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("qc"),
         sum(when(col("source") === targetSource, 1L)
