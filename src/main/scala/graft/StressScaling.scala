@@ -243,6 +243,26 @@ object StressScaling {
           && want("cosine_allpairs"))
         record("cosine_allpairs", scale, nDocs, withReliableCuts(timed(
           ops.Similarity.allPairsCosine(d, 0.85))))
+      // Governed twin of the arm above: the SAME flat corpus through the
+      // r17 candidate-mass preflight at a 1e9-pair budget — the 1× point
+      // clears the budget and runs to completion (the accept branch must
+      // cost ~the ungoverned run), while the 30×/100× points are REFUSED
+      // in seconds with the estimate, where the r16 ungoverned attempt
+      // died at 767 s after >69 GB of spill. Skipped at 10× (accept is
+      // already evidenced at 1×; 10× would just repeat the ~100 s
+      // anti-baseline twice per pass).
+      if (scale != 10L && want("cosine_preflight"))
+        record("cosine_preflight", scale, nDocs, withReliableCuts {
+          val t0 = System.nanoTime()
+          try ops.Similarity.allPairsCosine(d, 0.85,
+            maxCandidatePairs = 1000000000L)
+            .write.format("noop").mode("overwrite").save()
+          catch {
+            case e: ops.CandidateMassExceeded => println(
+              s"""STRESS_PREFLIGHT {"query":"cosine_preflight","scale":$scale,"rows":$nDocs,"pass":$passNow,"estimated_pairs":${e.estimatedPairs},"budget":${e.maxCandidatePairs},"verdict":"rejected"}""")
+          }
+          (System.nanoTime() - t0) / 1e9
+        })
       // The Zipf-vocabulary corpus is the realistic case: rarest-first
       // prefixes land on tail types with short postings, so candidate
       // volume tracks near-dup mass, not posting-length².

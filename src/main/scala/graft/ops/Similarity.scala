@@ -3,6 +3,23 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** Governed refusal from an exact all-pairs miner's candidate-mass
+  * preflight ([[Similarity.allPairsJaccard]] /
+  * [[Similarity.allPairsCosine]] with a finite `maxCandidatePairs`):
+  * the estimated candidate-join mass exceeds the caller's budget, so
+  * the miner fails in seconds — with the estimate, so the caller can
+  * route to an LSH/banded plan or raise the budget deliberately —
+  * instead of launching a join the r16 stress run measured dying after
+  * 767 s and >69 GB of shuffle spill on the 30× flat-df corpus.
+  */
+final case class CandidateMassExceeded(operator: String,
+    estimatedPairs: Long, maxCandidatePairs: Long)
+  extends RuntimeException(
+    s"$operator preflight: ~$estimatedPairs candidate pairs estimated, " +
+      s"over the budget of $maxCandidatePairs. The corpus is too " +
+      "collision-heavy for the exact all-pairs join at this budget; use " +
+      "the LSH/banded miners, or raise maxCandidatePairs knowingly.")
+
 /** Deduplication + similarity-search operators for the LLM-data-pipeline
   * tier: exact dedup, MinHash+banded-LSH near-dup, SimHash, n-gram
   * Jaccard, embedding cosine top-k, and hyperplane-LSH approximate NN.
@@ -427,6 +444,56 @@ object Similarity {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Distinct (doc_id, h) shingle-hash rows — the primitive both the
+    * prefix table and the verify sets of [[allPairsJaccard]] are built
+    * from (one definition so they can never disagree on the set space).
+    */
+  private[graft] def jaccardShingleHashes(documents: DataFrame): DataFrame =
+    shingleRows(documents)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .distinct()
+
+  /** The (doc_id, h, n) PREFIX table of [[allPairsJaccard]] (see its
+    * scaladoc for the lossless-prune argument): each doc's p = n −
+    * ⌈t·n⌉ + 1 rarest shingles under the global (dfreq, h) order.
+    * private[graft] so the preflight spec can count the true candidate
+    * join mass against the estimator over the identical table.
+    */
+  private[graft] def jaccardPrefix(documents: DataFrame,
+                                   threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("dfreq"), col("h"))
+    val sh = jaccardShingleHashes(documents)
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
+    // merge-hint the corpus-sized joins: post-aggregate size estimates
+    // can mislead the planner into BUILDING a broadcast from a
+    // million-row side (observed OOM at the 500k-doc stress point);
+    // sort-merge never holds a side in memory and the sort keys are the
+    // join keys anyway
+    sh.join(dfreq.hint("merge"), "h")
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .filter(col("rnk") <=
+        col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("h"), col("n"))
+  }
+
+  /** Σ_k C(cnt_k, 2) over a one-column key frame `k` — the EXACT number
+    * of (unordered) row pairs an equi-self-join on `k` emits, i.e. the
+    * candidate mass of a prefix-filter join BEFORE its residual filters.
+    * One hash aggregate: per-key counts (map-side combined), then one
+    * scalar sum — cost is one pass over the prefix table, never a join.
+    * Overflow-safe for any realistic posting list (c·(c−1) fits a BIGINT
+    * until a single key holds >3×10⁹ rows).
+    */
+  private def candidatePairMass(keys: DataFrame): Long = {
+    val m2 = keys.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - lit(1L))).as("m2"))
+      .head().getAs[java.lang.Long]("m2")
+    if (m2 == null) 0L else m2 / 2
+  }
+
   /** EXACT corpus-wide all-pairs Jaccard via prefix filtering (Bayardo,
     * Ma & Srikant, "Scaling Up All Pairs Similarity Search", WWW 2007;
     * the SSJoin/PPJoin family) — the exact-recall complement to the LSH
@@ -456,35 +523,41 @@ object Similarity {
     * rarer ones); the verify joins hashed-shingle SETS by id — the
     * candidate list, not the corpus, pays the set intersection.
     */
-  def allPairsJaccard(documents: DataFrame, threshold: Double): DataFrame = {
+  def allPairsJaccard(documents: DataFrame, threshold: Double,
+                      maxCandidatePairs: Long = Long.MaxValue): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("dfreq"), col("h"))
-    val sh = shingleRows(documents)
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
-      .distinct()
-    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
-    // merge-hint the corpus-sized joins: post-aggregate size estimates
-    // can mislead the planner into BUILDING a broadcast from a
-    // million-row side (observed OOM at the 500k-doc stress point);
-    // sort-merge never holds a side in memory and the sort keys are the
-    // join keys anyway
-    val ranked = sh.join(dfreq.hint("merge"), "h")
-      .withColumn("rnk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
-    val pref = ranked
-      .filter(col("rnk") <=
-        col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
-      .select(col("doc_id"), col("h"), col("n"))
+    val rawPref = jaccardPrefix(documents, threshold)
+    // Candidate-mass PREFLIGHT (opt-in via a finite budget): the r16
+    // stress run MEASURED what an ungoverned launch costs — the flat-df
+    // 30× corpus died after 767 s and >69 GB of shuffle spill
+    // (bench/r16_stress_scaling.json) — so a caller-bounded run counts
+    // the join mass FIRST (one hash aggregate over the prefix table:
+    // Σ_h C(cnt_h, 2), exactly the rows the candidate self-join will
+    // emit before its size filter) and refuses with the estimate instead
+    // of launching the death march. The prefix table is stable-cut so
+    // the accepted path reuses it — the preflight then costs one
+    // aggregate, not a second prefix build. Budget-free calls (the
+    // default) are byte-identical to the r16 plan.
+    val pref =
+      if (maxCandidatePairs == Long.MaxValue) rawPref
+      else {
+        val cut = Checkpoints.stable(rawPref)
+        val mass = candidatePairMass(cut.select(col("h").as("k")))
+        if (mass > maxCandidatePairs)
+          throw CandidateMassExceeded("allPairsJaccard", mass, maxCandidatePairs)
+        cut
+      }
     val cand = pref.as("a").join(pref.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n"), col("b.n")).cast("double") >=
             lit(threshold) * greatest(col("a.n"), col("b.n")) - lit(1e-9))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sets = sh.groupBy(col("doc_id"))
+    // same (doc, h) subtree the prefix was built from; Spark recomputes
+    // it per consumer regardless of val sharing, so building it again
+    // here costs exactly what the pre-refactor single-val form did
+    val sets = jaccardShingleHashes(documents).groupBy(col("doc_id"))
       .agg(collect_set(col("h")).as("sh"))
       .withColumn("n", size(col("sh")))
     cand
@@ -1294,6 +1367,54 @@ object Similarity {
       .write.mode("overwrite").partitionBy("bucket").parquet(layoutDir)
   }
 
+  /** Incremental index maintenance for the hyperplane-LSH layout — the
+    * [[graft.ops.Ivf.appendToLayout]] counterpart for [[writeAnnLayout]]
+    * directories, and strictly CHEAPER than IVF's: the plane family is
+    * deterministic and data-INDEPENDENT (fixed splitmix64 mix of
+    * (plane, dim) — nothing was trained on the resident corpus), so an
+    * appended batch hashes into exactly the buckets a from-scratch
+    * rebuild would put it in, there is no centroid-drift failure mode,
+    * and no retrain trigger needs monitoring. New rows append
+    * partition-wise (cost ∝ batch, the corpus is never touched);
+    * probes ([[annLshProbe]] / [[annLshProbeAdaptive]]) see old+new
+    * rows immediately through the same partition-pruned scan.
+    *
+    * `nPlanes`/`dim` must match the layout's build parameters — the same
+    * caller-owns-params contract every probe already carries. The
+    * too-FEW-planes mistake is caught structurally (a cheap directory
+    * listing: an existing `bucket=` partition ≥ 2^nPlanes proves the
+    * layout was built with more planes); the converse (appending with
+    * more planes than the build) is indistinguishable from a sparse
+    * layout and stays on the documented contract.
+    *
+    * Returns the per-bucket append report `(bucket, n_appended)` — the
+    * observability row a lake maintenance job logs (bucket-occupancy
+    * skew of appends is the only drift-shaped signal this family has).
+    */
+  def appendToAnnLayout(newVectors: DataFrame, layoutDir: String,
+                        nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val spark = newVectors.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val path = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val existing = fs.listStatus(path).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("bucket="))
+      .map(_.stripPrefix("bucket=").toLong)
+    val over = existing.filter(_ >= (1L << nPlanes))
+    require(over.isEmpty,
+      s"appendToAnnLayout: layout $layoutDir has bucket partitions " +
+        s"${over.sorted.take(3).mkString(",")}… outside 2^$nPlanes — it was " +
+        "built with more planes than this append declares; matching " +
+        "nPlanes is required or probes would miss the appended rows")
+    // stable-cut so the write and the report share one bucketing pass
+    val bucketed = Checkpoints.stable(newVectors
+      .withColumn("bucket", hyperplaneBucket("embedding", nPlanes, dim)))
+    bucketed
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(layoutDir)
+    bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("n_appended"))
+  }
+
   /** [[annLsh]] against a [[writeAnnLayout]] directory: the probe-bucket
     * filter is a partition predicate, so Catalyst prunes non-probe bucket
     * directories out of the scan (the plan's PartitionFilters — proven in
@@ -1471,14 +1592,19 @@ object Similarity {
   }
 
   /** Driver-side bucket of ONE query vector — plain arithmetic over the
-    * same plane family, no Spark job.
+    * same plane family, no Spark job. A ragged vector (length ≠ dim) maps
+    * to bucket 0, mirroring the expression path exactly: graft_fddot
+    * returns NULL on a length mismatch, NULL ≥ 0 is NULL, and the
+    * `otherwise(0)` branch zeroes every plane bit — so both sides agree
+    * on malformed embeddings too, not just well-formed ones.
     */
   private[ops] def bucketOf(emb: Array[Float], nPlanes: Int, dim: Int): Long = {
+    if (emb.length != dim) return 0L
     val planes = planesArray(nPlanes, dim)
     (0 until nPlanes).map { p =>
       var s = 0.0
       var i = 0
-      while (i < math.min(dim, emb.length)) { s += emb(i) * planes(p)(i); i += 1 }
+      while (i < dim) { s += emb(i) * planes(p)(i); i += 1 }
       if (s >= 0) 1L << p else 0L
     }.sum
   }
@@ -1564,9 +1690,14 @@ object Similarity {
     * feature rows by (doc, term) for candidate pairs only — the
     * candidate list, not the corpus, pays the dot products.
     */
-  def allPairsCosine(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"threshold must be in (0, 1], got $threshold")
+  /** The stable-cut (feats, pref) pair of [[allPairsCosine]] — the
+    * normalized-quantized feature rows and the suffix-bound prefix table
+    * (see its scaladoc). private[graft] so the preflight spec can count
+    * the true candidate-join mass over the identical prefix table the
+    * estimator aggregates.
+    */
+  private[graft] def cosineFeatsAndPrefix(documents: DataFrame,
+      threshold: Double): (DataFrame, DataFrame) = {
     val W = org.apache.spark.sql.expressions.Window
     val tq = math.floor(threshold * math.pow(2.0, 40)).toLong
     val tf = documents
@@ -1608,6 +1739,28 @@ object Similarity {
       .withColumn("s_bound", sum(col("wnq") * col("mw")).over(suffixW))
       .filter(col("s_bound") >= tq)
       .select(col("doc_id"), col("t")))
+    (feats, pref)
+  }
+
+  def allPairsCosine(documents: DataFrame, threshold: Double = 0.5,
+                     maxCandidatePairs: Long = Long.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val tq = math.floor(threshold * math.pow(2.0, 40)).toLong
+    val (feats, pref) = cosineFeatsAndPrefix(documents, threshold)
+    // Candidate-mass PREFLIGHT (opt-in via a finite budget; the
+    // allPairsJaccard rationale, and THIS operator is the one the r16
+    // stress run measured dying ungoverned — 767 s, >69 GB spill, at
+    // only 30× on the flat-df corpus): Σ_t C(cnt_t, 2) over the prefix
+    // table is exactly the unordered candidate-pair mass the prefix
+    // self-join emits, and `pref` is already stable-cut for the join, so
+    // the preflight costs one hash aggregate over it — the governed
+    // refusal lands in seconds where the launch took minutes to die.
+    if (maxCandidatePairs != Long.MaxValue) {
+      val mass = candidatePairMass(pref.select(col("t").as("k")))
+      if (mass > maxCandidatePairs)
+        throw CandidateMassExceeded("allPairsCosine", mass, maxCandidatePairs)
+    }
     // prefix × PREFIX is lossless BECAUSE the order is global: all of a
     // pair's shared terms sort by the one canonical (df, t) key, so the
     // EARLIEST shared term t* is the same on both sides, and

@@ -721,4 +721,98 @@ class SimilaritySpec extends SparkSpec {
         s"reordered twin ($a, $b) missing - the anti-Jaccard family must be caught")
     }
   }
+
+  test("candidate-mass preflight: estimate matches the true candidate-join mass, refusal carries it, clear budgets change nothing") {
+    // the stress generator's corpus shape (planted 1%-dup families,
+    // fixed vocabulary) — the regime the preflight exists to govern
+    val d = StressScaling.docs(spark, 2000L)
+
+    // --- Jaccard: the estimator (Σ_h C(cnt,2) over the prefix table)
+    // must equal the equi-join's raw pair mass and bound the miner's
+    // true (size-filtered) candidate mass within 2×.
+    val pref = Similarity.jaccardPrefix(d, 0.5)
+    val rawJoin = pref.as("a").join(pref.as("b"),
+      $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id").count()
+    val sized = pref.as("a").join(pref.as("b"),
+      $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
+        least($"a.n", $"b.n").cast("double") >=
+          lit(0.5) * greatest($"a.n", $"b.n") - lit(1e-9)).count()
+    val ej = intercept[graft.ops.CandidateMassExceeded] {
+      Similarity.allPairsJaccard(d, 0.5, maxCandidatePairs = 0L)
+    }
+    assert(ej.operator == "allPairsJaccard" && ej.maxCandidatePairs == 0L)
+    assert(ej.estimatedPairs == rawJoin,
+      s"estimate ${ej.estimatedPairs} != raw join mass $rawJoin")
+    assert(sized > 0 && sized <= ej.estimatedPairs &&
+      ej.estimatedPairs <= 2 * sized,
+      s"estimate ${ej.estimatedPairs} not within 2x of true mass $sized")
+
+    // --- Cosine: same contract over the tf-idf prefix (no size filter
+    // in its join, so the estimate is exactly the unordered join mass).
+    val (_, cpref) = Similarity.cosineFeatsAndPrefix(d, 0.85)
+    val cosMass = cpref.as("a").join(cpref.as("b"),
+      $"a.t" === $"b.t" && $"a.doc_id" < $"b.doc_id").count()
+    val ec = intercept[graft.ops.CandidateMassExceeded] {
+      Similarity.allPairsCosine(d, 0.85, maxCandidatePairs = 0L)
+    }
+    assert(ec.operator == "allPairsCosine" && ec.estimatedPairs == cosMass,
+      s"estimate ${ec.estimatedPairs} != join mass $cosMass")
+
+    // --- a clear budget must admit the run and change NOTHING: the
+    // guarded results are row-identical to the default (ungoverned) plan
+    def jset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val jDefault = jset(Similarity.allPairsJaccard(d, 0.5))
+    val jGuarded = jset(Similarity.allPairsJaccard(d, 0.5,
+      maxCandidatePairs = ej.estimatedPairs))
+    assert(jDefault == jGuarded && jDefault.nonEmpty)
+    def cset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cDefault = cset(Similarity.allPairsCosine(d, 0.85))
+    val cGuarded = cset(Similarity.allPairsCosine(d, 0.85,
+      maxCandidatePairs = ec.estimatedPairs))
+    assert(cDefault == cGuarded && cDefault.nonEmpty)
+  }
+
+  test("appendToAnnLayout: appended layout is bucket-identical to a rebuild, probes agree, plane mismatch refused") {
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val center = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val all = (0 until 240).map { i =>
+      if (i < 20)
+        (i.toLong, center.map(c => c + 0.01f * rnd.nextGaussian().toFloat).toSeq, 0)
+      else (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq, 1)
+    }
+    // split by parity so both the resident layout and the appended batch
+    // carry cluster members — the probe must need BOTH to be correct
+    val resident = all.filter(_._1 % 2 == 0).toDF("vec_id", "embedding", "label")
+    val batch = all.filter(_._1 % 2 == 1).toDF("vec_id", "embedding", "label")
+    val embAll = all.toDF("vec_id", "embedding", "label")
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_append_").toString
+    val incDir = base + "/inc"
+    val fullDir = base + "/full"
+    Similarity.writeAnnLayout(resident, incDir, nPlanes = 6)
+    val report = Similarity.appendToAnnLayout(batch, incDir, nPlanes = 6)
+    assert(report.agg(sum($"n_appended")).as[Long].head() == 120L)
+    Similarity.writeAnnLayout(embAll, fullDir, nPlanes = 6)
+    // data-independent planes: the appended layout's (vec_id, bucket)
+    // assignment is IDENTICAL to the from-scratch rebuild's
+    def assign(dir: String) = spark.read.parquet(dir)
+      .select($"vec_id", $"bucket".cast("long")).as[(Long, Long)].collect().toSet
+    assert(assign(incDir) == assign(fullDir))
+    // and therefore so is any probe (ordered rows, not just the set)
+    def probe(dir: String) = Similarity.annLshProbeAdaptive(spark, dir,
+      center, 10, nPlanes = 6, scanBudget = 0.375)
+      .select($"vec_id").as[Long].collect().toSeq
+    val inc = probe(incDir)
+    assert(inc == probe(fullDir) && inc.nonEmpty)
+    // the probe must draw from both halves or the append was vacuous
+    assert(inc.exists(_ % 2 == 0) && inc.exists(_ % 2 == 1))
+    // declaring fewer planes than the layout was built with is refused
+    // structurally (existing bucket partitions ≥ 2^nPlanes prove it)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToAnnLayout(batch, incDir, nPlanes = 2)
+    }
+    assert(e.getMessage.contains("appendToAnnLayout"))
+  }
 }
