@@ -968,6 +968,16 @@ object SparkEntry {
       Similarity.allPairsCosine(
         Tables.documents(s, d).filter(col("doc_id") < 1000), 0.85)
     }),
+    // The governed-refusal estimator for the join above (r16 verdict #2):
+    // Σ_t C(cnt_t, 2) over the suffix-bound prefix table = the exact
+    // pair mass the candidate join would emit, without launching it.
+    // Integer-exact end-to-end (no xxhash in the cosine pipeline), so
+    // the estimate itself is hash-oracled — same id bound as the miner.
+    "cosine_preflight" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.cosinePreflight(
+        Tables.documents(s, d).filter(col("doc_id") < 1000), 0.85)
+    }),
     // Asymmetric containment over the same bounded id range: catches the
     // quote-inclusion/superset family whose symmetric Jaccard is tiny.
     "containment_pairs" -> ((s, d) => Similarity.containmentPairs(Tables.documents(s, d), 500L, 0.8)),
@@ -3148,6 +3158,42 @@ object SparkEntry {
         |SELECT doc_a, doc_b, dot_q,
         | CAST(dot_q AS DOUBLE) / 1099511627776.0 AS cosine_q
         |FROM pairs WHERE dot_q >= 934584883609""".stripMargin,
+    // The preflight estimator: the cosine_allpairs CTE chain up to the
+    // normalized-quantized features, then the suffix-bound prefix
+    // (ROWS frame over the global rarest-first (df, t) order — unique
+    // per doc, so no peer ambiguity) and one Σ c·(c−1)/2 aggregate.
+    "cosine_preflight" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents WHERE doc_id < 1000)
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT t, count(*) AS df FROM tok GROUP BY 1),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tok),
+        |wq AS (SELECT doc_id, t,
+        |         CAST(floor(least(CAST(tf AS DOUBLE)
+        |             * ((n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)),
+        |           1048576.0) * 16.0) AS BIGINT) AS wq
+        |       FROM tok JOIN dfq USING (t), nd),
+        |wqp AS (SELECT * FROM wq WHERE wq > 0),
+        |nx AS (SELECT doc_id, CAST(sum(wq * wq) AS BIGINT) AS nx
+        |       FROM wqp GROUP BY 1),
+        |f AS (SELECT doc_id, t,
+        |        CAST(floor((CAST(wq AS DOUBLE) / sqrt(CAST(nx AS DOUBLE)))
+        |          * 1048576.0) AS BIGINT) AS wnq
+        |      FROM wqp JOIN nx USING (doc_id)),
+        |fp AS (SELECT * FROM f WHERE wnq > 0),
+        |maxw AS (SELECT t, max(wnq) AS mw FROM fp GROUP BY 1),
+        |sb AS (SELECT doc_id, t,
+        |         CAST(sum(wnq * mw) OVER (PARTITION BY doc_id ORDER BY df, t
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |           AS s_bound
+        |       FROM fp JOIN maxw USING (t) JOIN dfq USING (t)),
+        |pref AS (SELECT doc_id, t FROM sb WHERE s_bound >= 934584883609),
+        |cnt AS (SELECT t, count(*) AS c FROM pref GROUP BY 1)
+        |SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) AS BIGINT) // 2
+        |  AS estimated_pairs
+        |FROM cnt""".stripMargin,
     // The lexical pair CTE from ngram_jaccard + one embedding join per
     // side, cosine with the cosine_topk formula.
     "dedup_ensemble" ->

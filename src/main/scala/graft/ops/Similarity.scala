@@ -1742,6 +1742,26 @@ object Similarity {
     (feats, pref)
   }
 
+  /** The [[allPairsCosine]] candidate-mass estimate as a ONE-ROW frame
+    * `(estimated_pairs)` — the standalone face of the preflight, for
+    * capacity planning and governance dashboards ("what would the exact
+    * join cost on this corpus?") without ever launching the join. The
+    * whole pipeline below the tokenize is BIGINT arithmetic (the
+    * [[allPairsCosine]] quantization discipline), so unlike the
+    * xxhash64-ranked Jaccard prefix this estimate is ENGINE-EXACT and
+    * oracle-able: Σ_t C(cnt_t, 2) over the suffix-bound prefix table is
+    * the same number in any engine. Cost: the linear prefix build plus
+    * one hash aggregate — never a join.
+    */
+  def cosinePreflight(documents: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val (_, pref) = cosineFeatsAndPrefix(documents, threshold)
+    pref.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - lit(1L))), lit(0L)).as("m2"))
+      .selectExpr("m2 DIV 2 AS estimated_pairs")
+  }
+
   def allPairsCosine(documents: DataFrame, threshold: Double = 0.5,
                      maxCandidatePairs: Long = Long.MaxValue): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
