@@ -4,9 +4,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription, ExpressionInfo}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** `graft_dot(a, b)`: dot product of two float-array columns as a native
@@ -636,6 +638,147 @@ case class FirstMatchedGroup(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_packsig(emb, planes, planesPerTable, nTables)`: ALL L·r
+  * hyperplane sign bits of one embedding, packed into the
+  * ⌈L/⌊63/r⌋⌉-word ARRAY<BIGINT> signature layout [[FirstMatchedGroup]]
+  * walks — ONE codegen'd double loop per row regardless of plane count.
+  *
+  * Why a single expression and not a column composition: the banded
+  * miner's Auto sizing scales the plane count with the corpus (e.g.
+  * 42 tables × 6 planes = 252 dots at the sf1-shape point), and the
+  * per-plane spelling — 252 separate `when(graft_fddot(...) ≥ 0, bit)`
+  * terms summed per word — generates code linear in L·r inside ONE
+  * unsplittable expression tree: the r17 sf1 run measured janino's
+  * "Code grows beyond 64 KB" on exactly that projection, and Spark
+  * silently fell back to INTERPRETED execution for the hottest per-row
+  * stage of `emb_neardup`. This expression generates a fixed ~30-line
+  * nested loop with the plane matrix as ONE flat `double[]` reference
+  * object, so the generated size is constant in L·r and the packing
+  * stays inside whole-stage codegen at any sizing.
+  *
+  * Bit-identical to the composition it replaces: same in-order
+  * float-widened-to-double accumulation per plane (the graft_fddot
+  * loop), same `⌊63/r⌋` tables-per-word layout, and the same edge
+  * contract — a ragged embedding (length ≠ dim) or a NULL embedding
+  * yields the ALL-ZERO signature (the fddot-NULL → when-otherwise(0)
+  * path), and the sign test is NaN-as-largest / -0.0 = 0.0 (Spark's
+  * nan-safe `≥` on DOUBLE), spelled `!(acc < 0)`.
+  *
+  * `planes` / `planesPerTable` / `nTables` must be foldable literals
+  * (the registry builder extracts them); the plane matrix rides the
+  * plan ONCE as a reference object, not as expression nodes.
+  */
+@ExpressionDescription(
+  usage = "graft_packsig(emb, planes, planesPerTable, nTables) - packed hyperplane sign-bit signature words of an ARRAY<FLOAT> embedding.")
+case class PackedSignBits(child: Expression, planes: Seq[Seq[Double]],
+                          planesPerTable: Int, nTables: Int)
+    extends UnaryExpression {
+
+  require(planesPerTable >= 1 && planesPerTable <= 63,
+    s"graft_packsig: planesPerTable must be in [1,63], got $planesPerTable")
+  require(nTables >= 1, s"graft_packsig: nTables must be >= 1, got $nTables")
+  require(planes.length == nTables * planesPerTable,
+    s"graft_packsig: need nTables*planesPerTable = ${nTables * planesPerTable} " +
+      s"planes, got ${planes.length}")
+  private val dim = planes.head.length
+  require(dim >= 1 && planes.forall(_.length == dim),
+    "graft_packsig: all planes must share one dimension >= 1")
+
+  private def tpw: Int = 63 / planesPerTable
+  private def nWords: Int = (nTables + tpw - 1) / tpw
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](planes.length * dim)
+    var p = 0
+    while (p < planes.length) {
+      var i = 0
+      while (i < dim) { a(p * dim + i) = planes(p)(i); i += 1 }
+      p += 1
+    }
+    a
+  }
+
+  // always an array: null/ragged embeddings map to the all-zero
+  // signature (see scaladoc), never to NULL
+  override def nullable: Boolean = false
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_packsig"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_packsig expects an ARRAY<FLOAT> embedding, got ${other.simpleString}")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val words = new Array[Long](nWords)
+    val v = child.eval(input)
+    if (v != null) {
+      val emb = v.asInstanceOf[ArrayData]
+      if (emb.numElements() == dim) {
+        val r = planesPerTable
+        val nP = nTables * r
+        var p = 0
+        while (p < nP) {
+          var acc = 0.0
+          val base = p * dim
+          var i = 0
+          while (i < dim) { acc += emb.getFloat(i).toDouble * flat(base + i); i += 1 }
+          if (!(acc < 0.0)) {
+            val t = p / r
+            val w = t / tpw
+            words(w) |= 1L << ((t - w * tpw) * r + (p % r))
+          }
+          p += 1
+        }
+      }
+    }
+    new GenericArrayData(words)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val planesRef = ctx.addReferenceObj("packsigPlanes", flat, "double[]")
+    val words = ctx.freshName("words")
+    val p = ctx.freshName("p")
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
+    val base = ctx.freshName("base")
+    val t = ctx.freshName("t")
+    val w = ctx.freshName("w")
+    val r = planesPerTable
+    val javaCode =
+      code"""
+        ${childGen.code}
+        long[] $words = new long[$nWords];
+        if (!${childGen.isNull} && ${childGen.value}.numElements() == $dim) {
+          for (int $p = 0; $p < ${nTables * r}; $p++) {
+            double $acc = 0.0;
+            int $base = $p * $dim;
+            for (int $i = 0; $i < $dim; $i++) {
+              $acc += ((double) ${childGen.value}.getFloat($i)) * $planesRef[$base + $i];
+            }
+            if (!($acc < 0.0)) {
+              int $t = $p / $r;
+              int $w = $t / $tpw;
+              $words[$w] |= 1L << (($t - $w * $tpw) * $r + ($p % $r));
+            }
+          }
+        }
+        ArrayData ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData($words);
+      """
+    ev.copy(code = javaCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PackedSignBits =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
 
   private val dotInfo = new ExpressionInfo(
@@ -695,6 +838,28 @@ object GraftFunctions {
       FirstMatchedGroup(a, b, litInt(bits, "groupBits"), litInt(n, "nGroups"))
     case other => throw new IllegalArgumentException(
       s"graft_firstmatch takes exactly 4 arguments, got ${other.length}")
+  }
+
+  private val packsigInfo = new ExpressionInfo(
+    classOf[PackedSignBits].getName, "graft_packsig")
+
+  // the plane matrix must be a foldable nested-array DOUBLE literal: it
+  // is extracted ONCE here and rides the expression as a flat reference
+  // object (never as per-element expression nodes — see PackedSignBits)
+  private def litPlanes(e: Expression): Seq[Seq[Double]] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: ArrayData,
+        ArrayType(ArrayType(DoubleType, _), _)) =>
+      (0 until v.numElements()).map(i => v.getArray(i).toDoubleArray().toSeq)
+    case other => throw new IllegalArgumentException(
+      s"graft_packsig: planes must be an ARRAY<ARRAY<DOUBLE>> literal, got $other")
+  }
+
+  private[functions] val packsigBuilder: Seq[Expression] => Expression = {
+    case Seq(emb, pl, bits, n) =>
+      PackedSignBits(emb, litPlanes(pl),
+        litInt(bits, "planesPerTable"), litInt(n, "nTables"))
+    case other => throw new IllegalArgumentException(
+      s"graft_packsig takes exactly 4 arguments, got ${other.length}")
   }
 
   private val md5preInfo = new ExpressionInfo(
@@ -794,6 +959,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_firstmatch"), firstmatchInfo, firstmatchBuilder)
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_packsig"), packsigInfo, packsigBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_md5pre"), md5preInfo, md5preBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_md5u32"), md5u32Info, md5u32Builder)
@@ -835,6 +1002,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_firstmatch"),
       new ExpressionInfo(classOf[FirstMatchedGroup].getName, "graft_firstmatch"),
       GraftFunctions.firstmatchBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_packsig"),
+      new ExpressionInfo(classOf[PackedSignBits].getName, "graft_packsig"),
+      GraftFunctions.packsigBuilder))
     ext.injectFunction((
       FunctionIdentifier("graft_md5pre"),
       new ExpressionInfo(classOf[Md5Prefix].getName, "graft_md5pre"),

@@ -1153,10 +1153,24 @@ object Similarity {
     // sf1 — no single long holds them).
     val nPlanes = nTables * planesPerTable
     val planes = planesArrayAt(0, nPlanes, dim)
+    // ONE native expression (graft_packsig) computes and packs all L·r
+    // sign bits per row in a fixed-size codegen'd loop: the per-plane
+    // column composition (L·r `when(graft_fddot ≥ 0, bit)` terms)
+    // generated code linear in the plane count inside one unsplittable
+    // expression tree, and at the sf1 Auto sizing (252 planes) janino's
+    // 64 KB method limit kicked Spark back to INTERPRETED execution for
+    // exactly this hot projection (measured in the r17 sf1 run: "Code
+    // grows beyond 64 KB" once per pass). The sf1 wall is join-dominated
+    // so the measured effect is within session noise (13.7-19.7 s vs
+    // 14.8-17.2 across runs); the point is STRUCTURAL — the packing
+    // stays inside whole-stage codegen at ANY sizing, where the
+    // composition's generated size grows with the corpus until it falls
+    // out. Buckets bit-identical (DotProductSpec parity incl.
+    // ragged/NaN; ANN_RECALL byte-identical).
     val packed = embeddings.select(col("vec_id"),
-      packedSignature(p => call_function("graft_fddot", col("embedding"),
-        array(planes(p).map(lit(_)): _*)) >= 0, nTables, planesPerTable)
-        .as("sig"))
+      call_function("graft_packsig", col("embedding"),
+        typedLit(planes.map(_.toSeq).toSeq),
+        lit(planesPerTable), lit(nTables)).as("sig"))
     val cand = bandedFirstCollidePairs(packed, nTables, planesPerTable)
     val e = embeddings.select(col("vec_id"), col("embedding"))
     cand
@@ -1583,11 +1597,15 @@ object Similarity {
     // accumulation), so every historical bucket and the driver-side
     // bucketOf twin are unchanged, at ~10x less per (row, plane); the
     // banded miner pays this nTables×planesPerTable times per row.
+    // Planes ship as one array Literal each (typedLit), not CreateArray
+    // of dim element literals — the per-element form codegens dim
+    // assignments per plane and overflows janino's 64 KB method limit
+    // at many-plane counts (see embNearDupBanded). Values identical.
     // Callers must have run GraftFunctions.register on the session.
     val planes = planesArrayAt(startPlane, nPlanes, dim)
     (0 until nPlanes).map { p =>
       when(call_function("graft_fddot", col(embCol),
-        array(planes(p).map(lit(_)): _*)) >= 0, lit(1L << p)).otherwise(lit(0L))
+        typedLit(planes(p).toSeq)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 

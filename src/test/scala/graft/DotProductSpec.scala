@@ -347,4 +347,54 @@ class DotProductSpec extends SparkSpec {
         (0 until 8).map(i => if (i % 8 == 3) 0 else -1))
     }
   }
+
+  test("graft_packsig: equals the per-plane fddot composition at the 252-plane sizing (incl. ragged + NaN rows); null -> all-zero; COMPILES in codegen where the composition cannot") {
+    GraftFunctions.register(spark)
+    val dim = 64
+    val (r, l) = (6, 42) // the sf1 Auto sizing whose composition overflowed 64 KB
+    val rnd = new scala.util.Random(13)
+    val planes: Seq[Seq[Double]] = Seq.fill(l * r)(Seq.fill(dim)(rnd.nextGaussian()))
+    val embRows: Seq[(Long, Seq[Float])] =
+      (0 until 40).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian().toFloat))) ++
+        Seq((40L, Seq.fill(dim - 1)(0.1f)),                       // ragged
+          (41L, Seq.fill(dim)(Float.NaN)),                        // NaN sign test
+          (42L, Seq.fill(dim)(0.0f)))                             // exact-zero dots
+    val df = embRows.toDF("vec_id", "e")
+    val native = call_function("graft_packsig", $"e",
+      typedLit(planes), lit(r), lit(l))
+    // the per-plane composition this expression replaces, spelled out
+    val tpw = 63 / r
+    val nWords = (l + tpw - 1) / tpw
+    val legacy = array((0 until nWords).map { w =>
+      val tmax = math.min((w + 1) * tpw, l)
+      (w * tpw until tmax).flatMap { t =>
+        (0 until r).map { j =>
+          when(call_function("graft_fddot", $"e",
+            typedLit(planes(t * r + j))) >= 0,
+            lit(1L << ((t - w * tpw) * r + j))).otherwise(lit(0L))
+        }
+      }.reduce(_ + _)
+    }: _*)
+    val rows = df.select($"vec_id", native.as("n"), legacy.as("ref")).collect()
+    rows.foreach { row =>
+      assert(row.getSeq[Long](1) == row.getSeq[Long](2), row)
+    }
+    // ragged embedding = fddot-NULL path on every plane = all-zero words
+    val ragged = rows.find(_.getLong(0) == 40L).get
+    assert(ragged.getSeq[Long](1) == Seq.fill(nWords)(0L))
+    // NaN dots: Spark's nan-safe >= treats NaN as largest, so ALL bits set
+    val nan = rows.find(_.getLong(0) == 41L).get
+    assert(nan.getSeq[Long](1).forall(_ != 0L))
+    // NULL embedding -> all-zero signature (never NULL)
+    val withNull = Seq((0L, Option.empty[Seq[Float]])).toDF("vec_id", "e")
+    assert(withNull.select(native).collect()(0).getSeq[Long](0) ==
+      Seq.fill(nWords)(0L))
+    // the whole point: at this sizing the expression must COMPILE in
+    // whole-stage codegen (fallback disabled -> a 64 KB overflow fails
+    // loudly); the composition above measurably cannot (r17 sf1 run)
+    noFallback {
+      val out = df.select(native.as("sig")).collect()
+      assert(out.length == embRows.size)
+    }
+  }
 }
