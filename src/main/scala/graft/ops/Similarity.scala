@@ -1160,13 +1160,15 @@ object Similarity {
     // expression tree, and at the sf1 Auto sizing (252 planes) janino's
     // 64 KB method limit kicked Spark back to INTERPRETED execution for
     // exactly this hot projection (measured in the r17 sf1 run: "Code
-    // grows beyond 64 KB" once per pass). The sf1 wall is join-dominated
-    // so the measured effect is within session noise (13.7-19.7 s vs
-    // 14.8-17.2 across runs); the point is STRUCTURAL — the packing
-    // stays inside whole-stage codegen at ANY sizing, where the
-    // composition's generated size grows with the corpus until it falls
-    // out. Buckets bit-identical (DotProductSpec parity incl.
-    // ragged/NaN; ANN_RECALL byte-identical).
+    // grows beyond 64 KB" once per pass). Measured under the full sf1
+    // subset protocol: 17.2 s interpreted → 10.26 s at HEAD (0.60×,
+    // of which ~0.8× is session calmness shared by every arm — net
+    // ~1.3× from the codegen restore; bench/r17_sf1_notes.md). The
+    // deeper point is STRUCTURAL: the packing stays inside whole-stage
+    // codegen at ANY sizing, where the composition's generated size
+    // grows with the corpus until it falls out. Buckets bit-identical
+    // (DotProductSpec parity incl. ragged/NaN; ANN_RECALL
+    // byte-identical).
     val packed = embeddings.select(col("vec_id"),
       call_function("graft_packsig", col("embedding"),
         typedLit(planes.map(_.toSeq).toSeq),
