@@ -1107,6 +1107,12 @@ object SparkEntry {
     // SemDeDup over the same deterministic cells: within-cell cosine
     // pairs >= 0.4, greedy-by-id removal list — fully hash-oracle-able.
     "semantic_dedup" -> ((s, d) => Ivf.semanticDedup(Tables.embeddings(s, d), 0.4, 8)),
+    // Governance twin of the row above (the L151 preflight pattern on
+    // the semantic tier): the exact within-cell pair mass Σ C(cnt,2)
+    // over the same md5-seeded integer-exact assignment — the number
+    // semanticDedup's opt-in maxPairs budget refuses on. BIGINT
+    // end-to-end below the 2^20 quantization, so hash-oracled.
+    "semantic_preflight" -> ((s, d) => Ivf.semanticPreflight(Tables.embeddings(s, d), 8)),
     // Two-level SemDeDup (the measured scale fix: assignment n·2√nlist
     // instead of n·nlist): 4 coarse cells × 2 per-cell fine seeds.
     "semantic_dedup_hier" -> ((s, d) => Ivf.semanticDedupHier(Tables.embeddings(s, d), 0.4, 4, 2)),
@@ -3941,6 +3947,24 @@ object SparkEntry {
         |    AND list_sum(list_transform(y.emb, v -> v * v)) > 0)
         |WHERE cosine >= 0.4
         |GROUP BY 1, 2""".stripMargin,
+    // The governance estimate: the same q/c/a assignment CTEs, then one
+    // per-cell count and Σ c·(c−1)/2 — integer-exact end-to-end.
+    "semantic_preflight" ->
+      """WITH q AS (SELECT vec_id,
+        |             list_transform(embedding,
+        |               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qe
+        |           FROM embeddings),
+        |c AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+        |             qe AS ce
+        |      FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |a AS (SELECT vec_id,
+        |        (min({'d2': CAST(list_sum(list_transform(generate_series(1, len(qe)),
+        |              i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT), 'cid': cid})).cid AS cid
+        |      FROM q, c GROUP BY 1),
+        |cnt AS (SELECT cid, count(*) AS c FROM a GROUP BY 1)
+        |SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) AS BIGINT) // 2
+        |  AS estimated_pairs
+        |FROM cnt""".stripMargin,
     // Text payloads are no known media container → fmt 'raw' + the
     // documented pseudo-dimension fallback; real PNG/JPEG/GIF header
     // parsing is spec-pinned (no image bytes in the oracle tables).

@@ -344,9 +344,33 @@ object StressScaling {
       if (want("semantic_dedup_capped"))
         record("semantic_dedup_capped", scale, nVecs, timed(
           ops.Ivf.semanticDedupCapped(emb, 0.95, side, side, 2500)))
+      // Governed twin of the FLAT anti-baseline (the semantic face of
+      // the r17 preflight pattern): semanticDedup at the paper form's
+      // default-undersized nlist = 8 through the maxPairs budget. The
+      // within-cell mass grows ~n²/8 while the n·8 assignment the
+      // preflight needs stays linear — 1×/10× clear the 1e9 budget and
+      // run, 100× (measured mass 9.655e10 pairs — 1.5× the even-split
+      // model, because md5-seeded cells are uneven; the regime the
+      // unguarded flat form measured at 837 s) is refused in
+      // assignment-time seconds, faster than the 10× ACCEPT. Override:
+      // SPARK_GRAFT_STRESS_SEMANTIC_BUDGET.
+      if (want("semantic_preflight"))
+        record("semantic_preflight", scale, nVecs, {
+          val budget = sys.env.getOrElse(
+            "SPARK_GRAFT_STRESS_SEMANTIC_BUDGET", "1000000000").toLong
+          val t0 = System.nanoTime()
+          try ops.Ivf.semanticDedup(emb, 0.95, 8, maxPairs = budget)
+            .write.format("noop").mode("overwrite").save()
+          catch {
+            case e: ops.CandidateMassExceeded => println(
+              s"""STRESS_PREFLIGHT {"query":"semantic_preflight","scale":$scale,"rows":$nVecs,"pass":$passNow,"estimated_pairs":${e.estimatedPairs},"budget":${e.maxCandidatePairs},"verdict":"rejected"}""")
+          }
+          (System.nanoTime() - t0) / 1e9
+        })
       // lazy val: only unpersist if some embedding query actually ran
       if (Seq("ann_ivf", "semantic_dedup_flat", "semantic_dedup_hier",
-          "semantic_dedup_capped", "semantic_hier_cells").exists(want))
+          "semantic_dedup_capped", "semantic_hier_cells",
+          "semantic_preflight").exists(want))
         emb.unpersist()
       // Drop this scale's localCheckpoint blocks (d/dz/dh, and any cut a
       // timed operator made) before the next decade: the cuts pin

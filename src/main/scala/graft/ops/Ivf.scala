@@ -328,15 +328,62 @@ object Ivf {
     * embedding rides into exactly one join, with only (ids, cid,
     * cosine) surviving the pairing.
     */
+  /** The SemDeDup candidate-pair mass as a ONE-ROW frame
+    * `(estimated_pairs)` — Σ_cid C(cnt, 2) over the md5-seeded
+    * integer-exact cell assignment: exactly the unordered pairs the
+    * within-cell m² phase will score, computed by the (cheap, n·nlist)
+    * assignment plus one hash aggregate — the [[graft.ops.Similarity
+    * .cosinePreflight]] governance pattern applied to the semantic
+    * tier. The whole path below the floats' 2^20 quantization is BIGINT
+    * arithmetic (the [[annIvfMd5]] machinery), so the estimate is
+    * engine-exact and oracle-able.
+    *
+    * The regime this exists for: [[semanticDedup]] with an UNDERSIZED
+    * `nlist` (the paper form's documented trap — a default-8 call on a
+    * million-vector corpus puts ~n/8 vectors in each cell, ~6×10¹⁰
+    * pairs) pays a pairing that grows ~n²/nlist while the assignment
+    * the preflight needs stays ~n·nlist — the refusal is cheap exactly
+    * where the launch is fatal. The answer to a refusal is nlist ∝ n
+    * ([[graft.ops.Similarity.embNearDupAuto]]'s sizing note) or the
+    * capped/hier production forms, whose per-task work is bounded by
+    * construction.
+    */
+  def semanticPreflight(embeddings: DataFrame, nlist: Int = 8): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val quant = Checkpoints.stable(
+      quantized(embeddings).select(col("vec_id"), col("qe")))
+    val assigned = md5CellAssign(quant, md5SeedCells(quant, nlist))
+    assigned.groupBy(col("cid")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - lit(1L))), lit(0L)).as("m2"))
+      .selectExpr("m2 DIV 2 AS estimated_pairs")
+  }
+
   def semanticDedup(embeddings: DataFrame, threshold: Double = 0.4,
-                    nlist: Int = 8): DataFrame = {
+                    nlist: Int = 8,
+                    maxPairs: Long = Long.MaxValue): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     // Materialized (vec_id, qe): without the cut, the derived transform
     // re-evaluates inside every consumer — seed selection AND each of
     // the ×nlist assignment copies (see [[semanticDedupHierCells]]).
     val quant = Checkpoints.stable(
       quantized(embeddings).select(col("vec_id"), col("qe")))
-    val assigned = md5CellAssign(quant, md5SeedCells(quant, nlist))
+    val rawAssigned = md5CellAssign(quant, md5SeedCells(quant, nlist))
+    // opt-in pair-mass preflight (see [[semanticPreflight]]): the cut
+    // is taken only on the guarded path so the default plan is
+    // byte-identical; on acceptance the pairing reuses it, so the
+    // preflight costs one aggregate, not a second assignment pass
+    val assigned =
+      if (maxPairs == Long.MaxValue) rawAssigned
+      else {
+        val cut = Checkpoints.stable(rawAssigned)
+        val m2 = cut.groupBy(col("cid")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * (col("c") - lit(1L))).as("m2"))
+          .head().getAs[java.lang.Long]("m2")
+        val mass = if (m2 == null) 0L else m2 / 2
+        if (mass > maxPairs)
+          throw graft.ops.CandidateMassExceeded("semanticDedup", mass, maxPairs)
+        cut
+      }
     val cells = embeddings
       .join(assigned, col("vec_id") === col("aid"))
       .select(col("vec_id"), col("cid"), col("embedding"))

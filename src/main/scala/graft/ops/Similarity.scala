@@ -17,8 +17,9 @@ final case class CandidateMassExceeded(operator: String,
   extends RuntimeException(
     s"$operator preflight: ~$estimatedPairs candidate pairs estimated, " +
       s"over the budget of $maxCandidatePairs. The corpus is too " +
-      "collision-heavy for the exact all-pairs join at this budget; use " +
-      "the LSH/banded miners, or raise maxCandidatePairs knowingly.")
+      "collision-heavy for this exact pairing at the given budget; use " +
+      "a bounded plan (the LSH/banded miners; for the semantic tier, " +
+      "nlist ∝ n or the capped/hier forms), or raise the budget knowingly.")
 
 /** Deduplication + similarity-search operators for the LLM-data-pipeline
   * tier: exact dedup, MinHash+banded-LSH near-dup, SimHash, n-gram

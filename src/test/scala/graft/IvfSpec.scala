@@ -489,4 +489,43 @@ class IvfSpec extends SparkSpec {
     assert(naive.nonEmpty, "fixture produced no pairs - threshold too high")
     assert(split == naive) // same pairs, bit-identical cosines
   }
+
+  test("semanticPreflight: estimate equals the sequential assignment's pair count; refusal carries it; clear budgets change nothing") {
+    val emb = planted(4, 50, 8) // 200 vectors
+    val nlist = 4
+    val est = Ivf.semanticPreflight(emb, nlist).as[Long].head()
+    // independent truth: the annIvfMd5-spec sequential reimplementation
+    // of the md5-seed + integer-argmin assignment, pair mass by hand
+    val rows = emb.collect().map(r => (r.getLong(0),
+      r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val quant = rows.map { case (id, e) =>
+      id -> e.map(x => math.floor(x.toDouble * 1048576.0).toLong) }.toMap
+    val seeds = rows.map(_._1).sortBy(id => (h(id), id)).take(nlist)
+      .map(quant).zipWithIndex
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cellOf = quant.map { case (id, qe) =>
+      id -> seeds.map { case (ce, cid) => (d2(qe, ce), cid) }.min._2 }
+    val want = cellOf.values.groupBy(identity).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(est == want, s"preflight $est != sequential truth $want")
+    // nlist = 1 anchor: everything in one cell, mass exactly C(n, 2)
+    assert(Ivf.semanticPreflight(emb, 1).as[Long].head() == 200L * 199 / 2)
+    // refusal carries the same estimate; budget 0 always trips
+    val e = intercept[graft.ops.CandidateMassExceeded] {
+      Ivf.semanticDedup(emb, 0.4, nlist, maxPairs = 0L)
+    }
+    assert(e.operator == "semanticDedup" && e.estimatedPairs == est,
+      s"refusal estimate ${e.estimatedPairs} != preflight $est")
+    // a clear budget admits the run and is row-identical to the default
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val default = canon(Ivf.semanticDedup(emb, 0.4, nlist))
+    val guarded = canon(Ivf.semanticDedup(emb, 0.4, nlist, maxPairs = est))
+    assert(default == guarded && default.nonEmpty)
+  }
 }
