@@ -132,6 +132,26 @@ object AnnRecall {
       println(f"""ANN_RECALL {"query":"ann_ivfpq_sweep","n_queries":${qids.size},"mean_recall_at_k":$mean%.3f}""")
     }
 
+    // ann_pq multi-query sweep (r17 verdict #4): the ivfpq lesson
+    // applied to the PLAIN PQ route — r16 proved a single registered
+    // point can flatter (ivfpq read 1.0 single vs 0.825 sweep before
+    // sizing); this is the committed 8-query robustness figure for
+    // ann_pq at its registered knobs (m=8, codes=16, 200 survivors).
+    {
+      val qids = (0 until 8).map(i => i * (n / 8))
+      val recalls = qids.map { qid =>
+        val exact = ops.Similarity.cosineTopK(emb, qid, k)
+          .collect().map(_.getLong(0)).toSet
+        val got = ops.Ivf.annPq(emb, qid, k, candidates = 200)
+          .collect().map(_.getLong(0)).toSet
+        got.intersect(exact).size.toDouble / k
+      }
+      val mean = recalls.sum / recalls.size
+      results("ann_pq_sweep") =
+        f""""ann_pq_sweep":{"kind":"sweep","n_queries":${qids.size},"recalls":[${recalls.map(r => f"$r%.2f").mkString(",")}],"mean_recall_at_k":$mean%.3f}"""
+      println(f"""ANN_RECALL {"query":"ann_pq_sweep","n_queries":${qids.size},"mean_recall_at_k":$mean%.3f}""")
+    }
+
     // pair-mining recall: exact all-pairs cosine >= threshold baseline
     val threshold = 0.4
     def dotF(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =

@@ -92,6 +92,16 @@ object Bench {
           .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
         grp.foreach(g => e.stageIds.foreach(sid => stageQuery.put(sid, g)))
       }
+      // evict on stage completion so the map's residency is the stages
+      // IN FLIGHT, not every stage of the run (r17 ADVICE #4): the bus
+      // delivers events to a listener in post order, so every task-end
+      // of a stage precedes its stage-completed — removal cannot race
+      // an attribution read for that stage
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stageQuery.remove(e.stageInfo.stageId)
+        ()
+      }
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val query = stageQuery.getOrDefault(e.stageId, inFlight)
         e.reason match {

@@ -931,6 +931,27 @@ object SparkEntry {
         docs.crossJoin(broadcast(bounds))
           .filter(col("doc_id") >= col("split")).drop("split"), idxDir)
     }),
+    // The governed incremental face (r17 verdict #7): same batch/index
+    // split as minhash_incremental (the scratch artifact is shared), but
+    // the nightly probe first MEASURES the exact refresh's candidate
+    // mass over (base ∪ batch) and routes exact-vs-banded on the budget.
+    // 5e7 clears at the oracle SFs → exact arm, which must equal the
+    // brute restricted pair set; the banded arm is pinned by spec.
+    // estimated_pairs is xxhash64-ranked → projected out (the
+    // neardup_governed convention).
+    "neardup_governed_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{broadcast, expr}
+      val docs = Tables.documents(s, d)
+      val bounds = docs.agg(expr("((max(doc_id) + 1) * 8) DIV 10").as("split"))
+      val idxDir = scratch("minhash_idx", d)(p => Similarity.writeNearDupIndex(
+        docs.crossJoin(broadcast(bounds))
+          .filter(col("doc_id") < col("split")).drop("split"), p))
+      Similarity.neardupGovernedIncremental(
+        docs.crossJoin(broadcast(bounds))
+          .filter(col("doc_id") >= col("split")).drop("split"),
+        idxDir, 0.3, maxCandidatePairs = 50000000L)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"), col("method"))
+    }),
     // Near-duplication rolled up to source pairs: the redundancy matrix a
     // mixing pipeline weights sources by (least/greatest-unordered cells).
     "neardup_by_source" -> ((s, d) =>
@@ -977,6 +998,33 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       Similarity.cosinePreflight(
         Tables.documents(s, d).filter(col("doc_id") < 1000), 0.85)
+    }),
+    // Governed-degradation ROUTER (r17 verdict #1): measure the exact
+    // join's candidate mass, run exact if it clears the budget, degrade
+    // to the banded-LSH miner if not — completing either way, decision
+    // in the lineage columns. The 1e7 budget clears at every oracle SF
+    // (measured: 1.9e3/1.6e3/4.3e5 at sf0.001/0.01/0.1) so the gate
+    // checks the exact arm against the brute oracle; at the sf1-shape
+    // decade the ~n² flat-vocab mass (~4e7) crosses it and the SAME
+    // registered query routes banded — the bench measures the degrade
+    // the way production would run it. estimated_pairs is xxhash64-
+    // ranked (engine-specific) → projected out of the oracled frame;
+    // the spec pins it instead.
+    "neardup_governed" -> ((s, d) => Similarity.neardupGoverned(
+      Tables.documents(s, d), 0.5, maxCandidatePairs = 10000000L)
+      .select(org.apache.spark.sql.functions.col("doc_a"),
+        org.apache.spark.sql.functions.col("doc_b"),
+        org.apache.spark.sql.functions.col("jaccard"),
+        org.apache.spark.sql.functions.col("method"))),
+    // The cosine twin: id-bounded corpus (the cosine_allpairs bound), so
+    // the mass (≤ ~5.1e6 at any SF) always clears 2e7 → exact arm, and
+    // BOTH lineage columns are integer-exact → the full frame, estimate
+    // included, is hash-oracled. The banded arm is pinned by spec.
+    "cosine_governed" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.cosineGoverned(
+        Tables.documents(s, d).filter(col("doc_id") < 1000), 0.85,
+        maxCandidatePairs = 20000000L)
     }),
     // Asymmetric containment over the same bounded id range: catches the
     // quote-inclusion/superset family whose symmetric Jaccard is tiny.
@@ -3079,6 +3127,23 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id, sp
         |  WHERE b.doc_id >= split)
         |WHERE jaccard >= 0.3""".stripMargin,
+    // Governed incremental, exact arm at the gate SF: the same brute
+    // restricted mirror + the constant decision column.
+    "neardup_governed_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |sp AS (SELECT ((max(doc_id) + 1) * 8) // 10 AS split FROM documents)
+        |SELECT doc_a, doc_b, jaccard, 'exact' AS method FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / len(list_distinct(a.s || b.s)) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id, sp
+        |  WHERE b.doc_id >= split)
+        |WHERE jaccard >= 0.3""".stripMargin,
     "neardup_by_source" ->
       """WITH sh AS (
         |  SELECT doc_id,
@@ -3200,6 +3265,65 @@ object SparkEntry {
         |SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) AS BIGINT) // 2
         |  AS estimated_pairs
         |FROM cnt""".stripMargin,
+    // Governed router, exact arm at the gate SF (budget measured to
+    // clear): the pair set IS the brute all-pairs answer + the constant
+    // decision column.
+    "neardup_governed" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3)
+        |SELECT doc_a, doc_b, jaccard, 'exact' AS method FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / len(list_distinct(a.s || b.s)) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.5""".stripMargin,
+    // Cosine governed router, exact arm: the cosine_allpairs brute
+    // mirror + the decision AND the integer-exact preflight estimate
+    // (the full lineage is oracle-checkable on this tier).
+    "cosine_governed" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents WHERE doc_id < 1000)
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT t, count(*) AS df FROM tok GROUP BY 1),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tok),
+        |wq AS (SELECT doc_id, t,
+        |         CAST(floor(least(CAST(tf AS DOUBLE)
+        |             * ((n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)),
+        |           1048576.0) * 16.0) AS BIGINT) AS wq
+        |       FROM tok JOIN dfq USING (t), nd),
+        |wqp AS (SELECT * FROM wq WHERE wq > 0),
+        |nx AS (SELECT doc_id, CAST(sum(wq * wq) AS BIGINT) AS nx
+        |       FROM wqp GROUP BY 1),
+        |f AS (SELECT doc_id, t,
+        |        CAST(floor((CAST(wq AS DOUBLE) / sqrt(CAST(nx AS DOUBLE)))
+        |          * 1048576.0) AS BIGINT) AS wnq
+        |      FROM wqp JOIN nx USING (doc_id)),
+        |fp AS (SELECT * FROM f WHERE wnq > 0),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            CAST(sum(a.wnq * b.wnq) AS BIGINT) AS dot_q
+        |          FROM fp a JOIN fp b ON a.t = b.t AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |maxw AS (SELECT t, max(wnq) AS mw FROM fp GROUP BY 1),
+        |sb AS (SELECT doc_id, t,
+        |         CAST(sum(wnq * mw) OVER (PARTITION BY doc_id ORDER BY df, t
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |           AS s_bound
+        |       FROM fp JOIN maxw USING (t) JOIN dfq USING (t)),
+        |pref AS (SELECT doc_id, t FROM sb WHERE s_bound >= 934584883609),
+        |cnt AS (SELECT t, count(*) AS c FROM pref GROUP BY 1),
+        |mass AS (SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) AS BIGINT) // 2
+        |           AS estimated_pairs
+        |         FROM cnt)
+        |SELECT doc_a, doc_b, dot_q,
+        |  CAST(dot_q AS DOUBLE) / 1099511627776.0 AS cosine_q,
+        |  'exact' AS method, estimated_pairs
+        |FROM pairs, mass WHERE dot_q >= 934584883609""".stripMargin,
     // The lexical pair CTE from ngram_jaccard + one embedding join per
     // side, cosine with the cosine_topk formula.
     "dedup_ensemble" ->
@@ -4270,8 +4394,40 @@ object SparkEntry {
         |        JOIN (SELECT source, n_docs FROM bs) USING (source)
         |      GROUP BY 1)
         |SELECT source, n_docs, n_tokens, n_chars,
-        |  n_docs - n_unique AS n_exact_dups, mean_quality, lang_entropy
-        |FROM bs JOIN e USING (source)""".stripMargin,
+        |  n_docs - n_unique AS n_exact_dups, mean_quality, lang_entropy,
+        |  estimated_pair_mass
+        |FROM bs JOIN e USING (source), (
+        |  WITH tok AS (
+        |    SELECT doc_id, t, count(*) AS tf
+        |    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |          FROM documents)
+        |    GROUP BY 1, 2),
+        |  dfq AS (SELECT t, count(*) AS df FROM tok GROUP BY 1),
+        |  nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tok),
+        |  wq AS (SELECT doc_id, t,
+        |           CAST(floor(least(CAST(tf AS DOUBLE)
+        |               * ((n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)),
+        |             1048576.0) * 16.0) AS BIGINT) AS wq
+        |         FROM tok JOIN dfq USING (t), nd),
+        |  wqp AS (SELECT * FROM wq WHERE wq > 0),
+        |  nx AS (SELECT doc_id, CAST(sum(wq * wq) AS BIGINT) AS nx
+        |         FROM wqp GROUP BY 1),
+        |  f AS (SELECT doc_id, t,
+        |          CAST(floor((CAST(wq AS DOUBLE) / sqrt(CAST(nx AS DOUBLE)))
+        |            * 1048576.0) AS BIGINT) AS wnq
+        |        FROM wqp JOIN nx USING (doc_id)),
+        |  fp AS (SELECT * FROM f WHERE wnq > 0),
+        |  maxw AS (SELECT t, max(wnq) AS mw FROM fp GROUP BY 1),
+        |  sb AS (SELECT doc_id, t,
+        |           CAST(sum(wnq * mw) OVER (PARTITION BY doc_id ORDER BY df, t
+        |             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |             AS s_bound
+        |         FROM fp JOIN maxw USING (t) JOIN dfq USING (t)),
+        |  pref AS (SELECT doc_id, t FROM sb WHERE s_bound >= 934584883609),
+        |  cnt AS (SELECT t, count(*) AS c FROM pref GROUP BY 1)
+        |  SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) AS BIGINT) // 2
+        |    AS estimated_pair_mass
+        |  FROM cnt)""".stripMargin,
     "curation_full" ->
       """WITH sp AS (
         |  SELECT doc_id, i AS ord,

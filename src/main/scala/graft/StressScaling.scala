@@ -272,6 +272,26 @@ object StressScaling {
           }
           (System.nanoTime() - t0) / 1e9
         })
+      // The governed ROUTER on the same flat corpus (r17 verdict #1):
+      // where the arm above REFUSES the over-budget scales, this one
+      // COMPLETES them — 1× clears the budget and runs the exact join;
+      // the 30×/100× flat-vocab masses (7.37e8 / 1.01e10, measured r17)
+      // route to the SimHash-banded fallback verified by the same exact
+      // scorer, so the launch that died at 767 s ungoverned (r16) now
+      // finishes with a bounded plan and the decision in the lineage.
+      if (scale != 10L && want("cosine_governed"))
+        record("cosine_governed", scale, nDocs, withReliableCuts {
+          val budget = sys.env.getOrElse(
+            "SPARK_GRAFT_STRESS_COSINE_BUDGET", "100000000").toLong
+          val t0 = System.nanoTime()
+          val g = ops.Similarity.cosineGovernedResult(d, 0.85,
+            maxCandidatePairs = budget)
+          g.pairs.write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(
+            s"""STRESS_GOVERNED {"query":"cosine_governed","scale":$scale,"rows":$nDocs,"pass":$passNow,"method":"${g.method}","estimated_pairs":${g.estimatedPairs},"budget":${g.maxCandidatePairs},"sec":${f"$sec%.2f"}}""")
+          sec
+        })
       // The Zipf-vocabulary corpus is the realistic case: rarest-first
       // prefixes land on tail types with short postings, so candidate
       // volume tracks near-dup mass, not posting-length².
@@ -354,6 +374,16 @@ object StressScaling {
       // unguarded flat form measured at 837 s) is refused in
       // assignment-time seconds, faster than the 10× ACCEPT. Override:
       // SPARK_GRAFT_STRESS_SEMANTIC_BUDGET.
+      // Estimate-only wall for the arm below (r17 verdict #5): the
+      // accept-scale `semantic_preflight` walls are DOMINATED by the
+      // semanticDedup the acceptance triggers, not by the estimator —
+      // without this row a reader comparing sec_10x (accept+dedup) to
+      // sec_100x (refusal ≈ estimate-only) could conclude the estimator
+      // is super-linear. This row times JUST the linear assignment +
+      // mass aggregate at every scale; expected ~linear in n.
+      if (want("semantic_preflight_estimate"))
+        record("semantic_preflight_estimate", scale, nVecs, timed(
+          ops.Ivf.semanticPreflight(emb, 8)))
       if (want("semantic_preflight"))
         record("semantic_preflight", scale, nVecs, {
           val budget = sys.env.getOrElse(
@@ -370,7 +400,7 @@ object StressScaling {
       // lazy val: only unpersist if some embedding query actually ran
       if (Seq("ann_ivf", "semantic_dedup_flat", "semantic_dedup_hier",
           "semantic_dedup_capped", "semantic_hier_cells",
-          "semantic_preflight").exists(want))
+          "semantic_preflight", "semantic_preflight_estimate").exists(want))
         emb.unpersist()
       // Drop this scale's localCheckpoint blocks (d/dz/dh, and any cut a
       // timed operator made) before the next decade: the cuts pin

@@ -39,4 +39,19 @@ object Checkpoints {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint()
     else df.localCheckpoint()
+
+  /** Drop the materialized blocks behind a [[stable]] cut NOW, without
+    * waiting for ContextCleaner GC. The governance paths need this: a
+    * [[CandidateMassExceeded]] refusal abandons its eagerly-built cut,
+    * and on a long-lived session repeated refusals would otherwise pin
+    * executor storage until the driver-side references are collected.
+    * No-op on frames that are not cuts (no LogicalRDD leaves) and on
+    * reliable (checkpoint-dir) cuts, whose files the cleaner owns.
+    */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

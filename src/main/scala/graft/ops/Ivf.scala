@@ -353,9 +353,14 @@ object Ivf {
     val quant = Checkpoints.stable(
       quantized(embeddings).select(col("vec_id"), col("qe")))
     val assigned = md5CellAssign(quant, md5SeedCells(quant, nlist))
+    // cross-cell sum in DECIMAL(38,0) so an enormous mass can never
+    // wrap a BIGINT silently (ANSI off; r17 ADVICE #1 discipline); the
+    // published column folds back to BIGINT — by the time a corpus
+    // could overflow IT (≥2⁶³ pairs) no budget on earth accepts anyway.
     assigned.groupBy(col("cid")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c") * (col("c") - lit(1L))), lit(0L)).as("m2"))
-      .selectExpr("m2 DIV 2 AS estimated_pairs")
+      .agg(coalesce(sum(col("c").cast("decimal(38,0)") * (col("c") - lit(1L))),
+        lit(java.math.BigDecimal.ZERO)).as("m2"))
+      .selectExpr("CAST(m2 DIV 2 AS BIGINT) AS estimated_pairs")
   }
 
   def semanticDedup(embeddings: DataFrame, threshold: Double = 0.4,
@@ -376,12 +381,26 @@ object Ivf {
       if (maxPairs == Long.MaxValue) rawAssigned
       else {
         val cut = Checkpoints.stable(rawAssigned)
+        // cross-cell sum in DECIMAL(38,0): with ANSI off a BIGINT sum
+        // wraps silently, and a wrapped-negative mass would sail under
+        // any budget (r17 ADVICE #1 — same discipline as
+        // Similarity.candidatePairMass); beyond-Long caps to MaxValue,
+        // which refuses against every finite budget.
         val m2 = cut.groupBy(col("cid")).agg(count(lit(1)).as("c"))
-          .agg(sum(col("c") * (col("c") - lit(1L))).as("m2"))
-          .head().getAs[java.lang.Long]("m2")
-        val mass = if (m2 == null) 0L else m2 / 2
-        if (mass > maxPairs)
+          .agg(sum(col("c").cast("decimal(38,0)") * (col("c") - lit(1L))).as("m2"))
+          .head().getAs[java.math.BigDecimal]("m2")
+        val mass =
+          if (m2 == null) 0L
+          else {
+            val half = m2.toBigInteger.shiftRight(1)
+            if (half.bitLength >= 63) Long.MaxValue else half.longValueExact()
+          }
+        if (mass > maxPairs) {
+          // a refusal must leave zero resident state (r17 ADVICE #3)
+          Checkpoints.release(cut)
+          Checkpoints.release(quant)
           throw graft.ops.CandidateMassExceeded("semanticDedup", mass, maxPairs)
+        }
         cut
       }
     val cells = embeddings

@@ -182,8 +182,19 @@ object Pipeline {
     * (source, lang) aggregate re-joined source-wise (≤ sources×langs
     * rows). The quality join is doc_id-keyed, skew-free. At 100 TB every
     * shuffle here carries keys and counters only.
+    *
+    * `estimated_pair_mass` (r17 verdict #7) is the corpus's measured
+    * exact-pairing candidate mass at `pairMassThreshold`
+    * ([[Similarity.cosinePreflight]]: Σ_t C(cnt,2) over the suffix-bound
+    * prefix — integer-exact, hence oracled): the number the governed
+    * dedup routers ([[Similarity.neardupGovernedResult]] family) judge
+    * their budget against, published as a per-run curation metric so
+    * capacity planning reads it off the card instead of launching a
+    * probe. One corpus-wide scalar, broadcast onto the per-source rows;
+    * its cost is the preflight's linear prefix build.
     */
-  def dataCard(documents: DataFrame): DataFrame = {
+  def dataCard(documents: DataFrame,
+               pairMassThreshold: Double = 0.85): DataFrame = {
     val toks = split(lower(col("text")), " ")
     val perDoc = documents
       .select(col("doc_id"), col("source"), col("lang"),
@@ -210,5 +221,8 @@ object Pipeline {
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
         (col("n_docs") - col("n_unique")).as("n_exact_dups"),
         col("mean_quality"), col("lang_entropy"))
+      .crossJoin(broadcast(
+        Similarity.cosinePreflight(documents, pairMassThreshold)
+          .select(col("estimated_pairs").as("estimated_pair_mass"))))
   }
 }

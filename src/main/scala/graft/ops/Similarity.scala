@@ -21,6 +21,21 @@ final case class CandidateMassExceeded(operator: String,
       "a bounded plan (the LSH/banded miners; for the semantic tier, " +
       "nlist ∝ n or the capped/hier forms), or raise the budget knowingly.")
 
+/** A governed pairing run's decision + lineage
+  * ([[Similarity.neardupGovernedResult]] /
+  * [[Similarity.cosineGovernedResult]] and the incremental face): which
+  * arm ran (`"exact"` — the measured candidate mass cleared the budget —
+  * or `"banded"`, the LSH fallback), the MEASURED mass the decision was
+  * made on, and the budget it was judged against. `pairs` is the verified
+  * pair frame of whichever arm ran. The driver-facing `neardupGoverned` /
+  * `cosineGoverned` flatten this into constant lineage columns; pipelines
+  * that need the decision without executing the pairs (logging, routing a
+  * downstream stage) read it here, where it costs nothing beyond the
+  * preflight aggregate already paid.
+  */
+final case class GovernedPairing(method: String, estimatedPairs: Long,
+    maxCandidatePairs: Long, pairs: DataFrame)
+
 /** Deduplication + similarity-search operators for the LLM-data-pipeline
   * tier: exact dedup, MinHash+banded-LSH near-dup, SimHash, n-gram
   * Jaccard, embedding cosine top-k, and hyperplane-LSH approximate NN.
@@ -378,9 +393,17 @@ object Similarity {
     * O(batch + matched base postings), not O(corpus).
     */
   def minhashNearDupIncremental(newDocs: DataFrame, artifactDir: String,
-                                k: Int = 32, threshold: Double = 0.3): DataFrame = {
-    val spark = newDocs.sparkSession
-    val newHashes = shingleHashes(newDocs).localCheckpoint()
+                                k: Int = 32, threshold: Double = 0.3): DataFrame =
+    minhashIncrementalFromHashes(shingleHashes(newDocs).localCheckpoint(),
+      artifactDir, k, threshold)
+
+  /** [[minhashNearDupIncremental]] from an already-tokenized new-batch
+    * hash frame — the seam the governed incremental router uses so a
+    * banded decision re-tokenizes nothing.
+    */
+  private def minhashIncrementalFromHashes(newHashes: DataFrame,
+      artifactDir: String, k: Int, threshold: Double): DataFrame = {
+    val spark = newHashes.sparkSession
     val newBands = bandRows(newHashes, k)
     val allBands = spark.read.parquet(s"$artifactDir/bands").unionByName(newBands)
     val candIds = allBands.as("a")
@@ -461,10 +484,19 @@ object Similarity {
     * join mass against the estimator over the identical table.
     */
   private[graft] def jaccardPrefix(documents: DataFrame,
-                                   threshold: Double): DataFrame = {
+                                   threshold: Double): DataFrame =
+    jaccardPrefixFrom(jaccardShingleHashes(documents), threshold)
+
+  /** [[jaccardPrefix]] from an already-built (doc_id, h) hash frame —
+    * the seam that lets the budget-given path of [[allPairsJaccard]]
+    * (and the governed router) stable-cut the shingle frame ONCE and
+    * derive prefix AND verify sets from it, instead of re-tokenizing
+    * the corpus per consumer.
+    */
+  private[graft] def jaccardPrefixFrom(sh: DataFrame,
+                                       threshold: Double): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("dfreq"), col("h"))
-    val sh = jaccardShingleHashes(documents)
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
     // merge-hint the corpus-sized joins: post-aggregate size estimates
     // can mislead the planner into BUILDING a broadcast from a
@@ -485,14 +517,25 @@ object Similarity {
     * candidate mass of a prefix-filter join BEFORE its residual filters.
     * One hash aggregate: per-key counts (map-side combined), then one
     * scalar sum — cost is one pass over the prefix table, never a join.
-    * Overflow-safe for any realistic posting list (c·(c−1) fits a BIGINT
-    * until a single key holds >3×10⁹ rows).
+    * Overflow discipline: the per-key c·(c−1) fits a BIGINT until one
+    * key holds >3×10⁹ rows, but the SUM across keys can exceed 2⁶³ long
+    * before that — and with ANSI off Spark's BIGINT sum wraps SILENTLY,
+    * so a monstrous mass could come back negative and sail under any
+    * budget. The cross-key sum therefore runs in DECIMAL(38,0) (38
+    * digits ≈ 10³⁸ — unreachable: it would take ~10¹⁹ input rows), and
+    * a result beyond Long range caps at Long.MaxValue, which refuses
+    * against every finite budget — exactly the right failure direction
+    * for a guard.
     */
   private def candidatePairMass(keys: DataFrame): Long = {
     val m2 = keys.groupBy(col("k")).agg(count(lit(1)).as("c"))
-      .agg(sum(col("c") * (col("c") - lit(1L))).as("m2"))
-      .head().getAs[java.lang.Long]("m2")
-    if (m2 == null) 0L else m2 / 2
+      .agg(sum(col("c").cast("decimal(38,0)") * (col("c") - lit(1L))).as("m2"))
+      .head().getAs[java.math.BigDecimal]("m2")
+    if (m2 == null) 0L
+    else {
+      val half = m2.toBigInteger.shiftRight(1)
+      if (half.bitLength >= 63) Long.MaxValue else half.longValueExact()
+    }
   }
 
   /** EXACT corpus-wide all-pairs Jaccard via prefix filtering (Bayardo,
@@ -528,37 +571,55 @@ object Similarity {
                       maxCandidatePairs: Long = Long.MaxValue): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val rawPref = jaccardPrefix(documents, threshold)
-    // Candidate-mass PREFLIGHT (opt-in via a finite budget): the r16
-    // stress run MEASURED what an ungoverned launch costs — the flat-df
-    // 30× corpus died after 767 s and >69 GB of shuffle spill
-    // (bench/r16_stress_scaling.json) — so a caller-bounded run counts
-    // the join mass FIRST (one hash aggregate over the prefix table:
-    // Σ_h C(cnt_h, 2), exactly the rows the candidate self-join will
-    // emit before its size filter) and refuses with the estimate instead
-    // of launching the death march. The prefix table is stable-cut so
-    // the accepted path reuses it — the preflight then costs one
-    // aggregate, not a second prefix build. Budget-free calls (the
-    // default) are byte-identical to the r16 plan.
-    val pref =
-      if (maxCandidatePairs == Long.MaxValue) rawPref
-      else {
-        val cut = Checkpoints.stable(rawPref)
-        val mass = candidatePairMass(cut.select(col("h").as("k")))
-        if (mass > maxCandidatePairs)
-          throw CandidateMassExceeded("allPairsJaccard", mass, maxCandidatePairs)
-        cut
+    if (maxCandidatePairs == Long.MaxValue)
+      // Budget-free (the default): lazy frames, byte-identical to the
+      // r16 plan — the prefix and the verify sets each rebuild the
+      // (doc, h) subtree, which Spark recomputes per consumer
+      // regardless of val sharing.
+      allPairsJaccardCore(jaccardPrefix(documents, threshold),
+        jaccardShingleHashes(documents), threshold)
+    else {
+      // Candidate-mass PREFLIGHT (opt-in via a finite budget): the r16
+      // stress run MEASURED what an ungoverned launch costs — the
+      // flat-df 30× corpus died after 767 s and >69 GB of shuffle spill
+      // (bench/r16_stress_scaling.json) — so a caller-bounded run counts
+      // the join mass FIRST (one hash aggregate over the prefix table:
+      // Σ_h C(cnt_h, 2), exactly the rows the candidate self-join will
+      // emit before its size filter) and refuses with the estimate
+      // instead of launching the death march. The SHINGLE frame is
+      // stable-cut once (r17 verdict #1: cutting only the prefix made
+      // the verify sets re-scan + re-tokenize the corpus) so prefix,
+      // preflight and sets all derive from ONE tokenize+distinct; the
+      // prefix gets its own cut on top because three consumers (the
+      // mass aggregate and both candidate legs) would otherwise re-run
+      // the dfreq join + rank window.
+      val sh = Checkpoints.stable(jaccardShingleHashes(documents))
+      val pref = Checkpoints.stable(jaccardPrefixFrom(sh, threshold))
+      val mass = candidatePairMass(pref.select(col("h").as("k")))
+      if (mass > maxCandidatePairs) {
+        // a refusal must leave zero resident state (r17 ADVICE #3)
+        Checkpoints.release(pref)
+        Checkpoints.release(sh)
+        throw CandidateMassExceeded("allPairsJaccard", mass, maxCandidatePairs)
       }
+      allPairsJaccardCore(pref, sh, threshold)
+    }
+  }
+
+  /** Candidate join + exact-set verify of [[allPairsJaccard]] from a
+    * prepared prefix table and (doc_id, h) shingle frame (see its
+    * scaladoc for the lossless-prune argument). The seam the governed
+    * router and the budget-given path share with the default path.
+    */
+  private def allPairsJaccardCore(pref: DataFrame, sh: DataFrame,
+                                  threshold: Double): DataFrame = {
     val cand = pref.as("a").join(pref.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n"), col("b.n")).cast("double") >=
             lit(threshold) * greatest(col("a.n"), col("b.n")) - lit(1e-9))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // same (doc, h) subtree the prefix was built from; Spark recomputes
-    // it per consumer regardless of val sharing, so building it again
-    // here costs exactly what the pre-refactor single-val form did
-    val sets = jaccardShingleHashes(documents).groupBy(col("doc_id"))
+    val sets = sh.groupBy(col("doc_id"))
       .agg(collect_set(col("h")).as("sh"))
       .withColumn("n", size(col("sh")))
     cand
@@ -1414,9 +1475,21 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val path = new org.apache.hadoop.fs.Path(layoutDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    // contract-grade errors, not raw Hadoop stack traces (r17 ADVICE
+    // #2): a typo'd dir and an empty-but-existing dir both mean "this
+    // is not a writeAnnLayout output" — appending would fabricate a
+    // layout no build ever produced.
+    require(fs.exists(path) && fs.getFileStatus(path).isDirectory,
+      s"appendToAnnLayout: $layoutDir does not exist (or is a file) — " +
+        "append maintains an EXISTING writeAnnLayout directory; build " +
+        "one first with writeAnnLayout")
     val existing = fs.listStatus(path).filter(_.isDirectory)
       .map(_.getPath.getName).filter(_.startsWith("bucket="))
       .map(_.stripPrefix("bucket=").toLong)
+    require(existing.nonEmpty,
+      s"appendToAnnLayout: $layoutDir contains no bucket= partitions — " +
+        "not a writeAnnLayout output; appending here would fabricate a " +
+        "layout no build produced (build one first with writeAnnLayout)")
     val over = existing.filter(_ >= (1L << nPlanes))
     require(over.isEmpty,
       s"appendToAnnLayout: layout $layoutDir has bucket partitions " +
@@ -1778,9 +1851,13 @@ object Similarity {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val (_, pref) = cosineFeatsAndPrefix(documents, threshold)
+    // cross-key sum in DECIMAL(38,0) — a silent BIGINT wraparound here
+    // would publish a negative "estimate" (r17 ADVICE #1; see
+    // candidatePairMass); the output column folds back to BIGINT.
     pref.groupBy(col("t")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c") * (col("c") - lit(1L))), lit(0L)).as("m2"))
-      .selectExpr("m2 DIV 2 AS estimated_pairs")
+      .agg(coalesce(sum(col("c").cast("decimal(38,0)") * (col("c") - lit(1L))),
+        lit(java.math.BigDecimal.ZERO)).as("m2"))
+      .selectExpr("CAST(m2 DIV 2 AS BIGINT) AS estimated_pairs")
   }
 
   def allPairsCosine(documents: DataFrame, threshold: Double = 0.5,
@@ -1799,34 +1876,53 @@ object Similarity {
     // refusal lands in seconds where the launch took minutes to die.
     if (maxCandidatePairs != Long.MaxValue) {
       val mass = candidatePairMass(pref.select(col("t").as("k")))
-      if (mass > maxCandidatePairs)
+      if (mass > maxCandidatePairs) {
+        // a refusal must leave zero resident state (r17 ADVICE #3):
+        // both cosineFeatsAndPrefix cuts are abandoned by the throw
+        Checkpoints.release(pref)
+        Checkpoints.release(feats)
         throw CandidateMassExceeded("allPairsCosine", mass, maxCandidatePairs)
+      }
     }
-    // prefix × PREFIX is lossless BECAUSE the order is global: all of a
-    // pair's shared terms sort by the one canonical (df, t) key, so the
-    // EARLIEST shared term t* is the same on both sides, and
-    // dot ≤ S_x(pos_x(t*)) and dot ≤ S_y(pos_y(t*)) put t* inside both
-    // prefixes of a qualifying pair. (With per-doc orders this would NOT
-    // hold — the two earliest-shared terms could differ.) Merge-hinted:
-    // prefix sizes are estimator-invisible (post-window filters), and a
-    // mis-chosen hash/broadcast join here is the OOM path at scale.
-    val cand = pref.as("a")
+    cosineVerifyPairs(cosineCandidates(pref), feats, tq)
+  }
+
+  /** The prefix×prefix candidate join of [[allPairsCosine]]. Lossless
+    * BECAUSE the order is global: all of a pair's shared terms sort by
+    * the one canonical (df, t) key, so the EARLIEST shared term t* is
+    * the same on both sides, and dot ≤ S_x(pos_x(t*)) and
+    * dot ≤ S_y(pos_y(t*)) put t* inside both prefixes of a qualifying
+    * pair. (With per-doc orders this would NOT hold — the two
+    * earliest-shared terms could differ.) Merge-hinted: prefix sizes
+    * are estimator-invisible (post-window filters), and a mis-chosen
+    * hash/broadcast join here is the OOM path at scale.
+    */
+  private def cosineCandidates(pref: DataFrame): DataFrame =
+    pref.as("a")
       .join(pref.as("b").hint("merge"),
         col("a.t") === col("b.t") && col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
-    // Verify against PER-DOC sorted sparse vectors (one ~|terms| row per
-    // doc), not per-(doc, term) feature rows: a row-form verify join
-    // multiplies every candidate by the doc's term count — measured
-    // 4×10⁹ intermediate rows (≈100 GB of shuffle) on the 50k-doc
-    // worst-case stress corpus — where this form shuffles nothing but
-    // the candidate list plus one vector per doc, and each candidate's
-    // dot is ONE codegen'd sorted-merge walk (`graft_sdot`,
-    // [[graft.functions.SparseDotSorted]]: O(|a|+|b|), exact string
-    // keys). Integer arithmetic unchanged — same exact dot, any
-    // summation order.
-    graft.functions.GraftFunctions.register(documents.sparkSession)
+
+  /** Exact integer-quantized cosine verify of candidate (doc_a, doc_b)
+    * id pairs against the [[cosineFeatsAndPrefix]] feature rows — shared
+    * by the exact miner and the governed router's banded fallback (same
+    * scorer on both arms, so precision is 1 either way and only recall
+    * is traded). Verifies against PER-DOC sorted sparse vectors (one
+    * ~|terms| row per doc), not per-(doc, term) feature rows: a row-form
+    * verify join multiplies every candidate by the doc's term count —
+    * measured 4×10⁹ intermediate rows (≈100 GB of shuffle) on the
+    * 50k-doc worst-case stress corpus — where this form shuffles nothing
+    * but the candidate list plus one vector per doc, and each
+    * candidate's dot is ONE codegen'd sorted-merge walk (`graft_sdot`,
+    * [[graft.functions.SparseDotSorted]]: O(|a|+|b|), exact string
+    * keys). Integer arithmetic unchanged — same exact dot, any
+    * summation order.
+    */
+  private def cosineVerifyPairs(cand: DataFrame, feats: DataFrame,
+                                tq: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(feats.sparkSession)
     val vecs = feats.groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("t"), col("wnq")))).as("v"))
     cand
@@ -1838,5 +1934,182 @@ object Similarity {
       .filter(col("dot_q") >= tq)
       .select(col("doc_a"), col("doc_b"), col("dot_q"),
         (col("dot_q").cast("double") / lit(1099511627776.0)).as("cosine_q"))
+  }
+
+  // ------------------------------------------- governed-degradation router
+
+  /** Governed-degradation router over the Jaccard pairing tier — the
+    * production compose of the L151 candidate-mass preflight with the
+    * two miner families: MEASURE the exact prefix-filter join's
+    * candidate mass first (one tokenize + one hash aggregate, linear),
+    * then run the EXACT [[allPairsJaccard]] join when the mass clears
+    * the caller's budget, or DEGRADE to the banded-LSH miner
+    * ([[minhashNearDup]]) when it doesn't — completing either way, with
+    * the decision and the measured mass in the returned lineage. This is
+    * the pattern a 100 TB curation pipeline actually runs: "exact if
+    * affordable, banded otherwise", decided per-corpus by measurement
+    * instead of per-incident by a 767 s death march
+    * (bench/r16_stress_scaling.json) or a hand-written try/catch around
+    * [[CandidateMassExceeded]].
+    *
+    * Contract: `maxCandidatePairs` must be finite — an unbounded router
+    * is just [[allPairsJaccard]]; call that directly. On the exact arm
+    * the result is the full exact pair set (the stable-cut shingle frame
+    * serves prefix, preflight AND verify sets from one tokenize); on the
+    * banded arm it is [[minhashNearDup]]'s exact-verified pair set
+    * (precision 1; recall 1−(1−j)^k per pair — ≈1 at the registered
+    * thresholds). Cost of a banded decision: the preflight's linear
+    * prefix build, released before the fallback runs.
+    */
+  def neardupGovernedResult(documents: DataFrame, threshold: Double,
+                            maxCandidatePairs: Long,
+                            k: Int = 32): GovernedPairing = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(maxCandidatePairs > 0L && maxCandidatePairs < Long.MaxValue,
+      "neardupGoverned requires a finite positive budget — the router " +
+        "exists to decide against it; for an ungoverned exact run call " +
+        "allPairsJaccard directly")
+    val sh = Checkpoints.stable(jaccardShingleHashes(documents))
+    val pref = Checkpoints.stable(jaccardPrefixFrom(sh, threshold))
+    val mass = candidatePairMass(pref.select(col("h").as("k")))
+    if (mass <= maxCandidatePairs)
+      GovernedPairing("exact", mass, maxCandidatePairs,
+        allPairsJaccardCore(pref, sh, threshold))
+    else {
+      // the decision leaves zero resident state behind it — the banded
+      // miner builds its own (mod-p folded) hash space
+      Checkpoints.release(pref)
+      Checkpoints.release(sh)
+      GovernedPairing("banded", mass, maxCandidatePairs,
+        minhashNearDup(documents, k, threshold))
+    }
+  }
+
+  /** [[neardupGovernedResult]] flattened for query registration: the
+    * verified pairs with the routing decision as constant lineage
+    * columns `(method, estimated_pairs)` — a result frame that carries
+    * its own provenance ("these pairs are exact" / "these are the
+    * banded degrade, and this is the mass that forced it").
+    */
+  def neardupGoverned(documents: DataFrame, threshold: Double,
+                      maxCandidatePairs: Long, k: Int = 32): DataFrame = {
+    val g = neardupGovernedResult(documents, threshold, maxCandidatePairs, k)
+    g.pairs.withColumn("method", lit(g.method))
+      .withColumn("estimated_pairs", lit(g.estimatedPairs))
+  }
+
+  /** The governed router's incremental/maintenance face: dedup an
+    * arriving batch against the persisted [[writeNearDupIndex]] artifact
+    * with the SAME measure-then-route contract — per batch, a
+    * maintenance job measures what the EXACT prefix-filter refresh over
+    * (base ∪ batch) would cost (the prefix builds on the artifact's
+    * hashed shingles, so the 100 TB base corpus is never re-tokenized;
+    * cost is one artifact scan + one hash aggregate) and runs it when it
+    * clears the budget, else degrades to the banded probe
+    * ([[minhashNearDupIncremental]]'s plan, reusing the batch's already-
+    * tokenized hashes). Result contract on BOTH arms mirrors
+    * [[minhashNearDupIncremental]]: exactly the near-dup pairs whose
+    * LARGER id is new, under append-only monotone ids — the exact arm
+    * restricts the full join with a batch-sized left-semi on doc_b.
+    *
+    * This is the L33+L151 compose: yesterday's index makes the nightly
+    * batch cheap; the preflight makes the periodic "can we afford a full
+    * exact refresh?" question a measured per-batch decision instead of
+    * an ops incident, and [[GovernedPairing.estimatedPairs]] is the
+    * number a data card publishes as the corpus's pairing mass.
+    */
+  def neardupGovernedIncrementalResult(newDocs: DataFrame,
+      artifactDir: String, threshold: Double, maxCandidatePairs: Long,
+      k: Int = 32): GovernedPairing = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(maxCandidatePairs > 0L && maxCandidatePairs < Long.MaxValue,
+      "neardupGovernedIncremental requires a finite positive budget — " +
+        "for the ungoverned banded probe call minhashNearDupIncremental")
+    val spark = newDocs.sparkSession
+    val newHashes = shingleHashes(newDocs).localCheckpoint()
+    val allHashes = Checkpoints.stable(
+      spark.read.parquet(s"$artifactDir/hashes").unionByName(newHashes))
+    val pref = Checkpoints.stable(jaccardPrefixFrom(allHashes, threshold))
+    val mass = candidatePairMass(pref.select(col("h").as("k")))
+    if (mass <= maxCandidatePairs) {
+      // exact refresh, measured affordable: the full prefix-filter join
+      // over the union hash space (identical mod-p space on both sides,
+      // so exact-arm and banded-arm jaccard values agree), restricted to
+      // the pairs the batch introduces by a batch-sized semi join
+      val newIds = newDocs.select(col("doc_id").as("doc_b")).distinct()
+      GovernedPairing("exact", mass, maxCandidatePairs,
+        allPairsJaccardCore(pref, allHashes, threshold)
+          .join(newIds, Seq("doc_b"), "left_semi")
+          .select(col("doc_a"), col("doc_b"), col("jaccard")))
+    } else {
+      Checkpoints.release(pref)
+      Checkpoints.release(allHashes)
+      GovernedPairing("banded", mass, maxCandidatePairs,
+        minhashIncrementalFromHashes(newHashes, artifactDir, k, threshold))
+    }
+  }
+
+  /** [[neardupGovernedIncrementalResult]] flattened for query
+    * registration (the [[neardupGoverned]] convention).
+    */
+  def neardupGovernedIncremental(newDocs: DataFrame, artifactDir: String,
+      threshold: Double, maxCandidatePairs: Long, k: Int = 32): DataFrame = {
+    val g = neardupGovernedIncrementalResult(newDocs, artifactDir, threshold,
+      maxCandidatePairs, k)
+    g.pairs.withColumn("method", lit(g.method))
+      .withColumn("estimated_pairs", lit(g.estimatedPairs))
+  }
+
+  /** Governed-degradation router over the tf-idf cosine pairing tier —
+    * [[neardupGovernedResult]]'s vector-space twin. Exact arm:
+    * [[allPairsCosine]]'s prefix-filter join. Banded arm: SimHash IS the
+    * hyperplane-LSH family for angular similarity, so candidates come
+    * from [[simhashNearDup]]'s banded Hamming mining (bounded by
+    * construction: 16-bit band keys cap bucket sizes on any vocabulary,
+    * including the flat-df corpus that kills the exact join) and are
+    * verified by the SAME integer-quantized exact scorer the exact arm
+    * uses — both arms reuse the one stable-cut feature frame, so the
+    * degrade re-tokenizes nothing and every emitted pair is truly ≥ t
+    * (precision 1; recall is the traded quantity, governed by
+    * `maxHamming`).
+    */
+  def cosineGovernedResult(documents: DataFrame, threshold: Double,
+                           maxCandidatePairs: Long,
+                           maxHamming: Int = 3): GovernedPairing = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(maxCandidatePairs > 0L && maxCandidatePairs < Long.MaxValue,
+      "cosineGoverned requires a finite positive budget — for an " +
+        "ungoverned exact run call allPairsCosine directly")
+    val tq = math.floor(threshold * math.pow(2.0, 40)).toLong
+    val (feats, pref) = cosineFeatsAndPrefix(documents, threshold)
+    val mass = candidatePairMass(pref.select(col("t").as("k")))
+    if (mass <= maxCandidatePairs)
+      GovernedPairing("exact", mass, maxCandidatePairs,
+        cosineVerifyPairs(cosineCandidates(pref), feats, tq))
+    else {
+      // release only the prefix: the banded arm still verifies against
+      // the stable-cut feature frame (no second tokenize)
+      Checkpoints.release(pref)
+      val cand = simhashNearDup(documents, maxHamming)
+        .select(col("doc_a"), col("doc_b"))
+      GovernedPairing("banded", mass, maxCandidatePairs,
+        cosineVerifyPairs(cand, feats, tq))
+    }
+  }
+
+  /** [[cosineGovernedResult]] flattened for query registration — unlike
+    * the Jaccard router, BOTH lineage columns here are oracle-exact
+    * (the cosine preflight is integer arithmetic end-to-end), so the
+    * full frame including the estimate is hash-checkable in any engine.
+    */
+  def cosineGoverned(documents: DataFrame, threshold: Double,
+                     maxCandidatePairs: Long, maxHamming: Int = 3): DataFrame = {
+    val g = cosineGovernedResult(documents, threshold, maxCandidatePairs,
+      maxHamming)
+    g.pairs.withColumn("method", lit(g.method))
+      .withColumn("estimated_pairs", lit(g.estimatedPairs))
   }
 }

@@ -72,6 +72,8 @@ class PlanLintSpec extends SparkSpec {
     "mix_temperature" -> "1-row Qs-denominator aggregate broadcast into the per-stratum budget map",
     "cosine_allpairs" -> "1-row corpus doc-count broadcast into the idf map",
     "vocab_growth" -> "1-row (lo, hi) doc_id bounds broadcast into the codegen bucket map",
+    "data_card" -> "1-row estimated_pair_mass scalar (cosine preflight aggregate + the idf doc-count row) broadcast onto the per-source card rows",
+    "neardup_governed_incremental" -> "1-row id-split bounds broadcast selecting the batch ids for the larger-id-is-new semi join (the minhash_incremental split, visible here because the exact arm's final plan carries it)",
   )
 
   /** Queries allowed a single-partition funnel (global window / sort):

@@ -814,5 +814,144 @@ class SimilaritySpec extends SparkSpec {
       Similarity.appendToAnnLayout(batch, incDir, nPlanes = 2)
     }
     assert(e.getMessage.contains("appendToAnnLayout"))
+    // a typo'd / missing dir is a CONTRACT error naming the operator,
+    // not a raw Hadoop FileNotFoundException (r17 ADVICE #2)
+    val eMissing = intercept[IllegalArgumentException] {
+      Similarity.appendToAnnLayout(batch, base + "/no_such_layout", nPlanes = 6)
+    }
+    assert(eMissing.getMessage.contains("appendToAnnLayout"), eMissing.getMessage)
+    // an empty-but-existing dir is refused too: appending there would
+    // fabricate a layout writeAnnLayout never built
+    val emptyDir = base + "/empty"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(emptyDir))
+    val eEmpty = intercept[IllegalArgumentException] {
+      Similarity.appendToAnnLayout(batch, emptyDir, nPlanes = 6)
+    }
+    assert(eEmpty.getMessage.contains("no bucket= partitions"), eEmpty.getMessage)
+  }
+
+  test("budget-given allPairsJaccard: one tokenize serves prefix AND verify sets; refusals leave zero resident blocks") {
+    val sf = "/root/testdata/sf0.001"
+    val d = graft.io.Tables.documents(spark, sf)
+    // accepted-budget plan: every input rides the two stable cuts — the
+    // corpus parquet scan must NOT reappear downstream of them (the r17
+    // form re-scanned + re-tokenized documents for the verify sets)
+    val guarded = Similarity.allPairsJaccard(d, 0.5,
+      maxCandidatePairs = Long.MaxValue - 1)
+    val p = guarded.queryExecution.executedPlan.toString
+    assert(!p.contains("Scan parquet"),
+      s"budget-given plan re-scans the corpus:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 2,
+      s"expected both stable cuts in the plan:\n$p")
+    // and the result is row-identical to the default (ungoverned) plan
+    val expect = Similarity.allPairsJaccard(d, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = guarded.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect && got.nonEmpty)
+    // refusal hygiene (r17 ADVICE #3): a CandidateMassExceeded must not
+    // pin its abandoned cuts — the persistent-RDD set is unchanged
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    intercept[graft.ops.CandidateMassExceeded] {
+      Similarity.allPairsJaccard(d, 0.5, maxCandidatePairs = 0L)
+    }
+    intercept[graft.ops.CandidateMassExceeded] {
+      Similarity.allPairsCosine(d, 0.85, maxCandidatePairs = 0L)
+    }
+    intercept[graft.ops.CandidateMassExceeded] {
+      graft.ops.Ivf.semanticDedup(
+        graft.io.Tables.embeddings(spark, sf), 0.95, 8, maxPairs = 0L)
+    }
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"refusals left resident blocks: ${(after -- before).toSeq.sorted}")
+  }
+
+  test("governed router: exact arm when mass clears, banded COMPLETION when it doesn't, estimate attached either way") {
+    val sf = "/root/testdata/sf0.001"
+    val d = graft.io.Tables.documents(spark, sf)
+    // measure the true mass once so both arms can be forced
+    val mass = intercept[graft.ops.CandidateMassExceeded] {
+      Similarity.allPairsJaccard(d, 0.5, maxCandidatePairs = 0L)
+    }.estimatedPairs
+    assert(mass > 1L)
+
+    // --- Jaccard, exact arm: the governed result IS allPairsJaccard
+    val exact = Similarity.allPairsJaccard(d, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gEx = Similarity.neardupGovernedResult(d, 0.5, maxCandidatePairs = mass)
+    assert(gEx.method == "exact" && gEx.estimatedPairs == mass)
+    assert(gEx.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == exact && exact.nonEmpty)
+
+    // --- Jaccard, banded arm: an over-budget corpus COMPLETES via the
+    // LSH fallback (no CandidateMassExceeded), precision 1 vs the exact
+    // set, the planted near-dup family still found, estimate attached
+    val gB = Similarity.neardupGovernedResult(d, 0.5,
+      maxCandidatePairs = mass - 1)
+    assert(gB.method == "banded" && gB.estimatedPairs == mass)
+    val banded = gB.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.nonEmpty && banded.subsetOf(exact),
+      s"banded arm emitted non-exact pairs: ${(banded -- exact).take(3)}")
+    // the flattened face carries the decision as lineage columns
+    val row = Similarity.neardupGoverned(d, 0.5, maxCandidatePairs = mass - 1)
+      .select($"method", $"estimated_pairs").head()
+    assert(row.getString(0) == "banded" && row.getLong(1) == mass)
+
+    // --- Cosine twin: same contract; banded pairs verified by the SAME
+    // exact scorer ⇒ every banded (pair, dot) appears in the exact set
+    val db = d.filter($"doc_id" < 300)
+    val cMass = intercept[graft.ops.CandidateMassExceeded] {
+      Similarity.allPairsCosine(db, 0.85, maxCandidatePairs = 0L)
+    }.estimatedPairs
+    val cExact = Similarity.allPairsCosine(db, 0.85).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cgEx = Similarity.cosineGovernedResult(db, 0.85,
+      maxCandidatePairs = cMass)
+    assert(cgEx.method == "exact" && cgEx.estimatedPairs == cMass)
+    assert(cgEx.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == cExact)
+    val cgB = Similarity.cosineGovernedResult(db, 0.85,
+      maxCandidatePairs = cMass - 1)
+    assert(cgB.method == "banded" && cgB.estimatedPairs == cMass)
+    val cBanded = cgB.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cBanded.subsetOf(cExact),
+      s"banded cosine emitted non-exact rows: ${(cBanded -- cExact).take(3)}")
+  }
+
+  test("governed incremental: per-batch measure-then-route against the persisted index, both arms honor the larger-id-is-new contract") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.io.Tables.documents(spark, sf)
+    val split = docs.agg(max($"doc_id")).head().getLong(0) * 8 / 10
+    val base = docs.filter($"doc_id" < split)
+    val batch = docs.filter($"doc_id" >= split)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_gov_idx_").toString
+    Similarity.writeNearDupIndex(base, idxDir)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = pairSet(Similarity.minhashNearDupIncremental(batch, idxDir))
+    assert(banded.nonEmpty)
+    // exact arm: a clearing budget routes exact; at t=0.3/k=32 the
+    // banded probe's recall is ~1, so the two arms agree on this corpus
+    val gEx = Similarity.neardupGovernedIncrementalResult(batch, idxDir,
+      0.3, maxCandidatePairs = Long.MaxValue - 1)
+    assert(gEx.method == "exact" && gEx.estimatedPairs > 0L)
+    val exact = pairSet(gEx.pairs)
+    assert(exact == banded,
+      s"arms disagree: exact-only ${(exact -- banded).take(3)}, banded-only ${(banded -- exact).take(3)}")
+    // every emitted pair's LARGER id is from the batch (both arms)
+    assert(exact.forall(_._2 >= split))
+    // over-budget batch routes banded, estimate attached, same pairs
+    val gB = Similarity.neardupGovernedIncrementalResult(batch, idxDir,
+      0.3, maxCandidatePairs = gEx.estimatedPairs - 1)
+    assert(gB.method == "banded" && gB.estimatedPairs == gEx.estimatedPairs)
+    assert(pairSet(gB.pairs) == banded)
+    // lineage columns on the flattened face
+    val row = Similarity.neardupGovernedIncremental(batch, idxDir, 0.3,
+      maxCandidatePairs = gEx.estimatedPairs - 1)
+      .select($"method", $"estimated_pairs").head()
+    assert(row.getString(0) == "banded" && row.getLong(1) == gEx.estimatedPairs)
   }
 }
