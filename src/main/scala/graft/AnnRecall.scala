@@ -135,14 +135,17 @@ object AnnRecall {
     // ann_pq multi-query sweep (r17 verdict #4): the ivfpq lesson
     // applied to the PLAIN PQ route — r16 proved a single registered
     // point can flatter (ivfpq read 1.0 single vs 0.825 sweep before
-    // sizing); this is the committed 8-query robustness figure for
-    // ann_pq at its registered knobs (m=8, codes=16, 200 survivors).
+    // sizing), and the r18 sweep caught exactly that here too: the old
+    // 16-code/200-survivor registration read 0.9 single but 0.675 mean.
+    // This is the committed 8-query robustness figure for ann_pq at its
+    // sweep-sized registered knobs (m=8, codes=32, 800 survivors —
+    // measured grid in Ivf.annPq scaladoc).
     {
       val qids = (0 until 8).map(i => i * (n / 8))
       val recalls = qids.map { qid =>
         val exact = ops.Similarity.cosineTopK(emb, qid, k)
           .collect().map(_.getLong(0)).toSet
-        val got = ops.Ivf.annPq(emb, qid, k, candidates = 200)
+        val got = ops.Ivf.annPq(emb, qid, k, codes = 32, candidates = 800)
           .collect().map(_.getLong(0)).toSet
         got.intersect(exact).size.toDouble / k
       }
@@ -184,6 +187,7 @@ object AnnRecall {
     val notes = Seq(
       """"ann_ivf/ann_ivf_probe": "registered route is the ADAPTIVE probe (slack 1.3, 50% scan cap): on this weakly-clustered corpus the near-equidistant centroids widen the probe to the cap (see ann_ivf_curve.adaptive), buying the recall a fixed narrow nprobe loses; IvfSpec pins narrow routing + exactness on planted clustered corpora"""",
       """"ann_ivfpq": "TRAINED coarse route (md5 seeds + 2 integer-Lloyd rounds) with the adaptive integer probe capped at 12/16 cells = 0.75 scan budget, PQ 8x32 codebook, 800 ADC survivors reranked exactly (r16 sweep-sized: the 400/0.5 point read 1.0 on the registered query but the 8-point sweep mean was 0.825; the measured frontier in Ivf.annIvfPq scaladoc shows both knobs are needed to clear 0.9); r13's untrained fixed-nprobe route measured 0.6 here"""",
+      """"ann_pq": "r18 sweep-sized: the 16-code/200-survivor registration read 0.9 on the single query but 0.675 mean over 8 queries - the exact failure mode ann_ivfpq exhibited in r16; the measured grid (Ivf.annPq scaladoc) sizes the registration to 32 codes / 800 survivors (sweep mean 0.988, min 0.9; registered point 1.0)"""",
       """"ann_lsh": "registered route is the query-DIRECTED adaptive probe (Lv et al. multi-probe: buckets ordered by the total |q.plane| margin of their flipped planes) over the 2^6-bucket layout at a 37.5% scan budget (recall@10 0.9; 0.5 measures 1.0); the r14 fixed radius-1 route over 2^4 buckets measured 0.8 at a 31% scan, and radius-1 over THIS 2^6 layout only 0.5 at 11% (see ann_lsh_curve for the full recall-vs-budget trade)"""",
       """"ann_probe": "r16: no longer a byte-identical twin of ann_lsh - registered at the BUDGET-CONSTRAINED 0.25-scan point of the same curve (recall@10 0.8 by design, the documented trade a latency-bound caller makes); its bench row is the steady-state probe latency at that budget against the session-cached layout"""",
       """"emb_neardup_single": "single-table LSH at threshold 0.4: per-pair catch probability (1-theta/pi)^5 = 0.10 - the closed form, matched by measurement; the PRIMARY emb_neardup registration is the banded production form (sized for 0.9, measured 0.93)"""")

@@ -1174,8 +1174,13 @@ object SparkEntry {
     // Product-quantization ANN: 8x16 md5-seeded codebook, BIGINT encode
     // + ADC candidate scoring (8-byte codes, 32x scan compression),
     // exact cosine re-rank — candidate set integer-exact in any engine.
+    // r18 sweep-sized (the r16 ann_ivfpq lesson re-learned on the plain
+    // PQ route): the registered 16-code/200-survivor point read 0.9 on
+    // the single query but 0.675 mean over the 8-query sweep; the
+    // measured grid (ANN_RECALL_r18 / Ivf.annPq scaladoc) shows BOTH
+    // knobs matter — 32 codes / 800 survivors reads 0.988 mean, min 0.9.
     "ann_pq" -> ((s, d) =>
-      Ivf.annPq(Tables.embeddings(s, d), 0L, 10, candidates = 200)),
+      Ivf.annPq(Tables.embeddings(s, d), 0L, 10, codes = 32, candidates = 800)),
     // The FAISS production composition: TRAINED coarse route (md5 seeds
     // + 2 integer-Lloyd rounds — exact BIGINT/floor arithmetic, so still
     // hash-oracle-able), adaptive integer probe (slack 169/100, cap
@@ -4019,7 +4024,7 @@ object SparkEntry {
         |           FROM embeddings),
         |seeds AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
         |                 qe AS ce
-        |          FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |          FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
         |cb AS (SELECT code, j, ce[(j*8+1):(j*8+8)] AS cw
         |       FROM seeds, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS u(j)),
         |sub AS (SELECT vec_id, j, qe[(j*8+1):(j*8+8)] AS sv
@@ -4037,7 +4042,7 @@ object SparkEntry {
         |        FROM enc JOIN qlut ON enc.j = qlut.j AND enc.code = qlut.code
         |        GROUP BY 1),
         |cand AS (SELECT vec_id FROM adc WHERE vec_id != 0
-        |         ORDER BY adc ASC, vec_id ASC LIMIT 200),
+        |         ORDER BY adc ASC, vec_id ASC LIMIT 800),
         |qv2 AS (SELECT embedding::DOUBLE[] AS q_emb FROM q WHERE vec_id = 0)
         |SELECT q.vec_id, q.label,
         | list_dot_product(q.embedding::DOUBLE[], q_emb)

@@ -681,6 +681,18 @@ object Ivf {
     * carries only (vec_id, j, m-encoded d2) into a map-side-combined
     * min. ADC joins the (m·codes)-row query lookup table — a broadcast —
     * and one hash aggregate sums the m per-subspace terms.
+    *
+    * Measured recall frontier (8-query sweep, sf0.1, m=8 — the r18
+    * sizing grid; the registered point is codes=32/candidates=800):
+    * {{{
+    *   codes=16: cand 200 → 0.675   400 → 0.838   800 → 0.913
+    *   codes=32: cand 200 → 0.800   400 → 0.888   800 → 0.988
+    * }}}
+    * Both knobs matter (the ann_ivfpq r16 lesson holds on the plain PQ
+    * route): finer codewords sharpen the ADC ranking, survivors buy
+    * back what quantization still mis-ranks. The single-query
+    * registered point read 0.9 even at 16/200 — sweep before trusting
+    * any one vector's lottery.
     */
   /** (j, subvector) rows of a quantized vector: m slices of width ds. */
   private def pqSubs(v: org.apache.spark.sql.Column, m: Int, ds: Int) =
