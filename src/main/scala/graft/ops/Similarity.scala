@@ -2070,9 +2070,11 @@ object Similarity {
     * construction: 16-bit band keys cap bucket sizes on any vocabulary,
     * including the flat-df corpus that kills the exact join) and are
     * verified by the SAME integer-quantized exact scorer the exact arm
-    * uses — both arms reuse the one stable-cut feature frame, so the
-    * degrade re-tokenizes nothing and every emitted pair is truly ≥ t
-    * (precision 1; recall is the traded quantity, governed by
+    * uses, against the one stable-cut feature frame — the verify side
+    * re-tokenizes nothing (the SimHash candidate pass does its own
+    * explode: signatures need raw token multiplicities, which the
+    * normalized feature rows no longer carry) and every emitted pair is
+    * truly ≥ t (precision 1; recall is the traded quantity, governed by
     * `maxHamming`).
     */
   def cosineGovernedResult(documents: DataFrame, threshold: Double,
