@@ -1155,6 +1155,16 @@ object SparkEntry {
     // SemDeDup over the same deterministic cells: within-cell cosine
     // pairs >= 0.4, greedy-by-id removal list — fully hash-oracle-able.
     "semantic_dedup" -> ((s, d) => Ivf.semanticDedup(Tables.embeddings(s, d), 0.4, 8)),
+    // Governed router for the semantic tier (the neardup_governed
+    // pattern on SemDeDup): measure the flat form's within-cell mass,
+    // run flat nlist=8 when it clears 1e7 (every oracle SF: ~2.5e3 at
+    // sf0.01, ~2.5e5 at sf0.1 → exact arm, fully hash-oracled incl. the
+    // integer-exact estimate), degrade to the hier form at the decade
+    // (sf1-shape 20k vectors → ~2.5e7 → hier). Both arms project the
+    // shared (vec_id, dup_of, max_cosine) removal-decision schema.
+    "semantic_governed" -> ((s, d) => Ivf.semanticDedupGoverned(
+      Tables.embeddings(s, d), 0.4, 8, maxPairs = 10000000L,
+      coarse = 4, fine = 2)),
     // Governance twin of the row above (the L151 preflight pattern on
     // the semantic tier): the exact within-cell pair mass Σ C(cnt,2)
     // over the same md5-seeded integer-exact assignment — the number
@@ -4076,6 +4086,40 @@ object SparkEntry {
         |    AND list_sum(list_transform(y.emb, v -> v * v)) > 0)
         |WHERE cosine >= 0.4
         |GROUP BY 1, 2""".stripMargin,
+    // Semantic governed router, exact arm at the gate SFs (budget
+    // measured to clear): the semantic_dedup mirror projected to the
+    // shared removal-decision schema + the decision + the integer-exact
+    // within-cell mass.
+    "semantic_governed" ->
+      """WITH q AS (SELECT vec_id, embedding,
+        |             list_transform(embedding,
+        |               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qe
+        |           FROM embeddings),
+        |c AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+        |             qe AS ce
+        |      FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |a AS (SELECT vec_id,
+        |        (min({'d2': CAST(list_sum(list_transform(generate_series(1, len(qe)),
+        |              i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))) AS BIGINT), 'cid': cid})).cid AS cid
+        |      FROM q, c GROUP BY 1),
+        |cells AS (SELECT q.vec_id, a.cid, q.embedding::DOUBLE[] AS emb
+        |          FROM q JOIN a USING (vec_id)),
+        |mass AS (SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) AS BIGINT) // 2
+        |           AS estimated_pairs
+        |         FROM (SELECT cid, count(*) AS c FROM a GROUP BY 1))
+        |SELECT vec_id, dup_of, max_cosine, 'exact' AS method,
+        |  estimated_pairs
+        |FROM (
+        |  SELECT vec_id, min(keep_id) AS dup_of, max(cosine) AS max_cosine FROM (
+        |    SELECT y.vec_id, x.vec_id AS keep_id,
+        |      list_dot_product(x.emb, y.emb)
+        |        / (sqrt(list_sum(list_transform(x.emb, v -> v * v)))
+        |           * sqrt(list_sum(list_transform(y.emb, v -> v * v)))) AS cosine
+        |    FROM cells x JOIN cells y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |      AND list_sum(list_transform(x.emb, v -> v * v)) > 0
+        |      AND list_sum(list_transform(y.emb, v -> v * v)) > 0)
+        |  WHERE cosine >= 0.4
+        |  GROUP BY 1), mass""".stripMargin,
     // The governance estimate: the same q/c/a assignment CTEs, then one
     // per-cell count and Σ c·(c−1)/2 — integer-exact end-to-end.
     "semantic_preflight" ->

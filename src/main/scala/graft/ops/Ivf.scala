@@ -363,6 +363,26 @@ object Ivf {
       .selectExpr("CAST(m2 DIV 2 AS BIGINT) AS estimated_pairs")
   }
 
+  /** Σ_cid C(size, 2) over a cell-assignment frame — the within-cell
+    * pair mass the SemDeDup m² phase will pay, as ONE driver-side Long.
+    * Cross-cell sum in DECIMAL(38,0): with ANSI off a BIGINT sum wraps
+    * silently, and a wrapped-negative mass would sail under any budget
+    * (r17 ADVICE #1 — same discipline as Similarity.candidatePairMass);
+    * beyond-Long caps to MaxValue, which refuses against every finite
+    * budget. Shared by the [[semanticDedup]] guard and the governed
+    * router so the two can never disagree on the estimate.
+    */
+  private def cellPairMass(assigned: DataFrame): Long = {
+    val m2 = assigned.groupBy(col("cid")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c").cast("decimal(38,0)") * (col("c") - lit(1L))).as("m2"))
+      .head().getAs[java.math.BigDecimal]("m2")
+    if (m2 == null) 0L
+    else {
+      val half = m2.toBigInteger.shiftRight(1)
+      if (half.bitLength >= 63) Long.MaxValue else half.longValueExact()
+    }
+  }
+
   def semanticDedup(embeddings: DataFrame, threshold: Double = 0.4,
                     nlist: Int = 8,
                     maxPairs: Long = Long.MaxValue): DataFrame = {
@@ -381,20 +401,7 @@ object Ivf {
       if (maxPairs == Long.MaxValue) rawAssigned
       else {
         val cut = Checkpoints.stable(rawAssigned)
-        // cross-cell sum in DECIMAL(38,0): with ANSI off a BIGINT sum
-        // wraps silently, and a wrapped-negative mass would sail under
-        // any budget (r17 ADVICE #1 — same discipline as
-        // Similarity.candidatePairMass); beyond-Long caps to MaxValue,
-        // which refuses against every finite budget.
-        val m2 = cut.groupBy(col("cid")).agg(count(lit(1)).as("c"))
-          .agg(sum(col("c").cast("decimal(38,0)") * (col("c") - lit(1L))).as("m2"))
-          .head().getAs[java.math.BigDecimal]("m2")
-        val mass =
-          if (m2 == null) 0L
-          else {
-            val half = m2.toBigInteger.shiftRight(1)
-            if (half.bitLength >= 63) Long.MaxValue else half.longValueExact()
-          }
+        val mass = cellPairMass(cut)
         if (mass > maxPairs) {
           // a refusal must leave zero resident state (r17 ADVICE #3)
           Checkpoints.release(cut)
@@ -407,6 +414,72 @@ object Ivf {
       .join(assigned, col("vec_id") === col("aid"))
       .select(col("vec_id"), col("cid"), col("embedding"))
     greedyPairRemoval(cells, Seq("cid"), "cid", threshold)
+  }
+
+  /** Governed-degradation router for the SEMANTIC tier — the
+    * [[graft.ops.Similarity.neardupGovernedResult]] pattern closing the
+    * L151 semantic preflight's consumer gap the same way the text tier's
+    * router closed the all-pairs miners': MEASURE the flat form's
+    * within-cell pair mass first (the linear n·nlist assignment + one
+    * hash aggregate, stable-cut so the accepted path reuses it), run the
+    * paper-form [[semanticDedup]] at `nlist` when it clears `maxPairs`,
+    * and DEGRADE to the hierarchical form ([[semanticDedupHier]] at
+    * `coarse`×`fine` leaves — per-task pair work bounded by the two-level
+    * split) when it doesn't — completing either way, decision + measured
+    * mass in the lineage. This governs the tier's documented trap (the
+    * default-undersized nlist whose mass the r17 stress run measured at
+    * 9.655e10 pairs at 1M vectors — an 837 s ungoverned death) the way a
+    * production job wants: routed, not thrown.
+    *
+    * Both arms project the shared removal-decision schema
+    * (vec_id, dup_of, max_cosine) — the group key (flat `cid` vs hier
+    * `cell`) is arm-specific diagnostics and stays internal. The arms
+    * can remove DIFFERENT near-duplicate witnesses for the same
+    * neighborhood (cell partitions differ — the recall trade of the
+    * degrade, like the text router's banded arm); each arm individually
+    * is its registered, oracled operator.
+    */
+  def semanticDedupGovernedResult(embeddings: DataFrame,
+      threshold: Double, nlist: Int, maxPairs: Long,
+      coarse: Int = 8, fine: Int = 8): graft.ops.GovernedPairing = {
+    require(maxPairs > 0L && maxPairs < Long.MaxValue,
+      "semanticDedupGoverned requires a finite positive budget — for an " +
+        "ungoverned flat run call semanticDedup directly")
+    GraftFunctions.register(embeddings.sparkSession)
+    val quant = Checkpoints.stable(
+      quantized(embeddings).select(col("vec_id"), col("qe")))
+    val cut = Checkpoints.stable(
+      md5CellAssign(quant, md5SeedCells(quant, nlist)))
+    val mass = cellPairMass(cut)
+    def decisions(df: DataFrame) =
+      df.select(col("vec_id"), col("dup_of"), col("max_cosine"))
+    if (mass <= maxPairs) {
+      val cells = embeddings
+        .join(cut, col("vec_id") === col("aid"))
+        .select(col("vec_id"), col("cid"), col("embedding"))
+      graft.ops.GovernedPairing("exact", mass, maxPairs,
+        decisions(greedyPairRemoval(cells, Seq("cid"), "cid", threshold)))
+    } else {
+      // the decision leaves zero resident state; the hier arm builds its
+      // own two-level assignment from scratch
+      Checkpoints.release(cut)
+      Checkpoints.release(quant)
+      graft.ops.GovernedPairing("hier", mass, maxPairs,
+        decisions(semanticDedupHier(embeddings, threshold, coarse, fine)))
+    }
+  }
+
+  /** [[semanticDedupGovernedResult]] flattened for query registration
+    * (the text routers' convention) — both lineage columns are
+    * integer-exact here too, so the full frame is hash-oracled.
+    */
+  def semanticDedupGoverned(embeddings: DataFrame, threshold: Double,
+      nlist: Int, maxPairs: Long, coarse: Int = 8,
+      fine: Int = 8): DataFrame = {
+    val g = semanticDedupGovernedResult(embeddings, threshold, nlist,
+      maxPairs, coarse, fine)
+    g.pairs.withColumn("method", lit(g.method))
+      .withColumn("estimated_pairs", lit(g.estimatedPairs))
   }
 
   /** Within-group greedy pair phase shared by the SemDeDup family.

@@ -528,4 +528,33 @@ class IvfSpec extends SparkSpec {
     val guarded = canon(Ivf.semanticDedup(emb, 0.4, nlist, maxPairs = est))
     assert(default == guarded && default.nonEmpty)
   }
+
+  test("semanticDedupGoverned: exact arm when the mass clears, hier COMPLETION when it doesn't, estimate attached, no resident blocks") {
+    val emb = planted(4, 50, 8) // 200 vectors
+    val nlist = 4
+    val mass = Ivf.semanticPreflight(emb, nlist).as[Long].head()
+    assert(mass > 1L)
+    def decisions(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"dup_of", $"max_cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // exact arm: the governed result IS the flat form's decision set
+    val gEx = Ivf.semanticDedupGovernedResult(emb, 0.4, nlist, maxPairs = mass)
+    assert(gEx.method == "exact" && gEx.estimatedPairs == mass)
+    val flat = decisions(Ivf.semanticDedup(emb, 0.4, nlist))
+    assert(decisions(gEx.pairs) == flat && flat.nonEmpty)
+    // over-budget: COMPLETES via the hier form (no CandidateMassExceeded),
+    // matching the hier operator's own decisions, estimate attached
+    // (refusal-releases-cuts hygiene for this tier is pinned in
+    // SimilaritySpec's zero-resident-blocks test)
+    val gH = Ivf.semanticDedupGovernedResult(emb, 0.4, nlist,
+      maxPairs = mass - 1, coarse = 4, fine = 2)
+    assert(gH.method == "hier" && gH.estimatedPairs == mass)
+    assert(decisions(gH.pairs) ==
+      decisions(Ivf.semanticDedupHier(emb, 0.4, 4, 2)))
+    // the flattened face carries the decision as lineage columns
+    val row = Ivf.semanticDedupGoverned(emb, 0.4, nlist,
+      maxPairs = mass - 1, coarse = 4, fine = 2)
+      .select($"method", $"estimated_pairs").head()
+    assert(row.getString(0) == "hier" && row.getLong(1) == mass)
+  }
 }

@@ -60,6 +60,7 @@ class PlanLintSpec extends SparkSpec {
     "ngram_jaccard" -> "bounded brute-force oracle baseline: <=500 docs by construction feeds the theta self-join",
     "containment_pairs" -> "bounded brute-force baseline: <=500 docs by construction feeds the theta self-join",
     "semantic_dedup" -> "nlist-row centroid table broadcast into the cell-assignment map (same pattern as ann_ivf_md5)",
+    "semantic_governed" -> "the semantic_dedup plan behind the governed router's exact arm (the budget clears at lint scale): same nlist-row centroid broadcast",
     "semantic_preflight" -> "nlist-row centroid table broadcast into the cell-assignment map (the semantic_dedup assignment, stopped at the pair-mass aggregate)",
     "ann_pq" -> "1-row query vector broadcast into the exact-cosine re-rank of the bounded ADC candidate set",
     "ann_ivfpq" -> "1-row query vector broadcast (coarse route + ADC + rerank; every broadcast side is 1-row or seed-bounded)",
@@ -86,6 +87,7 @@ class PlanLintSpec extends SparkSpec {
     "heavy_hitters" -> "window over the <=m=1024 Misra-Gries candidate recounts, not the corpus",
     "ann_ivf_md5" -> "row_number over the nlist seed rows (deterministic centroid ids), bounded by nlist",
     "semantic_dedup" -> "row_number over the nlist seed rows (shared ann_ivf_md5 cell machinery), bounded by nlist",
+    "semantic_governed" -> "row_number over the nlist seed rows (the semantic_dedup machinery behind the exact arm), bounded by nlist",
     "semantic_preflight" -> "row_number over the nlist seed rows (the semantic_dedup assignment machinery), bounded by nlist",
     "ann_pq" -> "row_number over the `codes` seed rows (md5 codebook), bounded by codes",
     "ann_ivfpq" -> "row_number over the nlist/codes seed rows, bounded by max(nlist, codes)",
