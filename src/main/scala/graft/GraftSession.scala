@@ -44,6 +44,17 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", (cores * 8).toString))
       .config("spark.sql.session.timeZone", "UTC")
+      // r18-opt: the generated-class cache (STATIC conf, default 100
+      // entries) thrashes on a session that plans the full 215-query
+      // surface — every WholeStageCodegen/expression unit recompiles
+      // through janino on each repeat pass instead of hitting the
+      // cache. 4096 entries holds the whole surface; the cost is only
+      // resident class metadata, and on a production cluster a
+      // long-lived session running a large query mix wants the same.
+      // Scale-neutral: per-core behavior is untouched (the driver's
+      // low-core scaling runs compile the same classes either way).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
 
   /** The local[n] form every graft main uses (UI off — these are
     * headless batch runs).

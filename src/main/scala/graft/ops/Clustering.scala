@@ -101,11 +101,19 @@ object Clustering {
 
       // Converged only when BOTH steps were no-ops (the paper's
       // termination condition) — a fixpoint of the composition alone
-      // would not prove star-forest shape.
-      val lfp = fingerprint(large)
+      // would not prove star-forest shape. r18-opt: the small-star
+      // fingerprint decides first and the large-star one runs ONLY when
+      // it matches (short-circuit — identical verdict, one fewer
+      // aggregate job on every non-final round; the loop's wall is
+      // driver-round latency, not data volume).
       val nfp = fingerprint(next)
-      converged = lfp == fp && nfp == fp
+      converged = nfp == fp && fingerprint(large) == fp
       fp = nfp
+      // the superseded round's pinned blocks are dead the moment `next`
+      // is materialized — release them now instead of waiting out
+      // ContextCleaner GC (the governance-refusal hygiene rule)
+      Checkpoints.release(large)
+      Checkpoints.release(e)
       e = next
       iter += 1
     }

@@ -918,7 +918,19 @@ object Ivf {
     GraftFunctions.register(embeddings.sparkSession)
     val dim = derivedDim(embeddings)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val quant = widthChecked(quantized(embeddings), dim, "annIvfPq")
+    // Stable-cut (r18-opt): quant feeds ~9 consumers (seed cells, two
+    // Lloyd rounds at two scans each, the assignment, the probe side,
+    // the PQ codebook, the query rows) and lazily EACH re-scanned the
+    // embedding table and re-ran the ×2^20 quantization
+    // (plans/r18/ann_ivfpq_before.txt: 8 parquet scans). One
+    // materialization replaces them; at 100 TB that is 8 corpus scans
+    // → 1 (the other IVF routes already cut here). Projected to
+    // (vec_id, qe) FIRST: no IVF-PQ consumer reads the raw embedding
+    // from quant (the rerank re-reads the table), and pinning the float
+    // array would double the cut's bytes for nothing.
+    val quant = Checkpoints.stable(
+      widthChecked(quantized(embeddings), dim, "annIvfPq")
+        .select(col("vec_id"), col("qe")))
     val ds = dim / m
     def subs(v: org.apache.spark.sql.Column) = pqSubs(v, m, ds)
     // coarse route: integer-Lloyd-trained cells + adaptive integer probe

@@ -196,14 +196,20 @@ object Pipeline {
   def dataCard(documents: DataFrame,
                pairMassThreshold: Double = 0.85): DataFrame = {
     val toks = split(lower(col("text")), " ")
-    val perDoc = documents
+    // Stable-cut (r18-opt): perDoc feeds the per-source rollup AND the
+    // language-entropy branch — lazily each re-ran the doc projection,
+    // the md5, the quality formula and the corpus-sized merge join
+    // (plans/r18/data_card_before.txt: 5 scans, 13 exchanges). The cut
+    // is one narrow row per doc (ids, counts, hash, quality) — far
+    // smaller than the text it derives from.
+    val perDoc = Checkpoints.stable(documents
       .select(col("doc_id"), col("source"), col("lang"),
         size(toks).cast("long").as("n_toks"),
         length(col("text")).cast("long").as("n_chr"),
         md5(col("text")).as("h"))
       // merge-hinted: both sides corpus-sized (jaccard_allpairs precedent)
       .join(TextAnalysis.qualityScore(documents)
-        .select(col("doc_id"), col("quality")).hint("merge"), "doc_id")
+        .select(col("doc_id"), col("quality")).hint("merge"), "doc_id"))
     val bySource = perDoc.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_toks")).as("n_tokens"),

@@ -301,8 +301,21 @@ object Similarity {
   def minhashNearDupPersisted(documents: DataFrame, artifactDir: String,
                               k: Int = 32, threshold: Double = 0.3): DataFrame = {
     shingleHashes(documents).write.mode("overwrite").parquet(artifactDir)
-    nearDupFromHashes(documents.sparkSession.read.parquet(artifactDir), k, threshold)
+    minhashNearDupFromArtifact(documents.sparkSession, artifactDir, k, threshold)
   }
+
+  /** The consumer face of the artifact split (r18-opt): mine near-dup
+    * pairs from an ALREADY-WRITTEN [[shingleHashes]] parquet artifact.
+    * At 100 TB the corpus is tokenized ONCE per curation run and every
+    * governance consumer (pair mining, the cluster closure, the
+    * source-redundancy rollup) reads the artifact — re-tokenizing per
+    * consumer was the single largest redundant cost in the bench's
+    * minhash tier (three identical artifact builds per pass).
+    */
+  def minhashNearDupFromArtifact(spark: org.apache.spark.sql.SparkSession,
+                                 artifactDir: String, k: Int = 32,
+                                 threshold: Double = 0.3): DataFrame =
+    nearDupFromHashes(spark.read.parquet(artifactDir), k, threshold)
 
   /** r=1 banded signature rows (doc_id, band_idx, band_key) from hashed
     * shingles: each signature position is its own band. Shared by the
@@ -430,8 +443,16 @@ object Similarity {
     * aggregate; the rollup adds no payload shuffle.
     */
   def nearDupBySource(documents: DataFrame, k: Int = 32,
-                      threshold: Double = 0.3): DataFrame = {
-    val pairs = minhashNearDup(documents, k, threshold)
+                      threshold: Double = 0.3): DataFrame =
+    nearDupBySourceFromPairs(documents, minhashNearDup(documents, k, threshold))
+
+  /** [[nearDupBySource]] over an already-mined pair list — the artifact
+    * split's rollup face (r18-opt): pairs typically come from
+    * [[minhashNearDupFromArtifact]] so the corpus is tokenized once per
+    * run, not once per governance consumer.
+    */
+  def nearDupBySourceFromPairs(documents: DataFrame,
+                               pairs: DataFrame): DataFrame = {
     val src = documents.filter(col("source").isNotNull)
       .select(col("doc_id"), col("source"))
     pairs
@@ -571,14 +592,21 @@ object Similarity {
                       maxCandidatePairs: Long = Long.MaxValue): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    if (maxCandidatePairs == Long.MaxValue)
-      // Budget-free (the default): lazy frames, byte-identical to the
-      // r16 plan — the prefix and the verify sets each rebuild the
-      // (doc, h) subtree, which Spark recomputes per consumer
-      // regardless of val sharing.
-      allPairsJaccardCore(jaccardPrefix(documents, threshold),
-        jaccardShingleHashes(documents), threshold)
-    else {
+    if (maxCandidatePairs == Long.MaxValue) {
+      // Budget-free (the default): ONE stable-cut tokenize+distinct
+      // serves prefix AND verify sets — the same shape the budget path
+      // below and the governed router run. The r16-era lazy form re-ran
+      // the (doc, h) subtree per consumer: the r18-opt AQE-final plan
+      // (plans/r18/jaccard_allpairs_before.txt) shows THREE full corpus
+      // scans+explodes — exchange reuse recovers the candidate legs and
+      // the verify-set legs, but the dfreq branch's subtree differs
+      // canonically (an isnotnull(doc_id) pushed into only the window
+      // branches), so the tokenize itself never unified. Measured at
+      // sf0.1: 5.60 s → see OPTIMIZATION_r18.md for the after number.
+      val sh = Checkpoints.stable(jaccardShingleHashes(documents))
+      val pref = Checkpoints.stable(jaccardPrefixFrom(sh, threshold))
+      allPairsJaccardCore(pref, sh, threshold)
+    } else {
       // Candidate-mass PREFLIGHT (opt-in via a finite budget): the r16
       // stress run MEASURED what an ungoverned launch costs — the
       // flat-df 30× corpus died after 767 s and >69 GB of shuffle spill
@@ -612,8 +640,18 @@ object Similarity {
     * router and the budget-given path share with the default path.
     */
   private def allPairsJaccardCore(pref: DataFrame, sh: DataFrame,
-                                  threshold: Double): DataFrame = {
-    val cand = pref.as("a").join(pref.as("b"),
+                                  threshold: Double,
+                                  bIds: Option[DataFrame] = None): DataFrame = {
+    // Optional b-leg restriction (r18-opt, the incremental router's
+    // seam): when only pairs whose LARGER id lies in `bIds` are wanted,
+    // a batch-sized semi-join on the PREFIX leg prunes the candidate
+    // join's b side before it runs — byte-identical output to filtering
+    // the full pair set afterwards (doc_a < doc_b, so doc_b ∈ bIds is
+    // decided entirely by the b leg), without paying the base×base
+    // candidate mass just to discard it.
+    val prefB = bIds.fold(pref)(ids =>
+      pref.join(ids.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi"))
+    val cand = pref.as("a").join(prefB.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n"), col("b.n")).cast("double") >=
             lit(threshold) * greatest(col("a.n"), col("b.n")) - lit(1e-9))
@@ -1794,10 +1832,16 @@ object Similarity {
       threshold: Double): (DataFrame, DataFrame) = {
     val W = org.apache.spark.sql.expressions.Window
     val tq = math.floor(threshold * math.pow(2.0, 40)).toLong
-    val tf = documents
+    // Stable-cut (r18-opt): tf feeds THREE consumers (dfreq, the corpus
+    // size, the weight join) and lazily each re-ran the tokenize+count
+    // — the explode never unified across the branches (the dfreq
+    // branch's subtree picks up different pushed constraints, the
+    // jaccard_allpairs pattern). One token-volume materialization; the
+    // feats/pref cuts below are unchanged.
+    val tf = Checkpoints.stable(documents
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
       .groupBy(col("doc_id"), col("t"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val nDocs = tf.agg(countDistinct(col("doc_id")).cast("double").as("n"))
     val idf = (col("n") - col("df").cast("double") + lit(0.5)) /
@@ -1824,6 +1868,11 @@ object Similarity {
           lit(1048576.0)).cast("long"))
       .filter(col("wnq") > 0)
       .select(col("doc_id"), col("t"), col("wnq"), col("df")))
+    // tf is dead the moment feats materializes (pref derives from feats,
+    // not tf) — release it NOW so neither the accepted path nor a
+    // downstream CandidateMassExceeded refusal leaves its blocks pinned
+    // (the SimilaritySpec refusal-hygiene contract).
+    Checkpoints.release(tf)
     val maxw = feats.groupBy(col("t")).agg(max(col("wnq")).as("mw"))
     val suffixW = W.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
       .rowsBetween(W.currentRow, W.unboundedFollowing)
@@ -2034,14 +2083,21 @@ object Similarity {
     val pref = Checkpoints.stable(jaccardPrefixFrom(allHashes, threshold))
     val mass = candidatePairMass(pref.select(col("h").as("k")))
     if (mass <= maxCandidatePairs) {
-      // exact refresh, measured affordable: the full prefix-filter join
-      // over the union hash space (identical mod-p space on both sides,
-      // so exact-arm and banded-arm jaccard values agree), restricted to
-      // the pairs the batch introduces by a batch-sized semi join
-      val newIds = newDocs.select(col("doc_id").as("doc_b")).distinct()
+      // exact refresh, measured affordable: the prefix-filter join over
+      // the union hash space (identical mod-p space on both sides, so
+      // exact-arm and banded-arm jaccard values agree), restricted to
+      // the pairs the batch introduces. r18-opt: the restriction now
+      // prunes the candidate join's b LEG (a batch-sized semi on the
+      // prefix table) instead of semi-joining the FULL pair set after
+      // the fact — the base×base candidate mass (the bulk of the union
+      // join at any realistic batch share) is never generated or
+      // verified. Identical pair set out: doc_a < doc_b, so membership
+      // of the larger id is decided entirely on the b leg. The MEASURED
+      // mass is unchanged — it still prices the full exact refresh,
+      // which is the governance question the preflight answers.
+      val newIds = newDocs.select(col("doc_id")).distinct()
       GovernedPairing("exact", mass, maxCandidatePairs,
-        allPairsJaccardCore(pref, allHashes, threshold)
-          .join(newIds, Seq("doc_b"), "left_semi")
+        allPairsJaccardCore(pref, allHashes, threshold, Some(newIds))
           .select(col("doc_a"), col("doc_b"), col("jaccard")))
     } else {
       Checkpoints.release(pref)

@@ -374,16 +374,26 @@ object TextAnalysis {
     */
   def bigramLogProb(documents: DataFrame, lambda: Double = 0.75): DataFrame = {
     require(lambda > 0.0 && lambda < 1.0, s"need 0 < lambda < 1, got $lambda")
-    val docPair = documents
+    // Materialization cuts (r18-opt): docPair feeds the pair-count
+    // branch AND the final per-doc score join, and uniCnt feeds the
+    // grand total AND the smoothing join — lazily each consumer re-ran
+    // its own corpus explode (4 Generate-explode passes in the
+    // AQE-final plan, plans/r18/bigram_logprob_before.txt). One bigram
+    // explode + one token explode now serve everything; pairCnt also
+    // cuts (pair-TYPE-sized — Zipf+Heaps small next to the exploded
+    // corpus) so leftCnt and the scored join don't each re-aggregate
+    // the doc-pair rows.
+    val docPair = Checkpoints.stable(documents
       .select(col("doc_id"), explode(bigrams).as("g"))
       .groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("c"))
-    val pairCnt = docPair.groupBy(col("g")).agg(sum(col("c")).as("c12"))
-      .withColumn("prev", split(col("g"), " ").getItem(0))
-      .withColumn("t", split(col("g"), " ").getItem(1))
+      .agg(count(lit(1)).as("c")))
+    val pairCnt = Checkpoints.stable(
+      docPair.groupBy(col("g")).agg(sum(col("c")).as("c12"))
+        .withColumn("prev", split(col("g"), " ").getItem(0))
+        .withColumn("t", split(col("g"), " ").getItem(1)))
     val leftCnt = pairCnt.groupBy(col("prev")).agg(sum(col("c12")).as("c1"))
-    val uniCnt = documents.select(explode(toks).as("t"))
-      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val uniCnt = Checkpoints.stable(documents.select(explode(toks).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt")))
     val total = uniCnt.agg(sum(col("cnt")).cast("double").as("n_total"))
     val scored = pairCnt.join(leftCnt, "prev").join(uniCnt, "t")
       .crossJoin(broadcast(total))
@@ -747,18 +757,24 @@ object TextAnalysis {
     */
   def dsirWeights(documents: DataFrame, targetSource: String,
       dim: Int = 64): DataFrame = {
-    val feats = hashFeatures(documents, dim)
-    // the q/p distributions don't need per-doc rows at all: aggregate
-    // the explode straight to `dim` buckets (map-side combined), with
-    // the target indicator computed from the source column that rode
-    // the explode — the doc_id join the r15 form paid here sorted the
-    // whole exploded side (see scaladoc)
-    val buckets = documents
-      .select(col("source"), explode(concat(toks, bigrams)).as("g"))
+    // ONE corpus explode serves the per-doc tf rows AND the q/p bucket
+    // distributions (r18-opt; the previous form ran hashFeatures' explode
+    // and a second source-carrying explode — 3 Generate passes in the
+    // AQE-final plan, plans/r18/dsir_weights_before.txt, zero reuse):
+    // source is constant per doc, so carrying it through the (doc,
+    // bucket) aggregate changes no group, and Σ tf per bucket IS the
+    // exploded gram count the second pass recounted. The cut pins the
+    // (doc, bucket, tf) table for its two consumers (buckets, score join).
+    val feats = Checkpoints.stable(documents
+      .select(col("doc_id"), col("source"),
+        explode(concat(toks, bigrams)).as("g"))
       .withColumn("bucket", featureBucket(col("g"), dim))
+      .groupBy(col("doc_id"), col("source"), col("bucket"))
+      .agg(count(lit(1)).as("tf")))
+    val buckets = feats
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("qc"),
-        sum(when(col("source") === targetSource, 1L)
+      .agg(sum(col("tf")).as("qc"),
+        sum(when(col("source") === targetSource, col("tf"))
           .otherwise(lit(0L))).as("pc"))
     val totals = buckets.agg(sum(col("qc")).as("q_n"), sum(col("pc")).as("p_n"))
     feats
@@ -1028,8 +1044,18 @@ object TextAnalysis {
     */
   private[graft] def crossDocDupStartsRouted(base: DataFrame, k: Int,
                                              sampleFrac: Double = 0.01,
+                                             hotMin: Long = 512L): DataFrame =
+    crossDocDupStartsRoutedFromWin(base, windowRows(base, k), k,
+      sampleFrac, hotMin)
+
+  /** [[crossDocDupStartsRouted]] with the full window frame supplied by
+    * the caller (the [[dupWindowStartsFromWin]] seam); the hot-key
+    * sample pre-pass still explodes its own 1% of `base`.
+    */
+  private def crossDocDupStartsRoutedFromWin(base: DataFrame, win: DataFrame,
+                                             k: Int,
+                                             sampleFrac: Double = 0.01,
                                              hotMin: Long = 512L): DataFrame = {
-    val win = windowRows(base, k)
     val hot = windowRows(base.sample(withReplacement = false, sampleFrac, seed = 42L), k)
       .groupBy(col("h"))
       .agg(count(lit(1)).as("n"),
@@ -1090,10 +1116,19 @@ object TextAnalysis {
   }
 
   private def dupWindowStarts(base: DataFrame, k: Int): DataFrame =
+    dupWindowStartsFromWin(base, windowRows(base, k), k)
+
+  /** [[dupWindowStarts]] over an already-built (and typically stable-cut)
+    * window frame — the seam that lets [[substringDedupIncremental]]
+    * share ONE window explode between the artifact semi-join and the
+    * in-batch verdict (r18-opt).
+    */
+  private def dupWindowStartsFromWin(base: DataFrame, win: DataFrame,
+                                     k: Int): DataFrame =
     sys.env.getOrElse("SPARK_GRAFT_SUBSTRING_VERDICT", "routed") match {
-      case "window" => crossDocDupStartsWindow(windowRows(base, k))
-      case "agg"    => crossDocDupStartsAgg(windowRows(base, k))
-      case _        => crossDocDupStartsRouted(base, k)
+      case "window" => crossDocDupStartsWindow(win)
+      case "agg"    => crossDocDupStartsAgg(win)
+      case _        => crossDocDupStartsRoutedFromWin(base, win, k)
     }
 
   /** The per-document coverage profile over a (doc_id, s) dup-start
@@ -1205,8 +1240,18 @@ object TextAnalysis {
                                 k: Int = 8): DataFrame = {
     require(k >= 2, s"window must span at least 2 tokens, got $k")
     val spark = newDocs.sparkSession
-    val base = newDocs.withColumn("w", toks).filter(size(col("w")) >= k)
-    val win = windowRows(base, k)
+    // Stable-cuts (r18-opt): `base` feeds the window explode, the routed
+    // verdict's sample pre-pass AND the coverage profile; `win` feeds the
+    // artifact semi-join AND the in-batch verdict — lazily each consumer
+    // re-scanned and re-tokenized the batch (4 scans in the AQE-final
+    // plan, plans/r18/substring_dedup_incremental_before.txt, zero
+    // reuse). Both cuts are batch-sized by the operator's own contract
+    // (only the ARRIVING batch is ever tokenized), so at 100 TB they pin
+    // nightly-batch rows, never the resident corpus.
+    val base = Checkpoints.stable(
+      newDocs.withColumn("w", toks).filter(size(col("w")) >= k)
+        .select(col("doc_id"), col("w")))
+    val win = Checkpoints.stable(windowRows(base, k))
     val corpus = spark.read.parquet(artifactDir)
     // Same HARD k-stamp guard as readDupStarts. The stamp doubles as the
     // format version: a pre-stamp artifact also predates the hex→binary
@@ -1223,7 +1268,7 @@ object TextAnalysis {
     val corpusHits = win
       .join(corpus.select(col("h")), Seq("h"), "left_semi")
       .select(col("doc_id"), col("s"))
-    val batchHits = dupWindowStarts(base, k)
+    val batchHits = dupWindowStartsFromWin(base, win, k)
     coverageProfile(base,
       corpusHits.unionByName(batchHits).dropDuplicates("doc_id", "s"), k)
   }
