@@ -84,10 +84,17 @@ object Clustering {
       val sym = e.select(col("a"), col("b"))
         .unionByName(e.select(col("b").as("a"), col("a").as("b")))
       val nmin = sym.groupBy(col("a")).agg(min(col("b")).as("nm"))
-      val large = Checkpoints.stable(sym.join(nmin, "a")
+      // NOT cut (r18-opt v2): both small-star consumers sit inside the
+      // ONE `next` materialization action, where large's distinct ends
+      // in a canonically identical exchange — runtime exchange reuse
+      // computes it once (measured in the AQE-final tree; the cut's
+      // extra eager job per round cost more than the reuse saves).
+      // Only the final round's convergence check recomputes it, once,
+      // from the still-cut `e`.
+      val large = sym.join(nmin, "a")
         .filter(col("b") > col("a"))
         .select(col("b").as("a"), least(col("a"), col("nm")).as("b"))
-        .distinct()) // referenced twice by small-star: pin it
+        .distinct()
 
       // Small-star. Edges point big→small, so grouping by the big end
       // sees exactly the smaller neighbors; hook them (and the big end)
@@ -112,7 +119,6 @@ object Clustering {
       // the superseded round's pinned blocks are dead the moment `next`
       // is materialized — release them now instead of waiting out
       // ContextCleaner GC (the governance-refusal hygiene rule)
-      Checkpoints.release(large)
       Checkpoints.release(e)
       e = next
       iter += 1

@@ -383,7 +383,14 @@ object Similarity {
     */
   def writeNearDupIndex(base: DataFrame, artifactDir: String,
                         k: Int = 32): Unit = {
+    // explicit fan-out (r18-opt): the tokenize pipeline inherits the doc
+    // table's split count, so an unrepartitioned artifact can land as
+    // ONE file and serialize every consumer's partial aggregate (band
+    // mins, verify collect_set) onto a single task. defaultParallelism
+    // scales with the session — never a local-only constant; row order
+    // feeds only order-free aggregates, so results are unchanged.
     val hashes = shingleHashes(base)
+      .repartition(base.sparkSession.sparkContext.defaultParallelism)
     hashes.write.mode("overwrite").parquet(s"$artifactDir/hashes")
     val spark = base.sparkSession
     bandRows(spark.read.parquet(s"$artifactDir/hashes"), k)
@@ -946,10 +953,21 @@ object Similarity {
     * only, never two payloads.
     */
   def dedupEnsemble(documents: DataFrame, embeddings: DataFrame,
-                    maxDocId: Long, threshold: Double): DataFrame = {
-    graft.functions.GraftFunctions.register(documents.sparkSession)
+                    maxDocId: Long, threshold: Double): DataFrame =
+    dedupEnsembleFromPairs(ngramJaccard(documents, maxDocId, threshold),
+      embeddings)
+
+  /** [[dedupEnsemble]] over an already-mined lexical pair list — the
+    * artifact split's adjudication face (r18-opt): the bounded brute
+    * baseline is mined once per curation run; its pair list is then
+    * annotated here and closed by the cluster governance consumers,
+    * instead of each consumer re-running the m² mine.
+    */
+  def dedupEnsembleFromPairs(pairs: DataFrame,
+                             embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), col("embedding"))
-    ngramJaccard(documents, maxDocId, threshold)
+    pairs
       .join(e.as("ea"), col("doc_a") === col("ea.vec_id"))
       .join(e.as("eb"), col("doc_b") === col("eb.vec_id"))
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
@@ -1900,6 +1918,15 @@ object Similarity {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val (_, pref) = cosineFeatsAndPrefix(documents, threshold)
+    cosinePreflightFromPrefix(pref)
+  }
+
+  /** [[cosinePreflight]] over an already-built (typically persisted)
+    * prefix table — the artifact split's estimator face (r18-opt): one
+    * tf-idf feature build per curation run serves the capacity
+    * estimate, the exact miner and the governed router.
+    */
+  def cosinePreflightFromPrefix(pref: DataFrame): DataFrame =
     // cross-key sum in DECIMAL(38,0) — a silent BIGINT wraparound here
     // would publish a negative "estimate" (r17 ADVICE #1; see
     // candidatePairMass); the output column folds back to BIGINT.
@@ -1907,7 +1934,6 @@ object Similarity {
       .agg(coalesce(sum(col("c").cast("decimal(38,0)") * (col("c") - lit(1L))),
         lit(java.math.BigDecimal.ZERO)).as("m2"))
       .selectExpr("CAST(m2 DIV 2 AS BIGINT) AS estimated_pairs")
-  }
 
   def allPairsCosine(documents: DataFrame, threshold: Double = 0.5,
                      maxCandidatePairs: Long = Long.MaxValue): DataFrame = {
@@ -1933,6 +1959,21 @@ object Similarity {
         throw CandidateMassExceeded("allPairsCosine", mass, maxCandidatePairs)
       }
     }
+    cosineVerifyPairs(cosineCandidates(pref), feats, tq)
+  }
+
+  /** [[allPairsCosine]] over already-built (typically persisted)
+    * feature/prefix tables — the artifact split's miner face (r18-opt).
+    * `pref` must have been built by [[cosineFeatsAndPrefix]] at the SAME
+    * threshold (the suffix bound is threshold-dependent); `feats` is
+    * threshold-free. Integer-exact end-to-end, so a parquet round-trip
+    * changes no value.
+    */
+  def allPairsCosineFromFeatures(feats: DataFrame, pref: DataFrame,
+                                 threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val tq = math.floor(threshold * math.pow(2.0, 40)).toLong
     cosineVerifyPairs(cosineCandidates(pref), feats, tq)
   }
 
@@ -2167,6 +2208,37 @@ object Similarity {
                      maxCandidatePairs: Long, maxHamming: Int = 3): DataFrame = {
     val g = cosineGovernedResult(documents, threshold, maxCandidatePairs,
       maxHamming)
+    g.pairs.withColumn("method", lit(g.method))
+      .withColumn("estimated_pairs", lit(g.estimatedPairs))
+  }
+
+  /** [[cosineGoverned]] over already-built (typically persisted)
+    * feature/prefix tables — the artifact split's router face (r18-opt):
+    * the measure-then-route contract is unchanged (the mass aggregate
+    * runs over the SAME prefix table the exact join would consume), but
+    * the tf-idf build is paid once per curation run instead of once per
+    * governance consumer. `documents` is still required for the banded
+    * fallback's SimHash candidate pass (signatures need raw token
+    * multiplicities the normalized features no longer carry).
+    */
+  def cosineGovernedFromFeatures(documents: DataFrame, feats: DataFrame,
+                                 pref: DataFrame, threshold: Double,
+                                 maxCandidatePairs: Long,
+                                 maxHamming: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(maxCandidatePairs > 0L && maxCandidatePairs < Long.MaxValue,
+      "cosineGovernedFromFeatures requires a finite positive budget")
+    val tq = math.floor(threshold * math.pow(2.0, 40)).toLong
+    val mass = candidatePairMass(pref.select(col("t").as("k")))
+    val g =
+      if (mass <= maxCandidatePairs)
+        GovernedPairing("exact", mass, maxCandidatePairs,
+          cosineVerifyPairs(cosineCandidates(pref), feats, tq))
+      else
+        GovernedPairing("banded", mass, maxCandidatePairs,
+          cosineVerifyPairs(simhashNearDup(documents, maxHamming)
+            .select(col("doc_a"), col("doc_b")), feats, tq))
     g.pairs.withColumn("method", lit(g.method))
       .withColumn("estimated_pairs", lit(g.estimatedPairs))
   }

@@ -307,6 +307,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("r18-opt cuts hold: jaccard_allpairs / dsir_weights / bigram_logprob tokenize the corpus below ONE materialization cut") {
+    // the r18 optimization round measured these queries re-running their
+    // corpus explode per consumer (3-4 Generate passes in the AQE-final
+    // tree; plans/r18/*_before.txt) — the stable cuts moved the tokenize
+    // into one eager materialization, so the executed plan above the
+    // cuts must contain NO corpus explode and at least one cut leaf
+    for ((name, minCuts) <- Seq("jaccard_allpairs" -> 2, "dsir_weights" -> 1,
+        "bigram_logprob" -> 3)) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val executed = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!executed.contains("Generate explode"),
+        s"$name re-explodes the corpus above its cuts:\n$executed")
+      assert("Scan ExistingRDD".r.findAllIn(executed).length >= minCuts,
+        s"$name expected >= $minCuts materialization cuts:\n$executed")
+    }
+  }
+
   test("banded near-dup (production + md5 twin): first-colliding-table filter in the join, no candidate distinct, shuffled-hash pair join") {
     // the r15 twin shape, r16-ported to the production float-plane form
     // (both now share bandedFirstCollidePairs): each pair is emitted ONLY
