@@ -137,16 +137,18 @@ object SparkEntry {
   private def shingleHashesDir(s: SparkSession, d: String): String =
     scratch("minhash_hashes", d)(p =>
       Similarity.shingleHashes(Tables.documents(s, d))
-        // explicit fan-out (r18-opt): the tokenize pipeline inherits the
-        // doc table's split count (ONE split at bench scale), so an
-        // unrepartitioned artifact lands as one file and every
-        // consumer's partial aggregate (band mins, verify collect_set)
-        // serializes on a single task. defaultParallelism scales with
-        // the session's cores — never a local-only constant — and AQE
-        // does not re-coalesce an explicit repartition. Row order
-        // changes only feed order-free aggregates (min / collect_set →
-        // set ops), so results are unchanged.
-        .repartition(s.sparkContext.defaultParallelism)
+        // explicit fan-out, keyed by doc_id (r18-opt): the tokenize
+        // pipeline inherits the doc table's split count (ONE split at
+        // bench scale), so an unrepartitioned artifact lands as one file
+        // and every consumer's partial aggregate (band mins, verify
+        // collect_set) serializes on a single task. The fan-out MUST be
+        // hash(doc_id), not round-robin: every consumer aggregates by
+        // doc_id, and a round-robin scatter makes each task's partial
+        // agg see every doc (a corpus-sized hash map per task — measured
+        // 168 s of spill at the sf1 decade vs ~30 s keyed). AQE does not
+        // re-coalesce an explicit repartition; defaultParallelism scales
+        // with the session's cores; results are order-free aggregates.
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .write.mode("overwrite").parquet(p))
 
   /** tf-idf feature + suffix-bound prefix artifacts of the bounded
